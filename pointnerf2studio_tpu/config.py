@@ -1,0 +1,120 @@
+"""Configuration tree for the TPU Point-NeRF framework.
+
+One frozen dataclass replaces the reference's two config systems (the
+~200-flag argparse `options/` tree and the nerfstudio dataclass config,
+reference: pointnerf/options/base_options.py:8-182 and
+pointnerf/nerfstudio/studio_model.py:61-118). Field names and defaults
+follow the studio `PointNerfConfig` so users of the reference find the
+same knobs. Per-scene presets (the reference's dev_scripts/*.sh) live in
+`pointnerf2studio_tpu/data/presets.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class QueryConfig:
+    """Voxel-grid neighbor query hyperparameters.
+
+    Canonical NeRF-Synthetic values from the reference
+    (pointnerf/dev_scripts/w_n360/chair_points.sh:50-61,
+    pointnerf/nerfstudio/studio_model.py:94-111).
+    """
+    vsize: Tuple[float, float, float] = (0.004, 0.004, 0.004)
+    vscale: Tuple[int, int, int] = (2, 2, 2)
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)   # K-NN search window (voxels)
+    query_size: Tuple[int, int, int] = (3, 3, 3)    # occupancy dilation window
+    radius_limit_scale: float = 4.0                 # radius = scale * max(vsize_xy)
+    ranges: Tuple[float, float, float, float, float, float] = (
+        -1.2, -1.2, -1.2, 1.2, 1.2, 1.2)
+    z_depth_dim: int = 400       # raw stratified samples per ray (D)
+    SR: int = 80                 # shading slots per ray
+    K: int = 8                   # neighbors per shading point
+    max_o: int = 1_000_000       # occupied-voxel capacity
+    P: int = 12                  # points per voxel capacity
+    NN: int = 2
+    # Pad dense grid dims up to a multiple of this to stabilize jit caches.
+    grid_dim_pad: int = 32
+    # If True, reproduce the reference's layered search: stop expanding
+    # Chebyshev shells once a completed shell has yielded >= K candidates.
+    layered_search: bool = True
+
+    @property
+    def scaled_vsize(self) -> Tuple[float, float, float]:
+        return tuple(v * s for v, s in zip(self.vsize, self.vscale))
+
+    @property
+    def radius_limit(self) -> float:
+        return self.radius_limit_scale * max(self.vsize[0], self.vsize[1])
+
+
+@dataclasses.dataclass(frozen=True)
+class AggregatorConfig:
+    """Radiance decoder (MLP tower) hyperparameters.
+
+    Mirrors the reference studio model's head/width/encoding settings
+    (pointnerf/nerfstudio/studio_model.py:67-113,169-237).
+    """
+    num_pos_freqs: int = 10
+    num_viewdir_freqs: int = 4
+    num_feat_freqs: int = 3
+    num_dist_freqs: int = 5
+    agg_dist_pers: int = 20
+    point_features_dim: int = 32
+    point_color_mode: bool = True
+    point_dir_mode: bool = True
+    num_mlp_base_layers: int = 2
+    num_mlp_head_layers: int = 2
+    num_color_layers: int = 3
+    hidden_size: int = 256
+    hidden_size_color: int = 128
+    axis_weight: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    act_super: bool = False
+    # Compute dtype of the MLP tower (params stay float32).
+    compute_dtype: str = "float32"
+
+    @property
+    def dist_dim(self) -> int:
+        if self.agg_dist_pers > 9:
+            return 4 if self.agg_dist_pers == 30 else 6
+        return 3
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference: studio_config.py:33-48)."""
+    lr_fields: float = 5e-4
+    lr_points: float = 2e-3
+    lr_decay_exp: float = 0.1
+    lr_decay_iters: int = 1_000_000
+    max_iterations: int = 200_000
+    rays_per_batch: int = 4096
+    zero_epsilon: float = 1e-3
+    zero_one_loss_weight: float = 1e-4
+    jitter: float = 0.3
+    # prune/grow (reference: run/train_ft.py:829-923)
+    prune_iter: int = 0           # 0 disables
+    prune_thresh: float = 0.1
+    prune_max_iter: int = 100_000
+    prob_freq: int = 0            # 0 disables point growing
+    prob_num_step: int = 100
+    prob_thresh: float = 0.8
+
+
+@dataclasses.dataclass(frozen=True)
+class PointNerfConfig:
+    """Top-level model config."""
+    query: QueryConfig = dataclasses.field(default_factory=QueryConfig)
+    agg: AggregatorConfig = dataclasses.field(default_factory=AggregatorConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    path_point_cloud: Optional[str] = None
+    num_samples: int = 80
+    eval_num_rays_per_chunk: int = 4096
+    bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    feat_grad: bool = True
+    conf_grad: bool = True
+    dir_grad: bool = True
+    color_grad: bool = True

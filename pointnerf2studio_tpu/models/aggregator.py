@@ -1,0 +1,179 @@
+"""Radiance decoder: the per-neighbor MLP tower + K-aggregation.
+
+Functional re-design of the reference's decoder
+(reference: pointnerf/nerfstudio/studio_model.py:169-237 [architecture]
+and :263-365 [forward]; the same math lives in the legacy
+pointnerf/models/aggregators/point_aggregators.py `viewmlp`).
+
+Tower (defaults; all LeakyReLU(0.1), including output activations):
+  mlp_base:  [emb(32), PE_3(emb)(192), PE_5(dists@Rw2c)(60)] -> 2x256
+  mlp_head:  [base(256), point_color(3), point_dir-viewdir(3), dot(1)] -> 2x256
+  density:   Linear(256 -> 1) + ReLU, per neighbor, then sum_K(weight * .)
+  mlp_color: [sum_K(weight * head)(256), PE_4^ori(viewdir)[3:]](280) -> 3x128
+  rgb:       Linear(128 -> 3) + sigmoid, squashed *1.002 - 0.001
+
+TPU design: no boolean compaction of valid neighbors (the reference
+gathers valid rows, studio_model.py:310-315); instead all R*SR*K padded
+slots flow through the matmuls (MXU-friendly batched GEMMs, optionally
+bfloat16) and invalid lanes are masked at the K-aggregation.
+
+Params are a plain nested dict pytree — trivially importable from the
+reference's torch checkpoints and shardable with jax.sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pointnerf2studio_tpu.config import AggregatorConfig
+from pointnerf2studio_tpu.ops.encoding import positional_encoding
+
+AggregatorParams = Dict[str, Any]
+
+
+def _torch_linear_init(key: jax.Array, in_dim: int, out_dim: int) -> Dict[str, jnp.ndarray]:
+    """torch nn.Linear default init (kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(in), 1/sqrt(in)) for weight and bias), so training from
+    scratch starts from the same distribution as the reference."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(in_dim)
+    return {
+        "kernel": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound),
+        "bias": jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound),
+    }
+
+
+def _mlp_dims(cfg: AggregatorConfig) -> Dict[str, List[Tuple[int, int]]]:
+    dist_dim = cfg.dist_dim
+    dist_pe = 2 * cfg.num_dist_freqs * dist_dim if cfg.num_dist_freqs else dist_dim
+    base_in = (2 * cfg.num_feat_freqs * cfg.point_features_dim
+               + dist_pe + cfg.point_features_dim)
+    head_in = (cfg.hidden_size + (3 if cfg.point_color_mode else 0)
+               + (4 if cfg.point_dir_mode else 0))
+    color_in = cfg.hidden_size + 2 * cfg.num_viewdir_freqs * 3
+
+    def tower(in_dim, width, n):
+        dims = [(in_dim, width)]
+        dims += [(width, width)] * (n - 1)
+        return dims
+
+    return {
+        "mlp_base": tower(base_in, cfg.hidden_size, cfg.num_mlp_base_layers),
+        "mlp_head": tower(head_in, cfg.hidden_size, cfg.num_mlp_head_layers),
+        "mlp_color": tower(color_in, cfg.hidden_size_color, cfg.num_color_layers),
+        "density_head": [(cfg.hidden_size, 1)],
+        "color_head": [(cfg.hidden_size_color, 3)],
+    }
+
+
+def init_aggregator_params(key: jax.Array, cfg: AggregatorConfig) -> AggregatorParams:
+    params: AggregatorParams = {}
+    for name, dims in _mlp_dims(cfg).items():
+        keys = jax.random.split(key := jax.random.fold_in(key, hash(name) % (2**31)),
+                                len(dims))
+        params[name] = [
+            _torch_linear_init(k, i, o) for k, (i, o) in zip(keys, dims)]
+    return params
+
+
+def _leaky(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, 0.1)
+
+
+def _mlp(layers: List[Dict[str, jnp.ndarray]], x: jnp.ndarray,
+         dtype: jnp.dtype) -> jnp.ndarray:
+    """Apply a LeakyReLU tower (activation after every layer incl. last,
+    matching nerfstudio MLP with out_activation=LeakyReLU)."""
+    for lyr in layers:
+        x = x.astype(dtype) @ lyr["kernel"].astype(dtype) + lyr["bias"].astype(dtype)
+        x = _leaky(x)
+    return x
+
+
+def _linear_head(lyr: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                 dtype: jnp.dtype) -> jnp.ndarray:
+    return x.astype(dtype) @ lyr["kernel"].astype(dtype) + lyr["bias"].astype(dtype)
+
+
+def inverse_distance_weight(
+    dists: jnp.ndarray,       # [..., K, C>=3] (world delta in [..., :3])
+    pnt_mask: jnp.ndarray,    # [..., K] bool
+    axis_weight: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """`linear` kernel: masked 1/||world delta||, normalized over K.
+
+    Reference: studio_model.py:467-475 (+ normalization at :286).
+    """
+    if axis_weight[0] == 1.0 and axis_weight[2] == 1.0:
+        w = 1.0 / jnp.maximum(jnp.linalg.norm(dists[..., :3], axis=-1), 1e-6)
+    else:
+        w = 1.0 / jnp.maximum(
+            jnp.sqrt(jnp.sum(jnp.square(dists[..., :2]), axis=-1)) * axis_weight[0]
+            + jnp.abs(dists[..., 2]) * axis_weight[1], 1e-6)
+    w = w * pnt_mask.astype(w.dtype)
+    return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
+
+
+def conf_gradient_clamp(conf: jnp.ndarray, lo: float = 1e-4, hi: float = 1.0) -> jnp.ndarray:
+    """Straight-through clamp: forward = conf, backward zeroed outside
+    [lo, hi] (reference: studio_model.py:289-292)."""
+    diff = conf - jnp.clip(conf, lo, hi)
+    return conf - jax.lax.stop_gradient(diff)
+
+
+def decode_radiance(
+    params: AggregatorParams,
+    cfg: AggregatorConfig,
+    neigh_emb: jnp.ndarray,     # [R, SR, K, C] neighbor features
+    neigh_color: jnp.ndarray,   # [R, SR, K, 3]
+    neigh_dir: jnp.ndarray,     # [R, SR, K, 3]
+    dists: jnp.ndarray,         # [R, SR, K, 6] world+perspective offsets
+    weight: jnp.ndarray,        # [R, SR, K] normalized aggregation weights
+    pnt_mask: jnp.ndarray,      # [R, SR, K] bool
+    viewdirs: jnp.ndarray,      # [R, 3] (already Rw2c-rotated)
+    Rw2c: jnp.ndarray,          # [3, 3] global rotation
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode (sigma [R, SR], rgb [R, SR, 3]) from gathered neighbors."""
+    R, SR, K, _ = neigh_emb.shape
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    dir_enc = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
+    ori_viewdirs, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]      # [R,3],[R,24]
+
+    # world part of dists rotated into the (editing) frame
+    dists_w = jnp.sum(dists[..., :3, None] * Rw2c, axis=-2)
+    dists_rot = jnp.concatenate([dists_w, dists[..., 3:]], axis=-1)
+    dists_pe = positional_encoding(dists_rot, cfg.num_dist_freqs)   # [R,SR,K,60]
+
+    feat = jnp.concatenate(
+        [neigh_emb,
+         positional_encoding(neigh_emb, cfg.num_feat_freqs),
+         dists_pe], axis=-1)
+    feat = _mlp(params["mlp_base"], feat, dtype)                    # [R,SR,K,256]
+
+    extras = [feat]
+    if cfg.point_color_mode:
+        extras.append(neigh_color.astype(dtype))
+    if cfg.point_dir_mode:
+        ndir = jnp.sum(neigh_dir[..., :, None] * Rw2c, axis=-2)
+        ov = ori_viewdirs[:, None, None, :]                         # [R,1,1,3]
+        extras.append((ndir - ov).astype(dtype))
+        extras.append(jnp.sum(ndir * ov, axis=-1, keepdims=True).astype(dtype))
+    feat = _mlp(params["mlp_head"], jnp.concatenate(extras, axis=-1), dtype)
+
+    alpha = jax.nn.relu(_linear_head(params["density_head"][0], feat, dtype))
+    w = (weight * pnt_mask.astype(weight.dtype))[..., None].astype(dtype)
+    sigma = jnp.sum(alpha * w, axis=-2)[..., 0]                     # [R, SR]
+    agg_feat = jnp.sum(feat * w, axis=-2)                           # [R, SR, 256]
+
+    color_in = jnp.concatenate(
+        [agg_feat,
+         jnp.broadcast_to(dir_pe[:, None, :], (R, SR, dir_pe.shape[-1])).astype(dtype)],
+        axis=-1)
+    cfeat = _mlp(params["mlp_color"], color_in, dtype)
+    rgb = jax.nn.sigmoid(_linear_head(params["color_head"][0], cfeat, dtype))
+    rgb = rgb * (1 + 2e-3) - 1e-3                                   # mip-NeRF squash
+    return sigma.astype(jnp.float32), rgb.astype(jnp.float32)

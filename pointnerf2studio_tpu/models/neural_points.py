@@ -1,0 +1,168 @@
+"""Neural point cloud: the trainable point store.
+
+TPU-native counterpart of the reference `NeuralPoints` modules
+(reference: pointnerf/nerfstudio/studio_utils.py:71-209 and
+pointnerf/models/neural_points/neural_points.py:11-723).
+
+Static-capacity design: arrays are allocated at `capacity` slots with an
+`alive` mask. Pruning clears mask bits; growing writes into free slots
+(reference rebuilds optimizers and restarts the process instead,
+run/train_ft.py:911). Shapes never change during training, so the
+jitted train step survives prune/grow without recompiling.
+
+Per-point attributes (names match the reference checkpoint keys at
+`neural_points.*`): xyz [N,3] (frozen), points_embeding [N,C],
+points_conf [N,1], points_dir [N,3], points_color [N,3], and a global
+or per-point Rw2c rotation (per-point appears after scene editing).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class NeuralPointCloud:
+    xyz: jnp.ndarray              # [N, 3] float32 (not optimized)
+    points_embeding: jnp.ndarray  # [N, C] float32
+    points_conf: jnp.ndarray      # [N, 1]
+    points_dir: jnp.ndarray       # [N, 3]
+    points_color: jnp.ndarray     # [N, 3]
+    Rw2c: jnp.ndarray             # [3, 3] global or [N, 3, 3] per-point
+    alive: jnp.ndarray            # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    @property
+    def num_alive(self) -> jnp.ndarray:
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+    def trainable(self) -> Dict[str, jnp.ndarray]:
+        """The point attributes optimized by the `neural_points` group."""
+        return {
+            "points_embeding": self.points_embeding,
+            "points_conf": self.points_conf,
+            "points_dir": self.points_dir,
+            "points_color": self.points_color,
+        }
+
+    def with_trainable(self, t: Dict[str, jnp.ndarray]) -> "NeuralPointCloud":
+        return self.replace(**t)
+
+
+def from_arrays(
+    xyz: np.ndarray,
+    points_embeding: np.ndarray,
+    points_conf: np.ndarray,
+    points_dir: np.ndarray,
+    points_color: np.ndarray,
+    Rw2c: Optional[np.ndarray] = None,
+    capacity: Optional[int] = None,
+) -> NeuralPointCloud:
+    """Build a point cloud, padding to `capacity` slots (dead by default)."""
+    n = xyz.shape[0]
+    cap = capacity or n
+
+    def pad(a):
+        a = np.asarray(a, np.float32).reshape(n, -1)
+        if cap == n:
+            return jnp.asarray(a)
+        return jnp.asarray(np.pad(a, ((0, cap - n), (0, 0))))
+
+    alive = jnp.asarray(np.arange(cap) < n)
+    if Rw2c is None:
+        Rw2c = np.eye(3, dtype=np.float32)
+    return NeuralPointCloud(
+        xyz=pad(xyz),
+        points_embeding=pad(points_embeding),
+        points_conf=pad(points_conf),
+        points_dir=pad(points_dir),
+        points_color=pad(points_color),
+        Rw2c=jnp.asarray(np.asarray(Rw2c, np.float32)),
+        alive=alive,
+    )
+
+
+def gather_neighbors(
+    points: NeuralPointCloud,
+    sample_pidx: jnp.ndarray,   # [R, SR, K] int32, -1 = empty
+) -> Dict[str, jnp.ndarray]:
+    """Gather per-neighbor attributes into padded [R, SR, K, .] tensors.
+
+    Mirrors the index_select block in the reference forward
+    (studio_utils.py:199-207): invalid slots gather point 0 (indices are
+    clamped) and must be masked downstream via `sample_pidx >= 0`.
+    """
+    idx = jnp.clip(sample_pidx, 0, points.capacity - 1)
+    out = {
+        "xyz": points.xyz[idx],
+        "embeding": points.points_embeding[idx],
+        "conf": points.points_conf[idx],
+        "dir": points.points_dir[idx],
+        "color": points.points_color[idx],
+    }
+    if points.Rw2c.ndim == 3:
+        out["Rw2c"] = points.Rw2c[idx]
+    return out
+
+
+def prune(points: NeuralPointCloud, conf_thresh: float) -> NeuralPointCloud:
+    """Kill points whose confidence fell below `conf_thresh`.
+
+    Reference: `NeuralPoints.prune`
+    (models/neural_points/neural_points.py:341-364) — there it shrinks
+    tensors and forces an optimizer rebuild; here only the mask changes.
+    """
+    keep = points.alive & (points.points_conf[:, 0] >= conf_thresh)
+    return points.replace(alive=keep)
+
+
+def grow(
+    points: NeuralPointCloud,
+    new_xyz: jnp.ndarray,          # [M, 3]
+    new_embeding: jnp.ndarray,     # [M, C]
+    new_conf: jnp.ndarray,         # [M, 1]
+    new_dir: jnp.ndarray,          # [M, 3]
+    new_color: jnp.ndarray,        # [M, 3]
+    new_valid: jnp.ndarray,        # [M] bool — which candidates are real
+) -> NeuralPointCloud:
+    """Write up to M new points into free (dead) slots.
+
+    Reference: `NeuralPoints.grow_points` concatenates tensors
+    (neural_points.py:367-393); here dead slots are recycled so shapes
+    stay static. Candidates beyond the free-slot budget are dropped
+    (fixed capacity is part of the design contract; choose `capacity`
+    with growth headroom).
+    """
+    cap = points.capacity
+    m = new_xyz.shape[0]
+    # Rank free slots: dead slots get their position, live ones sink.
+    dead = ~points.alive
+    free_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1          # per slot
+    # For each candidate i, target slot = i-th dead slot.
+    order = jnp.argsort(~dead, stable=True)                     # dead first
+    target = order[:m] if m <= cap else order[: cap]
+    n_free = jnp.sum(dead.astype(jnp.int32))
+    can_place = new_valid[: target.shape[0]] & (
+        jnp.arange(target.shape[0]) < n_free)
+    safe_target = jnp.where(can_place, target, cap)             # cap = drop
+
+    def put(dst, src):
+        src = src[: target.shape[0]]
+        return dst.at[safe_target].set(src, mode="drop")
+
+    return points.replace(
+        xyz=put(points.xyz, new_xyz),
+        points_embeding=put(points.points_embeding, new_embeding),
+        points_conf=put(points.points_conf, new_conf),
+        points_dir=put(points.points_dir, new_dir),
+        points_color=put(points.points_color, new_color),
+        alive=points.alive.at[safe_target].set(True, mode="drop"),
+    )

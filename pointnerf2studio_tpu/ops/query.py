@@ -1,0 +1,210 @@
+"""Ray-sample masking, shading-slot compaction, and K-NN neighbor query.
+
+TPU-native replacement for the reference CUDA kernels `mask_raypos`,
+`get_shadingloc`, `query_neigh_along_ray_layered` and the host-side
+orchestration `woord_query_grid_point_index_cuda`
+(reference: pointnerf/models/neural_points/cuda/query_worldcoords.cu:165-433).
+
+Key design change: the reference dynamically compacts rays twice
+(device->host `.item()` syncs at query_worldcoords.cu:382,426). Here all
+shapes are fixed — every ray keeps SR shading slots and K neighbor
+slots, with validity masks (`ray_mask`, `sample_mask`, pidx >= 0)
+instead of shrinking tensors. That makes the whole render step one
+jitted XLA program.
+
+Selection semantics preserved exactly:
+  * shading slots hold the FIRST `SR` dilated-occupied samples along
+    each ray (cumsum ranking, query_worldcoords.cu:390-391),
+  * neighbor candidates are scanned shell-by-shell in Chebyshev layers;
+    once the total candidate count reaches K at the end of a shell,
+    outer shells are not searched (the `if (kid >= K) break` at
+    query_worldcoords.cu:300). Within the searched shells, the K nearest
+    within `radius_limit` win, earlier scan order breaking ties.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pointnerf2studio_tpu.ops.grid import PointGrid, voxel_coords
+
+
+@struct.dataclass
+class QueryResult:
+    """Fixed-shape output of the neighbor query (padded + masked)."""
+    sample_pidx: jnp.ndarray     # [R, SR, K] int32 point ids, -1 = empty
+    sample_loc_w: jnp.ndarray    # [R, SR, 3] world shading locations (0 pad)
+    sample_mask: jnp.ndarray     # [R, SR] bool: slot holds a shading point
+    ray_mask: jnp.ndarray        # [R] bool: ray intersects occupied space
+                                 #   AND at least one sample found neighbors
+
+
+def neighbor_offsets(kernel_size: Tuple[int, int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Static scan-ordered voxel offsets and their Chebyshev shell ids.
+
+    Order matches the reference's layer/x/y/z loop nest
+    (query_worldcoords.cu:256-263): shell 0 first, then each shell's
+    offsets in x-major order, skipping interior cells.
+    """
+    num_layers = (kernel_size[0] + 1) // 2
+    offs, shells = [], []
+    for layer in range(num_layers):
+        for x in range(-layer, layer + 1):
+            for y in range(-layer, layer + 1):
+                for z in range(-layer, layer + 1):
+                    if max(abs(x), abs(y), abs(z)) != layer:
+                        continue
+                    offs.append((x, y, z))
+                    shells.append(layer)
+    return np.asarray(offs, np.int32), np.asarray(shells, np.int32)
+
+
+def mask_raypos(grid: PointGrid, raypos: jnp.ndarray) -> jnp.ndarray:
+    """[R, D] bool: sample position lies in a dilated-occupied voxel."""
+    dims = jnp.array(grid.dims, jnp.int32)
+    gcoor = voxel_coords(raypos, grid.ranges_min, grid.scaled_vsize)
+    inb = jnp.all((gcoor >= 0) & (gcoor < dims), axis=-1)
+    gc = jnp.clip(gcoor, 0, dims - 1)
+    occ = grid.coor_occ[gc[..., 0], gc[..., 1], gc[..., 2]]
+    return inb & occ
+
+
+def compact_shading_locs(
+    raypos: jnp.ndarray,       # [R, D, 3]
+    raypos_mask: jnp.ndarray,  # [R, D] bool
+    SR: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter the first SR masked samples of each ray into fixed slots.
+
+    cumsum-rank + scatter, the jit-safe equivalent of `get_shadingloc`
+    (query_worldcoords.cu:192-214 with host-side rank prep at :390-391).
+    """
+    R, D, _ = raypos.shape
+    rank = jnp.cumsum(raypos_mask.astype(jnp.int32), axis=-1)     # 1-based
+    put = raypos_mask & (rank <= SR)
+    slot = jnp.where(put, rank - 1, SR)                           # SR = dropped
+    ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, D))
+    sample_loc_w = jnp.zeros((R, SR, 3), raypos.dtype).at[
+        ray_ids, slot].set(raypos, mode="drop")
+    sample_mask = jnp.zeros((R, SR), jnp.bool_).at[
+        ray_ids, slot].set(put, mode="drop")
+    return sample_loc_w, sample_mask
+
+
+def _knn_chunk(
+    grid: PointGrid,
+    xyz: jnp.ndarray,         # [N, 3] point positions
+    locs: jnp.ndarray,        # [C, 3] shading locations
+    loc_mask: jnp.ndarray,    # [C] bool
+    offsets: jnp.ndarray,     # [V, 3] neighbor voxel offsets (scan order)
+    shells: jnp.ndarray,      # [V] shell id per offset
+    num_shells: int,
+    K: int,
+    radius2: float,
+    layered: bool,
+) -> jnp.ndarray:
+    """K nearest live points for one chunk of shading locations -> [C, K]."""
+    C = locs.shape[0]
+    P = grid.occ_2_pnts.shape[1]
+    V = offsets.shape[0]
+    dims = jnp.array(grid.dims, jnp.int32)
+
+    center = voxel_coords(locs, grid.ranges_min, grid.scaled_vsize)   # [C, 3]
+    nb = center[:, None, :] + offsets[None, :, :]                     # [C, V, 3]
+    nb_inb = jnp.all((nb >= 0) & (nb < dims), axis=-1)
+    nbc = jnp.clip(nb, 0, dims - 1)
+    occ_slot = grid.coor_2_occ[nbc[..., 0], nbc[..., 1], nbc[..., 2]]  # [C, V]
+    slot_valid = nb_inb & (occ_slot >= 0) & loc_mask[:, None]
+
+    cand = grid.occ_2_pnts[jnp.where(slot_valid, occ_slot, 0)]         # [C, V, P]
+    cand_valid = slot_valid[..., None] & (cand >= 0)
+    cand_xyz = xyz[jnp.clip(cand, 0, xyz.shape[0] - 1)]                # [C, V, P, 3]
+    delta = cand_xyz - locs[:, None, None, :]
+    d2 = jnp.sum(delta * delta, axis=-1)                               # [C, V, P]
+    if radius2 > 0.0:
+        cand_valid = cand_valid & (d2 <= radius2)
+
+    cand_valid = cand_valid.reshape(C, V * P)
+    d2 = d2.reshape(C, V * P)
+    cand = cand.reshape(C, V * P)
+
+    if layered:
+        # A shell is searched only if the shells inside it yielded < K
+        # candidates (reference early-exit at query_worldcoords.cu:300).
+        shell_per_cand = jnp.repeat(shells, P)                          # [V*P]
+        shell_counts = jnp.zeros((C, num_shells), jnp.int32).at[
+            :, shell_per_cand].add(cand_valid.astype(jnp.int32))
+        before = jnp.cumsum(shell_counts, axis=-1) - shell_counts       # [C, S]
+        eligible = before[:, shell_per_cand] < K
+        cand_valid = cand_valid & eligible
+
+    key = jnp.where(cand_valid, d2, jnp.inf)
+    _, top_idx = jax.lax.top_k(-key, K)                                 # [C, K]
+    top_valid = jnp.take_along_axis(cand_valid, top_idx, axis=-1)
+    top_pidx = jnp.take_along_axis(cand, top_idx, axis=-1)
+    return jnp.where(top_valid, top_pidx, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("SR", "K", "radius2", "layered", "kernel_size", "chunk"))
+def query_grid_point_index(
+    grid: PointGrid,
+    xyz: jnp.ndarray,          # [N, 3]
+    raypos: jnp.ndarray,       # [R, D, 3]
+    SR: int,
+    K: int,
+    radius2: float,
+    kernel_size: Tuple[int, int, int],
+    layered: bool = True,
+    chunk: int = 8192,
+) -> QueryResult:
+    """Full query pipeline: mask -> compact -> K-NN. Fixed shapes.
+
+    The K-NN candidate tensor ([R*SR, V*P]) would be GBs at full batch
+    size, so shading points are processed in `chunk`-sized pieces via
+    `lax.map` — sequential in the program, pipelined by XLA.
+    """
+    R = raypos.shape[0]
+    rp_mask = mask_raypos(grid, raypos)
+    ray_hit = jnp.any(rp_mask, axis=-1)
+    sample_loc_w, sample_mask = compact_shading_locs(raypos, rp_mask, SR)
+
+    offs_np, shells_np = neighbor_offsets(kernel_size)
+    offsets = jnp.asarray(offs_np)
+    shells = jnp.asarray(shells_np)
+
+    flat_locs = sample_loc_w.reshape(R * SR, 3)
+    flat_mask = sample_mask.reshape(R * SR)
+    total = R * SR
+    padded = (total + chunk - 1) // chunk * chunk
+    flat_locs = jnp.pad(flat_locs, ((0, padded - total), (0, 0)))
+    flat_mask = jnp.pad(flat_mask, (0, padded - total))
+
+    num_shells = int(shells_np.max()) + 1
+
+    def one_chunk(args):
+        locs, m = args
+        return _knn_chunk(grid, xyz, locs, m, offsets, shells, num_shells,
+                          K, radius2, layered)
+
+    pidx = jax.lax.map(
+        one_chunk,
+        (flat_locs.reshape(-1, chunk, 3), flat_mask.reshape(-1, chunk)),
+    ).reshape(padded, K)[:total].reshape(R, SR, K)
+
+    # Drop rays whose shading points found no neighbors at all
+    # (second compaction in the reference, query_worldcoords.cu:425-429).
+    ray_found = jnp.any(pidx >= 0, axis=(-1, -2))
+    return QueryResult(
+        sample_pidx=pidx,
+        sample_loc_w=sample_loc_w,
+        sample_mask=sample_mask,
+        ray_mask=ray_hit & ray_found,
+    )
