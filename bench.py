@@ -1,0 +1,82 @@
+"""Benchmark: render throughput (rays/s) at NeRF-Synthetic chair scale.
+
+Renders a full 800x800 frame (640k rays) of a chair-scale synthetic
+scene (558k neural points — the reference's fresh chair init count,
+BASELINE.md) through the jitted sharded render path, in fixed-size ray
+chunks. Prints ONE JSON line:
+  {"metric": "render_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 94000}
+Baseline: the reference renders 800x800 chair frames in ~6.8 s on a
+CUDA GPU => ~94k rays/s (pointnerf/out.txt:43-61).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 94_000.0
+
+
+def main() -> None:
+    import dataclasses
+
+    from pointnerf2studio_tpu.config import (
+        AggregatorConfig, PointNerfConfig, QueryConfig)
+    from pointnerf2studio_tpu.data.synthetic import (
+        camera_rays, make_sphere_scene)
+    from pointnerf2studio_tpu.models.render import render_rays
+    from pointnerf2studio_tpu.parallel.sharding import (
+        make_mesh, make_sharded_render)
+
+    # Chair-scale configuration (SURVEY.md §2.1 canonical values), with
+    # bf16 MLP compute — production precision on TPU.
+    cfg = PointNerfConfig(
+        query=QueryConfig(
+            vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
+            SR=80, K=8, P=12, max_o=700_000, z_depth_dim=400),
+        agg=AggregatorConfig(compute_dtype="bfloat16"),
+    )
+    scene = make_sphere_scene(n_points=558_000, cfg=cfg)
+
+    H = W = 800
+    chunk = 8_192
+    focal = 800.0
+    raydirs = camera_rays(scene.campos, scene.camrotc2w, H, W, focal)
+    total = raydirs.shape[0]
+    n_chunks = total // chunk
+
+    mesh = make_mesh()
+    render = make_sharded_render(cfg, mesh)
+    near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
+
+    def run_chunk(i):
+        rays = jax.lax.dynamic_slice_in_dim(raydirs, i * chunk, chunk)
+        return render(scene.params, scene.cloud, scene.grid, scene.campos,
+                      scene.camrotc2w, rays, near, far)
+
+    # Warmup / compile.
+    run_chunk(0).coarse_raycolor.block_until_ready()
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(n_chunks):
+        out = run_chunk(i)
+    out.coarse_raycolor.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_chunks * chunk / dt
+    print(json.dumps({
+        "metric": "render_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
