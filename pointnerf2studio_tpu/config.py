@@ -38,6 +38,13 @@ class QueryConfig:
     NN: int = 2
     # Pad dense grid dims up to a multiple of this to stabilize jit caches.
     grid_dim_pad: int = 32
+    # Average valid shading slots per ray the MLP tower is provisioned
+    # for: the render step sorts (ray, slot) pairs by validity and only
+    # the first R*compact_budget reach the K-NN + MXU (the TPU
+    # equivalent of the reference's masked_select compaction,
+    # studio_model.py:310-315). 0 disables (budget = SR). Overflowing
+    # valid slots beyond the budget are dropped deterministically.
+    compact_budget: int = 16
     # If True, reproduce the reference's layered search: stop expanding
     # Chebyshev shells once a completed shell has yielded >= K candidates.
     layered_search: bool = True

@@ -127,52 +127,53 @@ def conf_gradient_clamp(conf: jnp.ndarray, lo: float = 1e-4, hi: float = 1.0) ->
 def decode_radiance(
     params: AggregatorParams,
     cfg: AggregatorConfig,
-    neigh_emb: jnp.ndarray,     # [R, SR, K, C] neighbor features
-    neigh_color: jnp.ndarray,   # [R, SR, K, 3]
-    neigh_dir: jnp.ndarray,     # [R, SR, K, 3]
-    dists: jnp.ndarray,         # [R, SR, K, 6] world+perspective offsets
-    weight: jnp.ndarray,        # [R, SR, K] normalized aggregation weights
-    pnt_mask: jnp.ndarray,      # [R, SR, K] bool
-    viewdirs: jnp.ndarray,      # [R, 3] (already Rw2c-rotated)
+    neigh_emb: jnp.ndarray,     # [M, K, C] neighbor features
+    neigh_color: jnp.ndarray,   # [M, K, 3]
+    neigh_dir: jnp.ndarray,     # [M, K, 3]
+    dists: jnp.ndarray,         # [M, K, 6] world+perspective offsets
+    weight: jnp.ndarray,        # [M, K] normalized aggregation weights
+    pnt_mask: jnp.ndarray,      # [M, K] bool
+    viewdirs: jnp.ndarray,      # [M, 3] per shading point (Rw2c-rotated)
     Rw2c: jnp.ndarray,          # [3, 3] global rotation
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Decode (sigma [R, SR], rgb [R, SR, 3]) from gathered neighbors."""
-    R, SR, K, _ = neigh_emb.shape
+    """Decode (sigma [M], rgb [M, 3]) for M flat shading points.
+
+    Callers flatten (ray, slot) pairs into the M axis — typically after
+    validity compaction so padded slots don't reach the MXU.
+    """
+    M, K, _ = neigh_emb.shape
     dtype = jnp.dtype(cfg.compute_dtype)
 
     dir_enc = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
-    ori_viewdirs, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]      # [R,3],[R,24]
+    ori_viewdirs, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]      # [M,3],[M,24]
 
     # world part of dists rotated into the (editing) frame
     dists_w = jnp.sum(dists[..., :3, None] * Rw2c, axis=-2)
     dists_rot = jnp.concatenate([dists_w, dists[..., 3:]], axis=-1)
-    dists_pe = positional_encoding(dists_rot, cfg.num_dist_freqs)   # [R,SR,K,60]
+    dists_pe = positional_encoding(dists_rot, cfg.num_dist_freqs)   # [M,K,60]
 
     feat = jnp.concatenate(
         [neigh_emb,
          positional_encoding(neigh_emb, cfg.num_feat_freqs),
          dists_pe], axis=-1)
-    feat = _mlp(params["mlp_base"], feat, dtype)                    # [R,SR,K,256]
+    feat = _mlp(params["mlp_base"], feat, dtype)                    # [M,K,256]
 
     extras = [feat]
     if cfg.point_color_mode:
         extras.append(neigh_color.astype(dtype))
     if cfg.point_dir_mode:
         ndir = jnp.sum(neigh_dir[..., :, None] * Rw2c, axis=-2)
-        ov = ori_viewdirs[:, None, None, :]                         # [R,1,1,3]
+        ov = ori_viewdirs[:, None, :]                               # [M,1,3]
         extras.append((ndir - ov).astype(dtype))
         extras.append(jnp.sum(ndir * ov, axis=-1, keepdims=True).astype(dtype))
     feat = _mlp(params["mlp_head"], jnp.concatenate(extras, axis=-1), dtype)
 
     alpha = jax.nn.relu(_linear_head(params["density_head"][0], feat, dtype))
     w = (weight * pnt_mask.astype(weight.dtype))[..., None].astype(dtype)
-    sigma = jnp.sum(alpha * w, axis=-2)[..., 0]                     # [R, SR]
-    agg_feat = jnp.sum(feat * w, axis=-2)                           # [R, SR, 256]
+    sigma = jnp.sum(alpha * w, axis=-2)[..., 0]                     # [M]
+    agg_feat = jnp.sum(feat * w, axis=-2)                           # [M, 256]
 
-    color_in = jnp.concatenate(
-        [agg_feat,
-         jnp.broadcast_to(dir_pe[:, None, :], (R, SR, dir_pe.shape[-1])).astype(dtype)],
-        axis=-1)
+    color_in = jnp.concatenate([agg_feat, dir_pe.astype(dtype)], axis=-1)
     cfeat = _mlp(params["mlp_color"], color_in, dtype)
     rgb = jax.nn.sigmoid(_linear_head(params["color_head"][0], cfeat, dtype))
     rgb = rgb * (1 + 2e-3) - 1e-3                                   # mip-NeRF squash

@@ -1,12 +1,22 @@
 """The jitted end-to-end render step.
 
 One XLA program per batch of rays: stratified ray generation -> voxel
-grid query -> neighbor gather -> MLP tower -> alpha compositing ->
-background fill. Functional equivalent of the reference call stack
-`PointNerf.get_outputs` -> `NeuralPoints.forward` -> CUDA query -> MLP
--> RGBRenderer (reference: pointnerf/nerfstudio/studio_model.py:263-399,
-studio_utils.py:147-209), with fixed shapes and masks instead of the
-reference's two dynamic ray compactions.
+grid ray masking -> shading-slot compaction -> K-NN -> neighbor gather
+-> MLP tower -> alpha compositing -> background fill. Functional
+equivalent of the reference call stack `PointNerf.get_outputs` ->
+`NeuralPoints.forward` -> CUDA query -> MLP -> RGBRenderer
+(reference: pointnerf/nerfstudio/studio_model.py:263-399,
+studio_utils.py:147-209).
+
+Shape strategy (the core TPU design decision): the reference compacts
+rays dynamically on device->host syncs; here shapes are fixed. The
+expensive inner work (K-NN + the MLP tower) runs on a fixed-capacity
+dense prefix of VALID shading points: all (ray, slot) pairs are sorted
+by validity (a cheap stable argsort) and only the first
+`R * compact_budget` reach the MXU — the padded-slot FLOP waste the
+reference avoids with boolean `masked_select`
+(studio_model.py:310-315), we avoid with static-capacity compaction.
+Results scatter back to [R, SR] for compositing.
 """
 
 from __future__ import annotations
@@ -25,10 +35,10 @@ from pointnerf2studio_tpu.models.aggregator import (
 from pointnerf2studio_tpu.models.neural_points import (
     NeuralPointCloud, gather_neighbors)
 from pointnerf2studio_tpu.ops.camera import w2pers
-from pointnerf2studio_tpu.ops.compositing import (
-    alpha_composite, ray_dist_from_sample_z)
+from pointnerf2studio_tpu.ops.compositing import ray_dist_from_sample_z
 from pointnerf2studio_tpu.ops.grid import PointGrid
-from pointnerf2studio_tpu.ops.query import query_grid_point_index
+from pointnerf2studio_tpu.ops.query import (
+    compact_shading_locs, knn_for_locs, mask_raypos)
 from pointnerf2studio_tpu.ops.raygen import near_far_linear_ray_generation
 
 
@@ -38,8 +48,8 @@ class RenderOutput:
     ray_mask: jnp.ndarray               # [R] bool
     acc: jnp.ndarray                    # [R] accumulated opacity
     depth: jnp.ndarray                  # [R] expected termination depth
-    conf_coefficient: jnp.ndarray       # [R, SR, K] for the zero-one loss
-    pnt_mask: jnp.ndarray               # [R, SR, K] neighbor validity
+    conf_coefficient: jnp.ndarray       # [M, K] for the zero-one loss
+    pnt_mask: jnp.ndarray               # [M, K] neighbor validity
 
 
 def render_rays(
@@ -56,65 +66,91 @@ def render_rays(
     training: bool = False,
 ) -> RenderOutput:
     q = cfg.query
+    R = raydirs.shape[0]
+    SR = q.SR
     raypos, _, _ = near_far_linear_ray_generation(
         campos, raydirs, q.z_depth_dim, near=near, far=far,
         jitter=cfg.train.jitter if training else 0.0, key=key)
 
-    qres = query_grid_point_index(
-        grid, points.xyz, raypos,
-        SR=q.SR, K=q.K, radius2=q.radius_limit ** 2,
-        kernel_size=q.kernel_size, layered=q.layered_search)
+    # Stage 1: ray masking + first-SR shading-slot compaction (per ray).
+    rp_mask = mask_raypos(grid, raypos)
+    ray_hit = jnp.any(rp_mask, axis=-1)                       # [R]
+    sample_loc_w, sample_mask = compact_shading_locs(raypos, rp_mask, SR)
 
-    neigh = gather_neighbors(points, qres.sample_pidx)
-    pnt_mask = qres.sample_pidx >= 0                          # [R, SR, K]
+    # Stage 2: global validity compaction across (ray, slot) pairs.
+    budget = q.compact_budget if q.compact_budget > 0 else SR
+    M = min(R * budget, R * SR)
+    flat_mask = sample_mask.reshape(R * SR)
+    order = jnp.argsort(~flat_mask, stable=True).astype(jnp.int32)
+    sel = order[:M]                                           # valid-first
+    locs = sample_loc_w.reshape(R * SR, 3)[sel]               # [M, 3]
+    mask_c = flat_mask[sel]                                   # [M]
+    ray_id = sel // SR                                        # [M]
 
-    # world + perspective 6-dim offsets (studio_model.py:273-278)
-    loc_pers = w2pers(qres.sample_loc_w, camrotc2w, campos)   # [R, SR, 3]
-    neigh_pers = w2pers(neigh["xyz"], camrotc2w, campos)      # [R, SR, K, 3]
-    lp = loc_pers[..., None, :]
+    # Stage 3: K-NN + gathers on the compacted set only.
+    pidx = knn_for_locs(
+        grid, points.xyz, locs, mask_c, q.K, q.radius_limit ** 2,
+        q.kernel_size, layered=q.layered_search)              # [M, K]
+    pnt_mask = pidx >= 0
+    neigh = gather_neighbors(points, pidx)
+
+    loc_pers_c = w2pers(locs, camrotc2w, campos)              # [M, 3]
+    neigh_pers = w2pers(neigh["xyz"], camrotc2w, campos)      # [M, K, 3]
+    lp = loc_pers_c[..., None, :]
     pdist = jnp.stack(
         [neigh_pers[..., 0] * neigh_pers[..., 2] - lp[..., 0] * lp[..., 2],
          neigh_pers[..., 1] * neigh_pers[..., 2] - lp[..., 1] * lp[..., 2],
          neigh_pers[..., 2] - lp[..., 2]], axis=-1)
-    dists = jnp.concatenate(
-        [neigh["xyz"] - qres.sample_loc_w[..., None, :], pdist], axis=-1)
+    dists = jnp.concatenate([neigh["xyz"] - locs[..., None, :], pdist], -1)
 
     weight = inverse_distance_weight(dists, pnt_mask, cfg.agg.axis_weight)
     conf = conf_gradient_clamp(neigh["conf"][..., 0]) if training else \
         neigh["conf"][..., 0]
 
     viewdirs = jnp.sum(raydirs[..., :, None] * points.Rw2c, axis=-2)
-    sigma, rgb = decode_radiance(
+    sigma_c, rgb_c = decode_radiance(
         params, cfg.agg,
         neigh_emb=neigh["embeding"], neigh_color=neigh["color"],
         neigh_dir=neigh["dir"], dists=dists, weight=weight,
-        pnt_mask=pnt_mask, viewdirs=viewdirs, Rw2c=points.Rw2c)
+        pnt_mask=pnt_mask, viewdirs=viewdirs[ray_id], Rw2c=points.Rw2c)
 
-    slot_valid = jnp.any(pnt_mask, axis=-1)                   # [R, SR]
-    sigma = sigma * slot_valid.astype(sigma.dtype)
-    dist = ray_dist_from_sample_z(loc_pers[..., 2], slot_valid, q.vsize[2])
+    # Stage 4: scatter compacted results back to [R, SR] slots.
+    slot_ok = mask_c & jnp.any(pnt_mask, axis=-1)             # [M]
+    sigma_c = sigma_c * slot_ok.astype(sigma_c.dtype)
+    sigma = jnp.zeros((R * SR,), sigma_c.dtype).at[sel].set(sigma_c)
+    rgb = jnp.zeros((R * SR, 3), rgb_c.dtype).at[sel].set(rgb_c)
+    slot_valid = jnp.zeros((R * SR,), jnp.bool_).at[sel].set(slot_ok)
+    sigma = sigma.reshape(R, SR)
+    rgb = rgb.reshape(R, SR, 3)
+    slot_valid = slot_valid.reshape(R, SR)
 
-    bg = jnp.asarray(cfg.bg_color, jnp.float32)
-    color, acc = alpha_composite(sigma, rgb, dist, bg)
+    # Compositing (full [R, SR], cheap elementwise).
+    loc_pers_z = w2pers(sample_loc_w, camrotc2w, campos)[..., 2]
+    dist = ray_dist_from_sample_z(loc_pers_z, slot_valid, q.vsize[2])
 
     opacity = 1.0 - jnp.exp(-sigma * dist)
     trans = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
     trans = jnp.concatenate(
         [jnp.ones(trans.shape[:-1] + (1,), trans.dtype), trans[..., :-1]], -1)
-    blend = opacity * trans
-    depth = jnp.sum(blend * loc_pers[..., 2], axis=-1)
+    blend = opacity * trans                                   # [R, SR]
+    bg = jnp.asarray(cfg.bg_color, jnp.float32)
+    acc = jnp.sum(blend, axis=-1)
+    color = jnp.sum(blend[..., None] * rgb, axis=-2) + (1 - acc)[..., None] * bg
+    depth = jnp.sum(blend * loc_pers_z, axis=-1)
 
-    # fill_invalid (studio_model.py:491-504): misses get background.
-    rm = qres.ray_mask[..., None]
-    color = jnp.where(rm, color, bg)
+    # Rays whose shading points found no neighbors fall out of the mask
+    # (second compaction in the reference, query_worldcoords.cu:425-429).
+    ray_found = jnp.any(slot_valid, axis=-1)
+    ray_mask = ray_hit & ray_found
+    color = jnp.where(ray_mask[..., None], color, bg)
 
     return RenderOutput(
         coarse_raycolor=color,
-        ray_mask=qres.ray_mask,
+        ray_mask=ray_mask,
         acc=acc,
         depth=depth,
         conf_coefficient=conf,
-        pnt_mask=pnt_mask,
+        pnt_mask=pnt_mask & mask_c[..., None],
     )
 
 

@@ -151,6 +151,45 @@ def _knn_chunk(
     return jnp.where(top_valid, top_pidx, -1)
 
 
+def knn_for_locs(
+    grid: PointGrid,
+    xyz: jnp.ndarray,         # [N, 3]
+    locs: jnp.ndarray,        # [M, 3] shading locations (flat)
+    loc_mask: jnp.ndarray,    # [M] bool
+    K: int,
+    radius2: float,
+    kernel_size: Tuple[int, int, int],
+    layered: bool = True,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """K nearest point ids for a flat list of locations -> [M, K].
+
+    Chunked over `chunk`-sized pieces via `lax.map` to bound the
+    candidate-tensor working set ([chunk, V*P] instead of [M, V*P]).
+    """
+    offs_np, shells_np = neighbor_offsets(kernel_size)
+    offsets = jnp.asarray(offs_np)
+    shells = jnp.asarray(shells_np)
+    num_shells = int(shells_np.max()) + 1
+
+    total = locs.shape[0]
+    padded = (total + chunk - 1) // chunk * chunk
+    locs_p = jnp.pad(locs, ((0, padded - total), (0, 0)))
+    mask_p = jnp.pad(loc_mask, (0, padded - total))
+
+    def one_chunk(args):
+        lc, m = args
+        return _knn_chunk(grid, xyz, lc, m, offsets, shells, num_shells,
+                          K, radius2, layered)
+
+    if padded == chunk:
+        return one_chunk((locs_p, mask_p))[:total]
+    return jax.lax.map(
+        one_chunk,
+        (locs_p.reshape(-1, chunk, 3), mask_p.reshape(-1, chunk)),
+    ).reshape(padded, K)[:total]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("SR", "K", "radius2", "layered", "kernel_size", "chunk"))
@@ -176,28 +215,10 @@ def query_grid_point_index(
     ray_hit = jnp.any(rp_mask, axis=-1)
     sample_loc_w, sample_mask = compact_shading_locs(raypos, rp_mask, SR)
 
-    offs_np, shells_np = neighbor_offsets(kernel_size)
-    offsets = jnp.asarray(offs_np)
-    shells = jnp.asarray(shells_np)
-
-    flat_locs = sample_loc_w.reshape(R * SR, 3)
-    flat_mask = sample_mask.reshape(R * SR)
-    total = R * SR
-    padded = (total + chunk - 1) // chunk * chunk
-    flat_locs = jnp.pad(flat_locs, ((0, padded - total), (0, 0)))
-    flat_mask = jnp.pad(flat_mask, (0, padded - total))
-
-    num_shells = int(shells_np.max()) + 1
-
-    def one_chunk(args):
-        locs, m = args
-        return _knn_chunk(grid, xyz, locs, m, offsets, shells, num_shells,
-                          K, radius2, layered)
-
-    pidx = jax.lax.map(
-        one_chunk,
-        (flat_locs.reshape(-1, chunk, 3), flat_mask.reshape(-1, chunk)),
-    ).reshape(padded, K)[:total].reshape(R, SR, K)
+    pidx = knn_for_locs(
+        grid, xyz, sample_loc_w.reshape(R * SR, 3),
+        sample_mask.reshape(R * SR), K, radius2, kernel_size,
+        layered=layered, chunk=chunk).reshape(R, SR, K)
 
     # Drop rays whose shading points found no neighbors at all
     # (second compaction in the reference, query_worldcoords.cu:425-429).

@@ -45,8 +45,7 @@ def numpy_tower(layers, x):
 
 def numpy_reference_decode(params, cfg, emb, color, pdir, dists, weight,
                            mask, viewdirs, Rw2c):
-    """Independent NumPy model of studio_model.py:300-365."""
-    R, SR, K, _ = emb.shape
+    """Independent NumPy model of studio_model.py:300-365 (flat [M, K])."""
     de = numpy_pe(viewdirs, cfg.num_viewdir_freqs, ori=True)
     ori_vd, vd_pe = de[..., :3], de[..., 3:]
 
@@ -57,7 +56,7 @@ def numpy_reference_decode(params, cfg, emb, color, pdir, dists, weight,
     feat = numpy_tower(params["mlp_base"], feat)
 
     nd = pdir @ Rw2c
-    ov = ori_vd[:, None, None, :]
+    ov = ori_vd[:, None, :]
     feat = np.concatenate(
         [feat, color, nd - ov, np.sum(nd * ov, -1, keepdims=True)], -1)
     feat = numpy_tower(params["mlp_head"], feat)
@@ -69,8 +68,7 @@ def numpy_reference_decode(params, cfg, emb, color, pdir, dists, weight,
     sigma = np.sum(alpha * w, -2)[..., 0]
     agg = np.sum(feat * w, -2)
 
-    cin = np.concatenate(
-        [agg, np.broadcast_to(vd_pe[:, None, :], (R, SR, vd_pe.shape[-1]))], -1)
+    cin = np.concatenate([agg, vd_pe], -1)
     cf = numpy_tower(params["mlp_color"], cin)
     rgb = 1 / (1 + np.exp(-(cf @ np.asarray(params["color_head"][0]["kernel"])
                             + np.asarray(params["color_head"][0]["bias"]))))
@@ -96,16 +94,16 @@ class TestReferenceImport:
         params = cio.import_aggregator_params(
             cio.load_torch_state_dict(REF_CKPT))
         cfg = AggregatorConfig()
-        R, SR, K = 3, 5, 8
-        emb = rng.standard_normal((R, SR, K, 32)).astype(np.float32) * 0.3
-        color = rng.uniform(size=(R, SR, K, 3)).astype(np.float32)
-        pdir = rng.standard_normal((R, SR, K, 3)).astype(np.float32)
+        M, K = 15, 8
+        emb = rng.standard_normal((M, K, 32)).astype(np.float32) * 0.3
+        color = rng.uniform(size=(M, K, 3)).astype(np.float32)
+        pdir = rng.standard_normal((M, K, 3)).astype(np.float32)
         pdir /= np.linalg.norm(pdir, axis=-1, keepdims=True)
-        dists = rng.standard_normal((R, SR, K, 6)).astype(np.float32) * 0.01
-        mask = rng.uniform(size=(R, SR, K)) > 0.3
-        w = rng.uniform(size=(R, SR, K)).astype(np.float32) * mask
+        dists = rng.standard_normal((M, K, 6)).astype(np.float32) * 0.01
+        mask = rng.uniform(size=(M, K)) > 0.3
+        w = rng.uniform(size=(M, K)).astype(np.float32) * mask
         w /= np.maximum(w.sum(-1, keepdims=True), 1e-8)
-        vd = rng.standard_normal((R, 3)).astype(np.float32)
+        vd = rng.standard_normal((M, 3)).astype(np.float32)
         vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
         eye = np.eye(3, dtype=np.float32)
 
