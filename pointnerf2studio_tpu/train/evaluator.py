@@ -1,0 +1,145 @@
+"""Full-image evaluation and video rendering.
+
+Mirror of the reference's `test()` loop (chunked full-frame render +
+stitch + metrics, reference: pointnerf/run/train_ft.py:252-414 and
+run/evaluate.py:34-97) and the spherical-path video renderer
+(run/render_vid.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnerf2studio_tpu.config import PointNerfConfig
+from pointnerf2studio_tpu.data.blender import BlenderDataset
+from pointnerf2studio_tpu.models.render import render_rays
+from pointnerf2studio_tpu.utils import metrics as M
+
+
+def make_render_chunk_fn(cfg: PointNerfConfig):
+    """One jitted chunk renderer reused across frames (fixed chunk size)."""
+
+    @jax.jit
+    def fn(params, points, grid, campos, camrotc2w, raydirs, near, far):
+        out = render_rays(params, points, grid, campos, camrotc2w,
+                          raydirs, near, far, cfg, training=False)
+        return out.coarse_raycolor, out.ray_mask, out.depth, out.acc
+
+    return fn
+
+
+def render_image(
+    render_chunk, params, points, grid,
+    campos: np.ndarray, camrotc2w: np.ndarray,
+    raydirs: np.ndarray,            # [H*W, 3]
+    hw, near: float, far: float, chunk: int,
+) -> Dict[str, np.ndarray]:
+    """Chunked full-frame render -> stitched H x W canvases."""
+    h, w = hw
+    total = h * w
+    padded = (total + chunk - 1) // chunk * chunk
+    rays = np.pad(raydirs, ((0, padded - total), (0, 0)))
+    colors, masks, depths, accs = [], [], [], []
+    campos = jnp.asarray(campos)
+    camrot = jnp.asarray(camrotc2w)
+    nearj, farj = jnp.asarray(near), jnp.asarray(far)
+    for i in range(0, padded, chunk):
+        c, m, d, a = render_chunk(params, points, grid, campos, camrot,
+                                  jnp.asarray(rays[i:i + chunk]), nearj, farj)
+        colors.append(np.asarray(c))
+        masks.append(np.asarray(m))
+        depths.append(np.asarray(d))
+        accs.append(np.asarray(a))
+    cat = lambda xs: np.concatenate(xs)[:total]
+    return {
+        "coarse_raycolor": cat(colors).reshape(h, w, 3),
+        "ray_mask": cat(masks).reshape(h, w),
+        "depth": cat(depths).reshape(h, w),
+        "acc": cat(accs).reshape(h, w),
+    }
+
+
+def evaluate_dataset(
+    cfg: PointNerfConfig, params, points, grid,
+    dataset: BlenderDataset,
+    views: Optional[List[int]] = None,
+    chunk: int = 4096,
+    out_dir: Optional[str] = None,
+    save_images: bool = False,
+) -> Dict[str, float]:
+    """PSNR/SSIM/RMSE over dataset views (reference report_metrics)."""
+    render_chunk = make_render_chunk_fn(cfg)
+    views = views if views is not None else list(range(dataset.num_views))
+    per: Dict[str, List[float]] = {"psnr": [], "ssim": [], "rmse": []}
+    for v in views:
+        rays = dataset.full_image_rays(v)
+        out = render_image(render_chunk, params, points, grid,
+                           dataset.campos(v), dataset.camrotc2w(v), rays,
+                           dataset.hw, dataset.near, dataset.far, chunk)
+        gt = dataset.images[v]
+        m = M.compute_all(out["coarse_raycolor"], gt)
+        for k in per:
+            per[k].append(m[k])
+        if save_images and out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            from PIL import Image
+            img8 = (np.clip(out["coarse_raycolor"], 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(img8).save(
+                os.path.join(out_dir, f"eval_{v:03d}.png"))
+    return {k: float(np.mean(v)) for k, v in per.items()}
+
+
+def spherical_poses(n_frames: int, radius: float = 4.0,
+                    phi_deg: float = -30.0) -> np.ndarray:
+    """Render-path c2w poses circling the origin (OpenCV convention).
+
+    Matches the reference's pose_spherical ring @ blender2opencv
+    (nerf_synth360_ft_dataset.py:43,178).
+    """
+    poses = []
+    phi = np.deg2rad(phi_deg)
+    for theta in np.linspace(-np.pi, np.pi, n_frames, endpoint=False):
+        campos = radius * np.array([
+            np.cos(theta) * np.cos(phi) * -1.0,
+            np.sin(theta) * np.cos(phi) * -1.0,
+            -np.sin(phi)])
+        fwd = -campos / np.linalg.norm(campos)          # toward origin
+        right = np.cross(fwd, np.array([0.0, 0.0, 1.0]))
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)                       # OpenCV: y down
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = right, up, fwd, campos
+        poses.append(m)
+    return np.stack(poses)
+
+
+def render_video(
+    cfg: PointNerfConfig, params, points, grid,
+    intrinsics: np.ndarray, hw, near: float, far: float,
+    out_path: str, n_frames: int = 60, radius: float = 4.0,
+    chunk: int = 4096, fps: int = 30,
+) -> str:
+    """Spherical-path video (reference: run/render_vid.py)."""
+    from pointnerf2studio_tpu.data.blender import pixel_raydirs
+
+    render_chunk = make_render_chunk_fn(cfg)
+    h, w = hw
+    i, j = np.meshgrid(np.arange(w), np.arange(h))
+    xy = np.stack([i, j], -1).reshape(-1, 2)
+    frames = []
+    for pose in spherical_poses(n_frames, radius=radius):
+        rays = pixel_raydirs(xy, intrinsics, pose[:3, :3])
+        out = render_image(render_chunk, params, points, grid,
+                           pose[:3, 3], pose[:3, :3], rays, hw,
+                           near, far, chunk)
+        frames.append((np.clip(out["coarse_raycolor"], 0, 1) * 255
+                       ).astype(np.uint8))
+    import imageio
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    imageio.mimwrite(out_path, frames, fps=fps, quality=8)
+    return out_path

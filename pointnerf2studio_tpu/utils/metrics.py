@@ -1,0 +1,96 @@
+"""Image quality metrics: PSNR, SSIM, RMSE.
+
+Replaces the reference's metric stack (torchmetrics PSNR, skimage SSIM
+with win_size=11/uniform window, skimage RMSE — reference:
+pointnerf/nerfstudio/studio_model.py:40-53,433-464 and
+pointnerf/run/evaluate.py:34-97). LPIPS requires pretrained torch
+feature nets that are not available in this environment; `lpips()`
+raises with a clear message unless the optional dependency is present.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr(img: np.ndarray, ref: np.ndarray, data_range: float = 1.0) -> float:
+    mse = np.mean((np.asarray(img, np.float64) - np.asarray(ref, np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range ** 2 / mse))
+
+
+def rmse(img: np.ndarray, ref: np.ndarray) -> float:
+    return float(np.sqrt(np.mean(
+        (np.asarray(img, np.float64) - np.asarray(ref, np.float64)) ** 2)))
+
+
+def _uniform_filter(x: np.ndarray, size: int) -> np.ndarray:
+    """Mean filter with window `size` over the first two axes ('valid')."""
+    c = np.cumsum(np.cumsum(x, axis=0), axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)) + ((0, 0),) * (x.ndim - 2))
+    s = (c[size:, size:] - c[:-size, size:] - c[size:, :-size]
+         + c[:-size, :-size])
+    return s / (size * size)
+
+
+def ssim(img: np.ndarray, ref: np.ndarray, data_range: float = 1.0,
+         win_size: int = 11) -> float:
+    """Structural similarity, skimage-compatible settings.
+
+    Uniform window (gaussian_weights=False), per-channel then averaged,
+    sample covariance normalization (N/(N-1)) — matches
+    skimage.metrics.structural_similarity(win_size=11, channel_axis=2,
+    data_range=1.0) used by the reference (studio_model.py:40-46).
+    """
+    x = np.asarray(img, np.float64)
+    y = np.asarray(ref, np.float64)
+    if x.ndim == 2:
+        x, y = x[..., None], y[..., None]
+    K1, K2 = 0.01, 0.03
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    NP = win_size * win_size
+    cov_norm = NP / (NP - 1.0)
+
+    ux = _uniform_filter(x, win_size)
+    uy = _uniform_filter(y, win_size)
+    uxx = _uniform_filter(x * x, win_size)
+    uyy = _uniform_filter(y * y, win_size)
+    uxy = _uniform_filter(x * y, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+
+    a1 = 2 * ux * uy + C1
+    a2 = 2 * vxy + C2
+    b1 = ux ** 2 + uy ** 2 + C1
+    b2 = vx + vy + C2
+    s = (a1 * a2) / (b1 * b2)
+    # skimage crops (win_size-1)//2 from each side of the valid map —
+    # _uniform_filter already produced the valid region, so mean directly.
+    return float(s.mean())
+
+
+def lpips(img: np.ndarray, ref: np.ndarray, net: str = "alex") -> float:
+    """LPIPS via the optional `lpips` torch package (not bundled here)."""
+    try:
+        import lpips as lpips_pkg  # type: ignore
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "LPIPS needs the `lpips` package with pretrained nets, which "
+            "is not available in this environment") from e
+    model = lpips_pkg.LPIPS(net=net)
+    t = lambda a: torch.from_numpy(
+        np.asarray(a, np.float32).transpose(2, 0, 1))[None] * 2 - 1
+    with torch.no_grad():
+        return float(model(t(img), t(ref)).item())
+
+
+def compute_all(img: np.ndarray, ref: np.ndarray) -> dict:
+    return {
+        "psnr": psnr(img, ref),
+        "ssim": ssim(img, ref),
+        "rmse": rmse(img, ref),
+    }
