@@ -1,0 +1,124 @@
+"""The per-scene fine-tuning loop.
+
+TPU-native counterpart of the reference's training drivers
+(reference: pointnerf/run/train_ft.py:578-1034 epoch loop with
+prune/grow scheduling, test/checkpoint cadence; and the nerfstudio
+Trainer in the studio stack). One flat step loop — pruning flips mask
+bits and rebuilds the voxel grid in place of the reference's
+optimizer-rebuild-and-restart dance (train_ft.py:834-842,911).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnerf2studio_tpu.config import PointNerfConfig
+from pointnerf2studio_tpu.data.blender import BlenderDataset, PixelSampler
+from pointnerf2studio_tpu.models import neural_points as npts
+from pointnerf2studio_tpu.models.aggregator import AggregatorParams
+from pointnerf2studio_tpu.models.neural_points import NeuralPointCloud
+from pointnerf2studio_tpu.ops.grid import build_grid_from_points
+from pointnerf2studio_tpu.train.evaluator import evaluate_dataset
+from pointnerf2studio_tpu.train.trainer import (
+    TrainState, create_train_state, make_train_step)
+from pointnerf2studio_tpu.utils import checkpoint_io as cio
+from pointnerf2studio_tpu.utils.logger import Logger
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    metrics: Dict[str, float]
+    out_dir: str
+
+
+def fit(
+    cfg: PointNerfConfig,
+    dataset: BlenderDataset,
+    params: AggregatorParams,
+    points: NeuralPointCloud,
+    out_dir: str,
+    max_steps: Optional[int] = None,
+    eval_dataset: Optional[BlenderDataset] = None,
+    print_freq: int = 100,
+    save_freq: int = 25_000,
+    eval_freq: int = 0,
+    eval_views: Optional[list] = None,
+    mesh=None,
+    seed: int = 0,
+    eval_chunk: int = 4096,
+) -> FitResult:
+    """Fine-tune `params` + `points` on `dataset`."""
+    os.makedirs(out_dir, exist_ok=True)
+    logger = Logger(out_dir)
+    max_steps = max_steps or cfg.train.max_iterations
+
+    grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
+    state = create_train_state(params, points, cfg)
+    if mesh is not None:
+        from pointnerf2studio_tpu.parallel.sharding import (
+            make_sharded_train_step)
+        step_fn = make_sharded_train_step(cfg, mesh)
+    else:
+        step_fn = make_train_step(cfg)
+
+    sampler = PixelSampler(dataset, cfg.train.rays_per_batch, seed=seed)
+    key = jax.random.PRNGKey(seed)
+    t = cfg.train
+
+    for step in range(1, max_steps + 1):
+        b = sampler.next_batch()
+        key, sub = jax.random.split(key)
+        state, aux = step_fn(
+            state, grid,
+            jnp.asarray(b["campos"]), jnp.asarray(b["camrotc2w"]),
+            jnp.asarray(b["raydirs"]), jnp.asarray(b["gt_rgb"]),
+            jnp.asarray(b["near"], jnp.float32),
+            jnp.asarray(b["far"], jnp.float32), sub)
+        logger.accumulate({k: v for k, v in aux.items()})
+
+        if step % print_freq == 0:
+            n_alive = int(np.asarray(state.points.num_alive))
+            logger.flush(step, extra={"n_points": n_alive})
+
+        # Prune low-confidence points + rebuild the grid
+        # (reference: train_ft.py:834-842 -> NeuralPoints.prune).
+        if (t.prune_iter > 0 and step % t.prune_iter == 0
+                and step <= t.prune_max_iter):
+            pruned = npts.prune(state.points, t.prune_thresh)
+            state = state.replace(points=pruned)
+            grid = build_grid_from_points(
+                pruned.xyz, pruned.alive, cfg.query)
+
+        if save_freq and step % save_freq == 0:
+            save_checkpoint(out_dir, state, step)
+
+        if eval_freq and step % eval_freq == 0 and eval_dataset is not None:
+            m = evaluate_dataset(
+                cfg, state.params, state.points, grid, eval_dataset,
+                views=eval_views, chunk=eval_chunk)
+            logger.flush(step, extra={f"eval_{k}": v for k, v in m.items()})
+
+    save_checkpoint(out_dir, state, max_steps)
+    metrics: Dict[str, float] = {}
+    if eval_dataset is not None:
+        metrics = evaluate_dataset(
+            cfg, state.params, state.points, grid, eval_dataset,
+            views=eval_views, chunk=eval_chunk)
+        logger.flush(max_steps, extra={f"final_{k}": v
+                                       for k, v in metrics.items()})
+    return FitResult(state=state, metrics=metrics, out_dir=out_dir)
+
+
+def save_checkpoint(out_dir: str, state: TrainState, step: int) -> None:
+    """Native orbax checkpoint + reference-compatible torch export."""
+    cio.save_train_state(os.path.join(out_dir, "ckpt"), state, step)
+    cio.export_torch_checkpoint(
+        state.params, state.points,
+        os.path.join(out_dir, f"{step}_net_ray_marching.pth"))

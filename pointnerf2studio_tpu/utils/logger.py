@@ -1,0 +1,77 @@
+"""Training observability: loss accumulation, log files, image dumps.
+
+Parity with the reference `Visualizer`
+(reference: pointnerf/utils/visualizer.py:38-182): append-only log.txt,
+windowed loss averages with automatic PSNR for `*raycolor` losses,
+`step-%04d-<name>.png` image dumps, and point-cloud text dumps. JSONL
+metrics replace tensorboardX.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def mse2psnr(mse: float) -> float:
+    return float(-10.0 * np.log10(max(mse, 1e-12)))
+
+
+class Logger:
+    def __init__(self, out_dir: str, name: str = "train"):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.log_path = os.path.join(out_dir, "log.txt")
+        self.metrics_path = os.path.join(out_dir, f"{name}_metrics.jsonl")
+        self._acc: Dict[str, list] = defaultdict(list)
+        self._t0 = time.time()
+        self._last_step = 0
+
+    def accumulate(self, losses: Dict[str, float]) -> None:
+        for k, v in losses.items():
+            self._acc[k].append(float(v))
+
+    def flush(self, step: int, extra: Optional[Dict] = None) -> Dict[str, float]:
+        """Windowed averages since last flush; auto-PSNR for raycolor."""
+        avg = {k: float(np.mean(v)) for k, v in self._acc.items() if v}
+        for k in list(avg):
+            if k.endswith("raycolor_loss"):
+                avg[k.replace("_loss", "_psnr")] = mse2psnr(avg[k])
+        dt = time.time() - self._t0
+        ips = (step - self._last_step) / dt if dt > 0 else 0.0
+        rec = {"step": step, "it_per_sec": round(ips, 3), **avg,
+               **(extra or {})}
+        line = " ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
+                        for k, v in rec.items())
+        print(line)
+        with open(self.log_path, "a") as f:
+            f.write(line + "\n")
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        self._acc.clear()
+        self._t0 = time.time()
+        self._last_step = step
+        return rec
+
+    def save_image(self, step: int, name: str, img: np.ndarray) -> str:
+        from PIL import Image
+
+        path = os.path.join(self.out_dir, f"step-{step:04d}-{name}.png")
+        img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img8).save(path)
+        return path
+
+    def save_neural_points(self, step: int, xyz: np.ndarray,
+                           color: Optional[np.ndarray] = None) -> str:
+        """Semicolon-delimited point dump (visualizer.py:97-121 parity)."""
+        path = os.path.join(self.out_dir, f"step-{step:04d}-points.txt")
+        color = color if color is not None else np.ones_like(xyz)
+        with open(path, "w") as f:
+            for p, c in zip(xyz, color):
+                f.write(";".join(f"{v:.6f}" for v in (*p, *c)) + "\n")
+        return path
