@@ -1,0 +1,221 @@
+"""Command-line interface.
+
+The public surface replacing the reference's entry points
+(reference: run/train_ft.py, run/gen_pnts.py, run/test_ft.py,
+run/render_vid.py, run/editing.py and the `ns-train pointnerf-original`
+nerfstudio method, pyproject.toml:24-25):
+
+  python -m pointnerf2studio_tpu.cli train --scene chair --data <dir> \
+      --point-cloud <ckpt dir> --out <dir>
+  python -m pointnerf2studio_tpu.cli eval --scene chair --data <dir> \
+      --checkpoint <pth> --out <dir>
+  python -m pointnerf2studio_tpu.cli render-video --scene chair ...
+  python -m pointnerf2studio_tpu.cli gen-points --scene chair ...
+  python -m pointnerf2studio_tpu.cli edit --parts a.pth b.pth ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import os
+import sys
+from typing import Optional
+
+
+def _latest_ckpt(path: str) -> str:
+    """Newest `<iter>_net_ray_marching.pth` in a directory (reference
+    get_latest_epoch semantics, studio_model.py:55-59)."""
+    if os.path.isfile(path):
+        return path
+    cands = glob.glob(os.path.join(path, "*_net_ray_marching.pth"))
+    if not cands:
+        raise FileNotFoundError(
+            f"no *_net_ray_marching.pth under {path}")
+    return max(cands, key=lambda p: int(os.path.basename(p).split("_")[0]))
+
+
+def _load_scene(args):
+    from pointnerf2studio_tpu.data.blender import load_blender
+    from pointnerf2studio_tpu.data.presets import get_preset
+
+    cfg = get_preset(args.scene)
+    if getattr(args, "rays_per_batch", None):
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, rays_per_batch=args.rays_per_batch))
+    if getattr(args, "max_steps", None):
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, max_iterations=args.max_steps))
+    train_ds = load_blender(args.data, "train", factor=args.factor)
+    try:
+        eval_ds = load_blender(args.data, "test", factor=args.factor)
+    except FileNotFoundError:
+        eval_ds = train_ds
+    return cfg, train_ds, eval_ds
+
+
+def cmd_train(args):
+    import jax
+
+    from pointnerf2studio_tpu.train.loop import fit
+    from pointnerf2studio_tpu.utils import checkpoint_io as cio
+
+    cfg, train_ds, eval_ds = _load_scene(args)
+    params, points = cio.load_reference_checkpoint(
+        _latest_ckpt(args.point_cloud), capacity=args.capacity)
+    if points is None:
+        raise SystemExit("checkpoint has no neural_points; run gen-points")
+    mesh = None
+    if args.num_devices > 1:
+        from pointnerf2studio_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.num_devices)
+    res = fit(cfg, train_ds, params, points, args.out,
+              eval_dataset=eval_ds, eval_views=list(range(args.eval_views)),
+              eval_freq=args.eval_freq, mesh=mesh)
+    print("final metrics:", res.metrics)
+
+
+def cmd_eval(args):
+    from pointnerf2studio_tpu.ops.grid import build_grid_from_points
+    from pointnerf2studio_tpu.train.evaluator import evaluate_dataset
+    from pointnerf2studio_tpu.utils import checkpoint_io as cio
+
+    cfg, _, eval_ds = _load_scene(args)
+    params, points = cio.load_reference_checkpoint(
+        _latest_ckpt(args.checkpoint))
+    grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
+    views = list(range(args.eval_views)) if args.eval_views else None
+    m = evaluate_dataset(cfg, params, points, grid, eval_ds, views=views,
+                         out_dir=args.out, save_images=bool(args.out))
+    print(m)
+
+
+def cmd_render_video(args):
+    from pointnerf2studio_tpu.ops.grid import build_grid_from_points
+    from pointnerf2studio_tpu.train.evaluator import render_video
+    from pointnerf2studio_tpu.utils import checkpoint_io as cio
+
+    cfg, train_ds, _ = _load_scene(args)
+    params, points = cio.load_reference_checkpoint(
+        _latest_ckpt(args.checkpoint))
+    grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
+    path = render_video(cfg, params, points, grid, train_ds.intrinsics,
+                        train_ds.hw, train_ds.near, train_ds.far,
+                        args.out, n_frames=args.frames)
+    print("wrote", path)
+
+
+def cmd_gen_points(args):
+    import numpy as np
+
+    from pointnerf2studio_tpu.data.blender import load_blender
+    from pointnerf2studio_tpu.data.mvs_batches import build_view_batches
+    from pointnerf2studio_tpu.data.presets import get_preset
+    from pointnerf2studio_tpu.models.aggregator import init_aggregator_params
+    from pointnerf2studio_tpu.models.mvsnet import (
+        load_fpn_params, load_mvsnet_params)
+    from pointnerf2studio_tpu.models.mvsnet.pointgen import (
+        PointGenConfig, generate_point_cloud)
+    from pointnerf2studio_tpu.models import neural_points as npts
+    from pointnerf2studio_tpu.utils import checkpoint_io as cio
+    import jax
+
+    cfg = get_preset(args.scene)
+    ds = load_blender(args.data, "train", factor=args.factor)
+    mvs_params = load_mvsnet_params(args.mvsnet_ckpt)
+    fpn_params = load_fpn_params(args.fpn_ckpt)
+    batches, alphas, aK, aE = build_view_batches(
+        ds, num_src=args.num_src, max_batches=args.max_batches)
+    pg = PointGenConfig(vox_res=args.vox_res, ranges=cfg.query.ranges)
+    pc = generate_point_cloud(mvs_params, fpn_params, batches,
+                              alphas=alphas, alpha_intrinsics=aK,
+                              alpha_w2cs=aE, cfg=pg)
+    print("generated", pc["xyz"].shape[0], "points")
+    cloud = npts.from_arrays(pc["xyz"], pc["embedding"], pc["conf"],
+                             pc["dir"], pc["color"],
+                             capacity=args.capacity)
+    params = cio.import_aggregator_params(
+        cio.load_torch_state_dict(args.init_mlp)) if args.init_mlp else \
+        init_aggregator_params(jax.random.PRNGKey(0), cfg.agg)
+    os.makedirs(args.out, exist_ok=True)
+    cio.export_torch_checkpoint(
+        params, cloud, os.path.join(args.out, "0_net_ray_marching.pth"))
+    print("wrote", os.path.join(args.out, "0_net_ray_marching.pth"))
+
+
+def cmd_edit(args):
+    from pointnerf2studio_tpu.edit import load_and_merge_parts
+    from pointnerf2studio_tpu.utils import checkpoint_io as cio
+
+    params, merged = load_and_merge_parts(args.parts, args.transforms)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    cio.export_torch_checkpoint(params, merged, args.out)
+    print("wrote merged scene:", args.out)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pointnerf2studio_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scene", default="chair")
+        sp.add_argument("--data", required=True)
+        sp.add_argument("--factor", type=int, default=1)
+        sp.add_argument("--eval-views", type=int, default=0)
+
+    t = sub.add_parser("train")
+    common(t)
+    t.add_argument("--point-cloud", required=True,
+                   help="dir or file with *_net_ray_marching.pth")
+    t.add_argument("--out", required=True)
+    t.add_argument("--max-steps", type=int, default=None)
+    t.add_argument("--rays-per-batch", type=int, default=None)
+    t.add_argument("--capacity", type=int, default=None)
+    t.add_argument("--eval-freq", type=int, default=0)
+    t.add_argument("--num-devices", type=int, default=1)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval")
+    common(e)
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--out", default=None)
+    e.set_defaults(fn=cmd_eval)
+
+    v = sub.add_parser("render-video")
+    common(v)
+    v.add_argument("--checkpoint", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--frames", type=int, default=60)
+    v.set_defaults(fn=cmd_render_video)
+
+    g = sub.add_parser("gen-points")
+    common(g)
+    g.add_argument("--out", required=True)
+    g.add_argument("--mvsnet-ckpt", required=True)
+    g.add_argument("--fpn-ckpt", required=True)
+    g.add_argument("--init-mlp", default=None)
+    g.add_argument("--num-src", type=int, default=2)
+    g.add_argument("--max-batches", type=int, default=None)
+    g.add_argument("--vox-res", type=int, default=320)
+    g.add_argument("--capacity", type=int, default=None)
+    g.set_defaults(fn=cmd_gen_points)
+
+    ed = sub.add_parser("edit")
+    ed.add_argument("--parts", nargs="+", required=True)
+    ed.add_argument("--transforms", nargs="*", default=None,
+                    help="per-part 4x4 .npy transform files")
+    ed.add_argument("--out", required=True)
+    ed.set_defaults(fn=cmd_edit)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

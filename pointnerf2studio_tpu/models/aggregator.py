@@ -133,16 +133,24 @@ def decode_radiance(
     dists: jnp.ndarray,         # [M, K, 6] world+perspective offsets
     weight: jnp.ndarray,        # [M, K] normalized aggregation weights
     pnt_mask: jnp.ndarray,      # [M, K] bool
-    viewdirs: jnp.ndarray,      # [M, 3] per shading point (Rw2c-rotated)
-    Rw2c: jnp.ndarray,          # [3, 3] global rotation
+    viewdirs: jnp.ndarray,      # [M, 3] per shading point (Rw2c-rotated
+                                #   when Rw2c is global)
+    Rw2c: jnp.ndarray,          # [3, 3] global — or [M, K, 3, 3]
+                                #   per-neighbor (scene editing)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode (sigma [M], rgb [M, 3]) for M flat shading points.
 
     Callers flatten (ray, slot) pairs into the M axis — typically after
     validity compaction so padded slots don't reach the MXU.
+
+    Per-point Rw2c (after scene editing, reference editing.py:190-203):
+    dists, point dirs and the view direction used for the dir-difference
+    features rotate per neighbor; the color branch's view-direction
+    encoding stays per shading point (un-edited frame).
     """
     M, K, _ = neigh_emb.shape
     dtype = jnp.dtype(cfg.compute_dtype)
+    per_point = Rw2c.ndim == 4
 
     dir_enc = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
     ori_viewdirs, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]      # [M,3],[M,24]
@@ -163,7 +171,10 @@ def decode_radiance(
         extras.append(neigh_color.astype(dtype))
     if cfg.point_dir_mode:
         ndir = jnp.sum(neigh_dir[..., :, None] * Rw2c, axis=-2)
-        ov = ori_viewdirs[:, None, :]                               # [M,1,3]
+        if per_point:
+            ov = jnp.sum(ori_viewdirs[:, None, :, None] * Rw2c, axis=-2)
+        else:
+            ov = ori_viewdirs[:, None, :]                           # [M,1,3]
         extras.append((ndir - ov).astype(dtype))
         extras.append(jnp.sum(ndir * ov, axis=-1, keepdims=True).astype(dtype))
     feat = _mlp(params["mlp_head"], jnp.concatenate(extras, axis=-1), dtype)

@@ -107,12 +107,17 @@ def render_rays(
     conf = conf_gradient_clamp(neigh["conf"][..., 0]) if training else \
         neigh["conf"][..., 0]
 
-    viewdirs = jnp.sum(raydirs[..., :, None] * points.Rw2c, axis=-2)
+    if points.Rw2c.ndim == 3:        # per-point Rw2c (edited scenes)
+        rw2c = neigh["Rw2c"]         # [M, K, 3, 3]
+        viewdirs = raydirs           # rotation happens per neighbor
+    else:
+        rw2c = points.Rw2c
+        viewdirs = jnp.sum(raydirs[..., :, None] * points.Rw2c, axis=-2)
     sigma_c, rgb_c = decode_radiance(
         params, cfg.agg,
         neigh_emb=neigh["embeding"], neigh_color=neigh["color"],
         neigh_dir=neigh["dir"], dists=dists, weight=weight,
-        pnt_mask=pnt_mask, viewdirs=viewdirs[ray_id], Rw2c=points.Rw2c)
+        pnt_mask=pnt_mask, viewdirs=viewdirs[ray_id], Rw2c=rw2c)
 
     # Stage 4: scatter compacted results back to [R, SR] slots.
     slot_ok = mask_c & jnp.any(pnt_mask, axis=-1)             # [M]
