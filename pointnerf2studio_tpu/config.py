@@ -48,6 +48,17 @@ class QueryConfig:
     # If True, reproduce the reference's layered search: stop expanding
     # Chebyshev shells once a completed shell has yielded >= K candidates.
     layered_search: bool = True
+    # Candidate cache: per dilated-occupied voxel, a precomputed list of
+    # the neighborhood's candidate points (built once per grid rebuild).
+    # Turns the per-shading-point K-NN from ~27*P row gathers into ONE
+    # fat-row gather — the decisive TPU optimization (XLA gathers are
+    # row-count-bound). Exact vs the scan search when a neighborhood
+    # holds <= cand_cap candidates; beyond that the nearest-to-center
+    # candidates per shell are kept.
+    use_cache: bool = True
+    cand_cap: int = 64
+    # Capacity for dilated-occupied (query) voxels; 0 -> 4 * max_o.
+    max_q: int = 0
 
     @property
     def scaled_vsize(self) -> Tuple[float, float, float]:

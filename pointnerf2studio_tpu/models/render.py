@@ -38,7 +38,8 @@ from pointnerf2studio_tpu.ops.camera import w2pers
 from pointnerf2studio_tpu.ops.compositing import ray_dist_from_sample_z
 from pointnerf2studio_tpu.ops.grid import PointGrid
 from pointnerf2studio_tpu.ops.query import (
-    compact_shading_locs, knn_for_locs, mask_raypos)
+    compact_shading_locs, knn_for_locs, knn_from_cache, mask_raypos,
+    mask_raypos_qslot)
 from pointnerf2studio_tpu.ops.raygen import near_far_linear_ray_generation
 
 
@@ -73,9 +74,18 @@ def render_rays(
         jitter=cfg.train.jitter if training else 0.0, key=key)
 
     # Stage 1: ray masking + first-SR shading-slot compaction (per ray).
-    rp_mask = mask_raypos(grid, raypos)
+    use_cache = grid.cache is not None
+    if use_cache:
+        qslot_rd = mask_raypos_qslot(grid, raypos)            # [R, D]
+        rp_mask = qslot_rd >= 0
+    else:
+        rp_mask = mask_raypos(grid, raypos)
     ray_hit = jnp.any(rp_mask, axis=-1)                       # [R]
-    sample_loc_w, sample_mask = compact_shading_locs(raypos, rp_mask, SR)
+    if use_cache:
+        sample_loc_w, sample_mask, qslot_rs = compact_shading_locs(
+            raypos, rp_mask, SR, extra=qslot_rd)
+    else:
+        sample_loc_w, sample_mask = compact_shading_locs(raypos, rp_mask, SR)
 
     # Stage 2: global validity compaction across (ray, slot) pairs.
     budget = q.compact_budget if q.compact_budget > 0 else SR
@@ -88,9 +98,16 @@ def render_rays(
     ray_id = sel // SR                                        # [M]
 
     # Stage 3: K-NN + gathers on the compacted set only.
-    pidx = knn_for_locs(
-        grid, points.xyz, locs, mask_c, q.K, q.radius_limit ** 2,
-        q.kernel_size, layered=q.layered_search)              # [M, K]
+    num_shells = (q.kernel_size[0] + 1) // 2
+    if use_cache:
+        pidx = knn_from_cache(
+            grid, qslot_rs.reshape(R * SR)[sel], locs, mask_c,
+            q.K, q.radius_limit ** 2, num_shells,
+            layered=q.layered_search)                         # [M, K]
+    else:
+        pidx = knn_for_locs(
+            grid, points.xyz, locs, mask_c, q.K, q.radius_limit ** 2,
+            q.kernel_size, layered=q.layered_search)          # [M, K]
     pnt_mask = pidx >= 0
     neigh = gather_neighbors(points, pidx)
 

@@ -26,7 +26,7 @@ Grid shapes are static per build; dims are padded up to a multiple of
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,37 @@ import numpy as np
 from flax import struct
 
 from pointnerf2studio_tpu.config import QueryConfig
+
+
+@struct.dataclass
+class CandidateCache:
+    """Precomputed per-query-voxel candidate lists.
+
+    A 'query voxel' is any dilated-occupied voxel (somewhere a shading
+    point can land). For each, the candidate points of its kernel_size
+    neighborhood are flattened into a fixed-capacity list ordered by
+    (Chebyshev shell, distance to the voxel center) so the layered
+    K-NN semantics survive truncation. The per-shading-point query then
+    needs ONE fat-row gather instead of 27 voxel probes + ~27*P point
+    fetches — XLA TPU gathers cost per ROW, so this is the decisive
+    layout optimization (see tools/bench_gather*.py measurements).
+
+    Each candidate packs as [x, y, z, bitcast_f32(pidx), shell]; pidx < 0
+    marks an empty slot. Stored flattened as [max_q, C*5] — a trailing
+    dim of 5 would be tile-padded to 128 lanes by the TPU layout (25x
+    memory); the flattened minor dim keeps the natural size.
+    """
+    coor_2_qslot: jnp.ndarray      # [gx, gy, gz] int32: query slot or -1
+    cand_pack: jnp.ndarray         # [max_q, C*5] f32 packed candidates
+    n_q: jnp.ndarray               # [] int32 query-voxel count
+
+    def unpack(self, rows: jnp.ndarray):
+        """rows [M, C*5] -> (xyz [M,C,3], pidx int32 [M,C], shell [M,C])."""
+        rows = rows.reshape(*rows.shape[:-1], -1, 5)
+        xyz = rows[..., :3]
+        pidx = jax.lax.bitcast_convert_type(rows[..., 3], jnp.int32)
+        shell = rows[..., 4].astype(jnp.int32)
+        return xyz, pidx, shell
 
 
 @struct.dataclass
@@ -46,6 +77,8 @@ class PointGrid:
     occ_2_pnts: jnp.ndarray        # [max_o, P] int32 point indices, -1 padded
     occ_numpnts: jnp.ndarray       # [max_o] int32 points per occupied voxel
     n_occ: jnp.ndarray             # [] int32 number of occupied voxels
+    occ_2_coor: jnp.ndarray        # [max_o, 3] int32 voxel coord per slot
+    cache: Optional[CandidateCache] = None
 
     @property
     def dims(self) -> Tuple[int, int, int]:
@@ -149,6 +182,14 @@ def build_grid(
     coor_2_occ = coor_2_occ_flat.reshape(dims)
     coor_occ = _dilate_occupancy(coor_2_occ >= 0, query_size)
 
+    head_put = head & (slot < max_o)
+    occ_flat = jnp.full((max_o,), nvox, jnp.int32).at[
+        jnp.where(head_put, slot, max_o)].set(sflat, mode="drop")
+    occ_2_coor = jnp.where(
+        (occ_flat < nvox)[:, None],
+        jnp.stack([occ_flat // (gy * gz), (occ_flat // gz) % gy,
+                   occ_flat % gz], -1), -1).astype(jnp.int32)
+
     return PointGrid(
         ranges_min=ranges_min.astype(jnp.float32),
         scaled_vsize=scaled_vsize.astype(jnp.float32),
@@ -157,6 +198,102 @@ def build_grid(
         occ_2_pnts=occ_2_pnts,
         occ_numpnts=occ_numpnts,
         n_occ=n_occ,
+        occ_2_coor=occ_2_coor,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "max_q", "cand_cap", "chunk"))
+def build_candidate_cache(
+    grid: PointGrid,
+    xyz: jnp.ndarray,          # [N, 3]
+    kernel_size: Tuple[int, int, int],
+    max_q: int,
+    cand_cap: int,
+    chunk: int = 65536,
+) -> CandidateCache:
+    """Build the per-query-voxel candidate cache (see CandidateCache).
+
+    Runs once per grid rebuild (points changed); the cost — ~27 row
+    gathers per query voxel — is amortized over every subsequent render
+    and train step, which then pay one row gather per shading point.
+    """
+    from pointnerf2studio_tpu.ops.query import neighbor_offsets
+
+    gx, gy, gz = grid.dims
+    nvox = gx * gy * gz
+    dims_arr = jnp.array(grid.dims, jnp.int32)
+
+    occ_flat = grid.coor_occ.reshape(-1)
+    qslot = jnp.cumsum(occ_flat.astype(jnp.int32)) - 1
+    n_q = jnp.sum(occ_flat.astype(jnp.int32))
+    valid_q = occ_flat & (qslot < max_q)
+    coor_2_qslot = jnp.where(valid_q, qslot, -1).reshape(grid.dims)
+
+    # flat voxel id of each query slot
+    q_flat = jnp.full((max_q,), nvox, jnp.int32).at[
+        jnp.where(valid_q, qslot, max_q)
+    ].set(jnp.arange(nvox, dtype=jnp.int32), mode="drop")
+    q_coor = jnp.stack([q_flat // (gy * gz), (q_flat // gz) % gy,
+                        q_flat % gz], -1)                       # [max_q, 3]
+    q_live = q_flat < nvox
+
+    offs_np, shells_np = neighbor_offsets(kernel_size)
+    offsets = jnp.asarray(offs_np)                              # [V, 3]
+    shells = jnp.asarray(shells_np)
+    V = offsets.shape[0]
+    P = grid.occ_2_pnts.shape[1]
+    C = min(cand_cap, V * P)
+
+    center_w = (grid.ranges_min + (q_coor.astype(jnp.float32) + 0.5)
+                * grid.scaled_vsize)                            # [max_q, 3]
+
+    def one_chunk(args):
+        qc, cw, live = args                                     # [B,3],[B,3],[B]
+        nb = qc[:, None, :] + offsets[None]                     # [B, V, 3]
+        inb = jnp.all((nb >= 0) & (nb < dims_arr), -1) & live[:, None]
+        nbc = jnp.clip(nb, 0, dims_arr - 1)
+        slot = grid.coor_2_occ[nbc[..., 0], nbc[..., 1], nbc[..., 2]]
+        slot_ok = inb & (slot >= 0)
+        cand = grid.occ_2_pnts[jnp.where(slot_ok, slot, 0)]     # [B, V, P]
+        ok = slot_ok[..., None] & (cand >= 0)
+        cxyz = xyz[jnp.clip(cand, 0, xyz.shape[0] - 1)]         # [B, V, P, 3]
+        d2c = jnp.sum((cxyz - cw[:, None, None, :]) ** 2, -1)
+        sh = jnp.broadcast_to(shells[None, :, None], cand.shape)
+        B = qc.shape[0]
+        okf = ok.reshape(B, V * P)
+        # ascending (shell, center distance); invalid last
+        key = (sh.reshape(B, V * P).astype(jnp.float32) * 1e12
+               + jnp.minimum(d2c.reshape(B, V * P), 1e9))
+        key = jnp.where(okf, key, jnp.inf)
+        _, top = jax.lax.top_k(-key, C)                         # [B, C]
+        sel_ok = jnp.take_along_axis(okf, top, -1)
+        sel_pidx = jnp.where(
+            sel_ok, jnp.take_along_axis(cand.reshape(B, V * P), top, -1), -1)
+        sel_xyz = jnp.take_along_axis(
+            cxyz.reshape(B, V * P, 3), top[..., None], 1)
+        sel_sh = jnp.where(
+            sel_ok, jnp.take_along_axis(sh.reshape(B, V * P), top, -1), 127)
+        pack = jnp.concatenate([
+            sel_xyz,
+            jax.lax.bitcast_convert_type(sel_pidx, jnp.float32)[..., None],
+            sel_sh.astype(jnp.float32)[..., None],
+        ], axis=-1)                                             # [B, C, 5]
+        return pack.reshape(B, C * 5)
+
+    padded = (max_q + chunk - 1) // chunk * chunk
+    pad = padded - max_q
+    qc_p = jnp.pad(q_coor, ((0, pad), (0, 0)))
+    cw_p = jnp.pad(center_w, ((0, pad), (0, 0)))
+    live_p = jnp.pad(q_live, (0, pad))
+    pack = jax.lax.map(
+        one_chunk,
+        (qc_p.reshape(-1, chunk, 3), cw_p.reshape(-1, chunk, 3),
+         live_p.reshape(-1, chunk)))
+    return CandidateCache(
+        coor_2_qslot=coor_2_qslot,
+        cand_pack=pack.reshape(padded, C * 5)[:max_q],
+        n_q=n_q,
     )
 
 
@@ -174,8 +311,14 @@ def build_grid_from_points(
     xyz_min = np.asarray(jnp.min(jnp.where(alive3, xyz, big), axis=0))
     xyz_max = np.asarray(jnp.max(jnp.where(alive3, xyz, -big), axis=0))
     ranges_min, dims = compute_grid_geometry(xyz_min, xyz_max, cfg)
-    return build_grid(
+    grid = build_grid(
         xyz, alive,
         jnp.asarray(ranges_min), jnp.asarray(cfg.scaled_vsize, jnp.float32),
         dims, cfg.max_o, cfg.P, cfg.query_size,
     )
+    if cfg.use_cache:
+        max_q = cfg.max_q or 4 * cfg.max_o
+        cache = build_candidate_cache(
+            grid, xyz, cfg.kernel_size, max_q, cfg.cand_cap)
+        grid = grid.replace(cache=cache)
+    return grid

@@ -25,7 +25,7 @@ Selection semantics preserved exactly:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,11 +79,13 @@ def compact_shading_locs(
     raypos: jnp.ndarray,       # [R, D, 3]
     raypos_mask: jnp.ndarray,  # [R, D] bool
     SR: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    extra: Optional[jnp.ndarray] = None,   # [R, D] int payload (e.g. qslot)
+):
     """Scatter the first SR masked samples of each ray into fixed slots.
 
     cumsum-rank + scatter, the jit-safe equivalent of `get_shadingloc`
     (query_worldcoords.cu:192-214 with host-side rank prep at :390-391).
+    Returns (sample_loc_w, sample_mask[, extra_slots]).
     """
     R, D, _ = raypos.shape
     rank = jnp.cumsum(raypos_mask.astype(jnp.int32), axis=-1)     # 1-based
@@ -94,7 +96,11 @@ def compact_shading_locs(
         ray_ids, slot].set(raypos, mode="drop")
     sample_mask = jnp.zeros((R, SR), jnp.bool_).at[
         ray_ids, slot].set(put, mode="drop")
-    return sample_loc_w, sample_mask
+    if extra is None:
+        return sample_loc_w, sample_mask
+    extra_slots = jnp.full((R, SR), -1, extra.dtype).at[
+        ray_ids, slot].set(extra, mode="drop")
+    return sample_loc_w, sample_mask, extra_slots
 
 
 def _knn_chunk(
@@ -149,6 +155,55 @@ def _knn_chunk(
     top_valid = jnp.take_along_axis(cand_valid, top_idx, axis=-1)
     top_pidx = jnp.take_along_axis(cand, top_idx, axis=-1)
     return jnp.where(top_valid, top_pidx, -1)
+
+
+def mask_raypos_qslot(grid: PointGrid, raypos: jnp.ndarray) -> jnp.ndarray:
+    """[R, D] int32 query-slot id per sample (-1 = not in a dilated-
+    occupied voxel). One gather replaces the separate occupancy lookup
+    when the candidate cache is enabled."""
+    dims = jnp.array(grid.dims, jnp.int32)
+    gcoor = voxel_coords(raypos, grid.ranges_min, grid.scaled_vsize)
+    inb = jnp.all((gcoor >= 0) & (gcoor < dims), axis=-1)
+    gc = jnp.clip(gcoor, 0, dims - 1)
+    q = grid.cache.coor_2_qslot[gc[..., 0], gc[..., 1], gc[..., 2]]
+    return jnp.where(inb, q, -1)
+
+
+def knn_from_cache(
+    grid: PointGrid,
+    qslot: jnp.ndarray,      # [M] query-voxel slot per shading point
+    locs: jnp.ndarray,       # [M, 3]
+    loc_mask: jnp.ndarray,   # [M] bool
+    K: int,
+    radius2: float,
+    num_shells: int,
+    layered: bool = True,
+) -> jnp.ndarray:
+    """Candidate-cache K-NN: one fat-row gather + dense select -> [M, K]."""
+    cache = grid.cache
+    rows = cache.cand_pack[jnp.clip(qslot, 0)]               # [M, C, 5]
+    cxyz, pidx, shell = cache.unpack(rows)
+    ok = (qslot >= 0)[:, None] & loc_mask[:, None] & (pidx >= 0)
+    d2 = jnp.sum((cxyz - locs[:, None, :]) ** 2, axis=-1)
+    if radius2 > 0.0:
+        ok = ok & (d2 <= radius2)
+
+    if layered:
+        # a shell is searched only if inner shells yielded < K candidates
+        M, C = pidx.shape
+        counts = jnp.zeros((M, num_shells), jnp.int32).at[
+            jnp.arange(M)[:, None], jnp.clip(shell, 0, num_shells - 1)
+        ].add(ok.astype(jnp.int32), mode="drop")
+        before = jnp.cumsum(counts, axis=-1) - counts
+        eligible = jnp.take_along_axis(
+            before, jnp.clip(shell, 0, num_shells - 1), axis=-1) < K
+        ok = ok & eligible
+
+    key = jnp.where(ok, d2, jnp.inf)
+    _, top = jax.lax.top_k(-key, K)
+    top_ok = jnp.take_along_axis(ok, top, axis=-1)
+    top_pidx = jnp.take_along_axis(pidx, top, axis=-1)
+    return jnp.where(top_ok, top_pidx, -1)
 
 
 def knn_for_locs(

@@ -48,36 +48,42 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
 def make_sharded_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     """Jitted render step with rays sharded over the mesh.
 
-    Points/grid/params replicated; output colors sharded like the rays.
+    `shard_map` keeps ALL per-ray work (masking, compaction, K-NN, MLP,
+    compositing) device-local — zero collectives in the forward. Points,
+    grid and params are replicated per chip.
     """
-    rs, rep = ray_sharding(mesh), replicated(mesh)
-
-    def fn(params, points, grid, campos, camrotc2w, raydirs, near, far):
+    def local(params, points, grid, campos, camrotc2w, raydirs, near, far):
         return render_rays(params, points, grid, campos, camrotc2w,
                            raydirs, near, far, cfg, training=False)
 
-    return jax.jit(
-        fn,
-        in_shardings=(rep, rep, rep, rep, rep, rs, rep, rep),
-        out_shardings=rs,
-    )
+    fn = _shard_map(
+        local, mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P()),
+        out_specs=P("rays"))
+    return jax.jit(fn)
 
 
 def make_sharded_train_step(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
-    """Full training step jitted over the mesh.
+    """Full training step over the mesh.
 
-    Rays + ground truth sharded on the `rays` axis; state replicated.
-    The SPMD partitioner turns the replicated-param gradients into a
-    `psum` over ICI — the collective the reference got from DDP/NCCL.
+    Inside `shard_map`: local forward on this chip's ray shard, loss
+    sums psum'd over ICI (global masked means), grads of the replicated
+    params psum'd — the explicit form of the gradient all-reduce the
+    reference got from DDP/NCCL (studio_pipeline.py:48-53). The
+    optimizer update runs identically on every chip.
     """
     tx_f, tx_p = make_optimizers(cfg)
-    rs, rep = ray_sharding(mesh), replicated(mesh)
 
-    def step(state: TrainState, grid, campos, camrotc2w, raydirs,
-             gt_rgb, near, far, key):
+    def local_step(state: TrainState, grid, campos, camrotc2w, raydirs,
+                   gt_rgb, near, far, key):
         def loss_fn(params, point_trainables):
             points = state.points.with_trainable(point_trainables)
             out = render_rays(params, points, grid, campos, camrotc2w,
@@ -85,14 +91,20 @@ def make_sharded_train_step(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
             total, aux = compute_loss(
                 out, gt_rgb,
                 zero_epsilon=cfg.train.zero_epsilon,
-                zero_one_weight=cfg.train.zero_one_loss_weight)
+                zero_one_weight=cfg.train.zero_one_loss_weight,
+                psum_axis="rays")
             return total, aux
 
         (_, aux), (g_params, g_points) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, state.points.trainable())
+        # loss sums are already global (psum inside compute_loss), so
+        # grads w.r.t. the replicated tensors only need the psum.
+        g_params = jax.lax.psum(g_params, "rays")
+        g_points = jax.lax.psum(g_points, "rays")
 
-        upd_f, opt_f = tx_f.update(g_params, state.opt_state_fields, state.params)
+        upd_f, opt_f = tx_f.update(g_params, state.opt_state_fields,
+                                   state.params)
         params = optax.apply_updates(state.params, upd_f)
         pt = state.points.trainable()
         upd_p, opt_p = tx_p.update(g_points, state.opt_state_points, pt)
@@ -103,8 +115,8 @@ def make_sharded_train_step(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
             step=state.step + 1)
         return new_state, aux
 
-    return jax.jit(
-        step,
-        in_shardings=(rep, rep, rep, rep, rs, rs, rep, rep, rep),
-        out_shardings=(rep, rep),
-    )
+    fn = _shard_map(
+        local_step, mesh,
+        in_specs=(P(), P(), P(), P(), P("rays"), P("rays"), P(), P(), P()),
+        out_specs=(P(), P()))
+    return jax.jit(fn)

@@ -14,8 +14,9 @@ slots, including invalid slots that clamp-gather point 0's confidence
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from pointnerf2studio_tpu.models.render import RenderOutput
@@ -26,16 +27,24 @@ def compute_loss(
     gt_rgb: jnp.ndarray,          # [R, 3]
     zero_epsilon: float = 1e-3,
     zero_one_weight: float = 1e-4,
+    psum_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss (+parts). Inside `shard_map`, pass `psum_axis` so the
+    masked means normalize by GLOBAL mask counts (sums psum'd over the
+    ray axis before division — autodiff-safe, psum is linear)."""
+    def gsum(x):
+        s = jnp.sum(x)
+        return jax.lax.psum(s, psum_axis) if psum_axis else s
+
     m = out.ray_mask.astype(jnp.float32)[:, None]               # [R, 1]
     se = jnp.square(out.coarse_raycolor - gt_rgb) * m
-    n = jnp.maximum(jnp.sum(m) * 3.0, 1.0)
-    color_loss = jnp.sum(se) / n + 1e-6
+    n = jnp.maximum(gsum(m) * 3.0, 1.0)
+    color_loss = gsum(se) / n + 1e-6
 
     v = jnp.clip(out.conf_coefficient, zero_epsilon, 1.0 - zero_epsilon)
     pm = out.pnt_mask.astype(jnp.float32)
-    zo = jnp.sum((jnp.log(v) + jnp.log(1.0 - v)) * pm) / jnp.maximum(
-        jnp.sum(pm), 1.0)
+    zo = gsum((jnp.log(v) + jnp.log(1.0 - v)) * pm) / jnp.maximum(
+        gsum(pm), 1.0)
     conf_loss = zo * zero_one_weight
 
     total = color_loss + conf_loss
