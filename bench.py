@@ -44,7 +44,7 @@ def main() -> None:
     scene = make_sphere_scene(n_points=558_000, cfg=cfg)
 
     H = W = 800
-    chunk = 8_192
+    chunk = 32_768
     focal = 800.0
     raydirs = camera_rays(scene.campos, scene.camrotc2w, H, W, focal)
     total = raydirs.shape[0]

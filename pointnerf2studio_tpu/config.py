@@ -93,12 +93,38 @@ class AggregatorConfig:
     act_super: bool = False
     # Compute dtype of the MLP tower (params stay float32).
     compute_dtype: str = "float32"
+    # Aggregation weight kernel (reference `agg_distance_kernel`,
+    # point_aggregators.py:353-483): linear | numlinear | quadric |
+    # numquadric | avg | trilinear | sh_intrp | gau_intrp.
+    agg_distance_kernel: str = "linear"
+    # Normalize weights over K (skipped for trilinear / num* kernels,
+    # which normalize internally — point_aggregators.py:818-819).
+    agg_weight_norm: bool = True
+    # sh_intrp: SH bands (consumes sh_degree**2 embedding channels),
+    # coefficient activation, and radial falloff.
+    sh_degree: int = 4
+    sh_act: str = "sigmoid"            # sigmoid | tanh
+    sh_dist_func: str = "sh_linear"    # sh_linear | sh_quadric
+    # Legacy aggregator folds the confidence straight-through clamp into
+    # the aggregation weight (point_aggregators.py:826-829); the studio
+    # model only regularizes conf in the loss (studio_model.py:288-292).
+    conf_in_weight: bool = False
 
     @property
     def dist_dim(self) -> int:
         if self.agg_dist_pers > 9:
             return 4 if self.agg_dist_pers == 30 else 6
         return 3
+
+    @property
+    def shading_feature_dim(self) -> int:
+        """Embedding channels reaching the MLP tower after the weight
+        kernel consumes its prefix (sh coefs / gaussian footprint)."""
+        if self.agg_distance_kernel == "sh_intrp":
+            return self.point_features_dim - self.sh_degree ** 2
+        if self.agg_distance_kernel == "gau_intrp":
+            return self.point_features_dim - 7
+        return self.point_features_dim
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +139,16 @@ class TrainConfig:
     zero_epsilon: float = 1e-3
     zero_one_loss_weight: float = 1e-4
     jitter: float = 0.3
+    # Loss registry (reference: base_rendering_model.py:533-663,
+    # options color_loss_items/depth_loss_items/bg_loss_items/
+    # sparse_loss_weight). Color items: "coarse_raycolor" (plain MSE),
+    # "ray_masked_<name>" (MSE over rays that hit occupied space),
+    # "ray_miss_<name>" (MSE over missed rays, scaled by miss count).
+    color_loss_items: Tuple[str, ...] = ("ray_masked_coarse_raycolor",)
+    color_loss_weights: Tuple[float, ...] = (1.0,)
+    depth_loss_weight: float = 0.0
+    bg_loss_weight: float = 0.0
+    sparse_loss_weight: float = 0.0
     # prune/grow (reference: run/train_ft.py:829-923)
     prune_iter: int = 0           # 0 disables
     prune_thresh: float = 0.1
@@ -120,6 +156,7 @@ class TrainConfig:
     prob_freq: int = 0            # 0 disables point growing
     prob_num_step: int = 100
     prob_thresh: float = 0.8
+    prob_mul: float = 1.0         # conf multiplier for grown points
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,9 +166,19 @@ class PointNerfConfig:
     agg: AggregatorConfig = dataclasses.field(default_factory=AggregatorConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     path_point_cloud: Optional[str] = None
+    # Raw sample placement along rays (reference `opt.inverse` selects
+    # disparity-linear sampling, point_query.py:78-81).
+    inverse: bool = False
     num_samples: int = 80
     eval_num_rays_per_chunk: int = 4096
     bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Scene near/far planes (dev_scripts --near_plane/--far_plane);
+    # datasets may override per view.
+    near_plane: float = 2.0
+    far_plane: float = 6.0
+    # Background model: "no" (constant bg_color) or "plane"
+    # (models/bg_plane.py; reference --bgmodel).
+    bgmodel: str = "no"
     feat_grad: bool = True
     conf_grad: bool = True
     dir_grad: bool = True

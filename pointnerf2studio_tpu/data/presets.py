@@ -48,7 +48,11 @@ def nerf_synth_config(scene: str = "chair", **overrides) -> PointNerfConfig:
     cfg = PointNerfConfig(
         query=query,
         agg=AggregatorConfig(),
-        train=TrainConfig(max_iterations=200_000, rays_per_batch=4096),
+        # chair_points.sh: prune_thresh 0.1, prob 10001/0.7/x0.4
+        train=TrainConfig(max_iterations=200_000, rays_per_batch=4096,
+                          prune_thresh=0.1, prob_freq=10_001,
+                          prob_thresh=0.7, prob_mul=0.4),
+        near_plane=2.0, far_plane=6.0,
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
@@ -58,7 +62,12 @@ def scannet_config(scene: str = "scene0241_01", **overrides) -> PointNerfConfig:
         vsize=(0.008, 0.008, 0.008), vscale=(2, 2, 2),
         ranges=(-10.0, -10.0, -10.0, 10.0, 10.0, 10.0),
         z_depth_dim=400, SR=24, K=8, max_o=610_000, P=12)
-    cfg = PointNerfConfig(query=query)
+    cfg = PointNerfConfig(
+        query=query,
+        # scene241_points.sh: no pruning, prob 10000/0.7/x0.4
+        train=TrainConfig(prob_freq=10_000, prob_thresh=0.7, prob_mul=0.4),
+        near_plane=0.1, far_plane=8.0,
+    )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
@@ -67,7 +76,13 @@ def tt_config(scene: str = "Truck", **overrides) -> PointNerfConfig:
         vsize=(0.002, 0.002, 0.002), vscale=(2, 2, 2),
         ranges=(-10.0, -10.0, -10.0, 10.0, 10.0, 10.0),
         z_depth_dim=400, SR=40, K=8, max_o=1_600_000, P=12)
-    cfg = PointNerfConfig(query=query)
+    cfg = PointNerfConfig(
+        query=query,
+        # truck_points.sh: prune_iter 10001, prob 10001/0.7/x0.4
+        train=TrainConfig(prune_iter=10_001, prob_freq=10_001,
+                          prob_thresh=0.7, prob_mul=0.4),
+        near_plane=0.0, far_plane=3.5,
+    )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 

@@ -49,8 +49,8 @@ def _torch_linear_init(key: jax.Array, in_dim: int, out_dim: int) -> Dict[str, j
 def _mlp_dims(cfg: AggregatorConfig) -> Dict[str, List[Tuple[int, int]]]:
     dist_dim = cfg.dist_dim
     dist_pe = 2 * cfg.num_dist_freqs * dist_dim if cfg.num_dist_freqs else dist_dim
-    base_in = (2 * cfg.num_feat_freqs * cfg.point_features_dim
-               + dist_pe + cfg.point_features_dim)
+    feat_dim = cfg.shading_feature_dim
+    base_in = 2 * cfg.num_feat_freqs * feat_dim + dist_pe + feat_dim
     head_in = (cfg.hidden_size + (3 if cfg.point_color_mode else 0)
                + (4 if cfg.point_dir_mode else 0))
     color_in = cfg.hidden_size + 2 * cfg.num_viewdir_freqs * 3
@@ -115,6 +115,76 @@ def inverse_distance_weight(
             + jnp.abs(dists[..., 2]) * axis_weight[1], 1e-6)
     w = w * pnt_mask.astype(w.dtype)
     return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
+
+
+def aggregation_weight(
+    cfg: AggregatorConfig,
+    neigh_emb: jnp.ndarray,   # [..., K, C]
+    dists: jnp.ndarray,       # [..., K, >=3] (world delta in [..., :3])
+    pnt_mask: jnp.ndarray,    # [..., K] bool
+    grid_vox_sz: float,       # scaled voxel edge (trilinear/gau footprint)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-neighbor aggregation weights for all reference kernels
+    (reference: point_aggregators.py:353-483 + the normalization at
+    :818-819). Returns (weights [..., K], remaining embedding) — the
+    sh/gau kernels consume a prefix of the embedding channels.
+    """
+    kind = cfg.agg_distance_kernel
+    mask = pnt_mask.astype(dists.dtype)
+    emb = neigh_emb
+    aw = cfg.axis_weight
+
+    if kind == "linear":
+        if aw[0] == 1.0 and aw[2] == 1.0:
+            w = mask / jnp.maximum(
+                jnp.linalg.norm(dists[..., :3], axis=-1), 1e-6)
+        else:
+            w = mask / jnp.maximum(
+                jnp.sqrt(jnp.sum(jnp.square(dists[..., :2]), -1)) * aw[0]
+                + jnp.abs(dists[..., 2]) * aw[1], 1e-6)
+    elif kind == "numlinear":
+        w = mask / jnp.maximum(jnp.linalg.norm(dists, axis=-1), 1e-6)
+        w = w / jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
+    elif kind == "quadric":
+        w = mask / jnp.maximum(
+            jnp.sum(jnp.square(dists[..., :3])
+                    * jnp.asarray(aw, dists.dtype), axis=-1), 1e-8)
+    elif kind == "numquadric":
+        w = mask / jnp.maximum(jnp.sum(jnp.square(dists), axis=-1), 1e-8)
+        w = w / jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
+    elif kind == "avg":
+        w = mask
+    elif kind == "trilinear":
+        d = dists[..., :3] * mask[..., None] / grid_vox_sz
+        d = 1.0 - jnp.abs(d)
+        w = mask * d[..., 0] * d[..., 1] * d[..., 2]
+        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
+    elif kind == "sh_intrp":
+        from pointnerf2studio_tpu.utils.spherical import sh_basis
+        n = cfg.sh_degree ** 2
+        coefs, emb = emb[..., :n], emb[..., n:]
+        dn = jnp.linalg.norm(dists[..., :3], axis=-1)
+        ddir = dists[..., :3] / jnp.maximum(dn[..., None], 1e-8)
+        shall = sh_basis(ddir, cfg.sh_degree)
+        act = jax.nn.sigmoid if cfg.sh_act == "sigmoid" else jnp.tanh
+        radial = (1.0 / jnp.maximum(dn, 1e-8) if cfg.sh_dist_func == "sh_linear"
+                  else 1.0 / jnp.maximum(jnp.square(dn), 1e-8))
+        w = mask * jnp.sum(act(shall * coefs), axis=-1) * radial
+    elif kind == "gau_intrp":
+        from pointnerf2studio_tpu.ops.camera import world2local_dist
+        scale = jnp.abs(emb[..., 0])
+        radii = grid_vox_sz * 20.0 * jax.nn.sigmoid(emb[..., 1:4])
+        rot = jnp.clip(emb[..., 4:7], -jnp.pi / 4, jnp.pi / 4)
+        emb = emb[..., 7:]
+        local = world2local_dist(dists[..., :3], radii, rot)
+        w = mask * scale * jnp.exp(-0.5 * jnp.sum(jnp.square(local), -1))
+    else:
+        raise ValueError(f"unknown agg_distance_kernel: {kind}")
+
+    if (cfg.agg_weight_norm and kind != "trilinear"
+            and not kind.startswith("num")):
+        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
+    return w, emb
 
 
 def conf_gradient_clamp(conf: jnp.ndarray, lo: float = 1e-4, hi: float = 1.0) -> jnp.ndarray:

@@ -30,8 +30,8 @@ from flax import struct
 
 from pointnerf2studio_tpu.config import PointNerfConfig
 from pointnerf2studio_tpu.models.aggregator import (
-    AggregatorParams, conf_gradient_clamp, decode_radiance,
-    inverse_distance_weight)
+    AggregatorParams, aggregation_weight, conf_gradient_clamp,
+    decode_radiance)
 from pointnerf2studio_tpu.models.neural_points import (
     NeuralPointCloud, gather_neighbors)
 from pointnerf2studio_tpu.ops.camera import w2pers
@@ -40,7 +40,8 @@ from pointnerf2studio_tpu.ops.grid import PointGrid
 from pointnerf2studio_tpu.ops.query import (
     compact_shading_locs, knn_for_locs, knn_from_cache, mask_raypos,
     mask_raypos_qslot)
-from pointnerf2studio_tpu.ops.raygen import near_far_linear_ray_generation
+from pointnerf2studio_tpu.ops.raygen import (
+    near_far_disparity_linear_ray_generation, near_far_linear_ray_generation)
 
 
 @struct.dataclass
@@ -51,6 +52,16 @@ class RenderOutput:
     depth: jnp.ndarray                  # [R] expected termination depth
     conf_coefficient: jnp.ndarray       # [M, K] for the zero-one loss
     pnt_mask: jnp.ndarray               # [M, K] neighbor validity
+    weight: Optional[jnp.ndarray] = None  # [M, K] aggregation weights
+                                          # (sparse loss)
+    # prob-mode outputs (point growing; zeros unless prob=True —
+    # reference: neural_points_volumetric_model.py:331-362)
+    ray_max_shading_opacity: Optional[jnp.ndarray] = None   # [R]
+    ray_max_sample_loc_w: Optional[jnp.ndarray] = None      # [R, 3]
+    shading_avg_color: Optional[jnp.ndarray] = None         # [R, 3]
+    shading_avg_dir: Optional[jnp.ndarray] = None           # [R, 3]
+    shading_avg_conf: Optional[jnp.ndarray] = None          # [R, 1]
+    shading_avg_embedding: Optional[jnp.ndarray] = None     # [R, C]
 
 
 def render_rays(
@@ -65,11 +76,14 @@ def render_rays(
     cfg: PointNerfConfig,
     key: Optional[jax.Array] = None,
     training: bool = False,
+    prob: bool = False,
 ) -> RenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
     SR = q.SR
-    raypos, _, _ = near_far_linear_ray_generation(
+    raygen = (near_far_disparity_linear_ray_generation if cfg.inverse
+              else near_far_linear_ray_generation)
+    raypos, _, _ = raygen(
         campos, raydirs, q.z_depth_dim, near=near, far=far,
         jitter=cfg.train.jitter if training else 0.0, key=key)
 
@@ -120,9 +134,13 @@ def render_rays(
          neigh_pers[..., 2] - lp[..., 2]], axis=-1)
     dists = jnp.concatenate([neigh["xyz"] - locs[..., None, :], pdist], -1)
 
-    weight = inverse_distance_weight(dists, pnt_mask, cfg.agg.axis_weight)
+    grid_vox_sz = max(q.scaled_vsize)
+    weight, emb = aggregation_weight(
+        cfg.agg, neigh["embeding"], dists, pnt_mask, grid_vox_sz)
     conf = conf_gradient_clamp(neigh["conf"][..., 0]) if training else \
         neigh["conf"][..., 0]
+    if cfg.agg.conf_in_weight:
+        weight = weight * conf
 
     if points.Rw2c.ndim == 3:        # per-point Rw2c (edited scenes)
         rw2c = neigh["Rw2c"]         # [M, K, 3, 3]
@@ -132,7 +150,7 @@ def render_rays(
         viewdirs = jnp.sum(raydirs[..., :, None] * points.Rw2c, axis=-2)
     sigma_c, rgb_c = decode_radiance(
         params, cfg.agg,
-        neigh_emb=neigh["embeding"], neigh_color=neigh["color"],
+        neigh_emb=emb, neigh_color=neigh["color"],
         neigh_dir=neigh["dir"], dists=dists, weight=weight,
         pnt_mask=pnt_mask, viewdirs=viewdirs[ray_id], Rw2c=rw2c)
 
@@ -166,19 +184,44 @@ def render_rays(
     ray_mask = ray_hit & ray_found
     color = jnp.where(ray_mask[..., None], color, bg)
 
+    prob_out = {}
+    if prob:
+        # per-ray max-opacity shading slot + conf-weighted neighbor
+        # averages there (neural_points_volumetric_model.py:331-362)
+        s_star = jnp.argmax(opacity, axis=-1)                 # [R]
+        max_op = jnp.take_along_axis(opacity, s_star[:, None], -1)[:, 0]
+        flat_star = jnp.arange(R, dtype=jnp.int32) * SR + s_star.astype(jnp.int32)
+        slot_to_m = jnp.full((R * SR,), -1, jnp.int32).at[sel].set(
+            jnp.arange(M, dtype=jnp.int32))
+        m_idx = slot_to_m[flat_star]                          # [R]
+        ok = (m_idx >= 0)[:, None, None]
+        mi = jnp.clip(m_idx, 0)
+        wc = (weight[mi] * conf[mi])[..., None] * ok          # [R, K, 1]
+        loc_star = sample_loc_w.reshape(R * SR, 3)[flat_star]
+        prob_out = {
+            "ray_max_shading_opacity": max_op,
+            "ray_max_sample_loc_w": loc_star,
+            "shading_avg_color": jnp.sum(neigh["color"][mi] * wc, -2),
+            "shading_avg_dir": jnp.sum(neigh["dir"][mi] * wc, -2),
+            "shading_avg_conf": jnp.sum(neigh["conf"][mi] * wc, -2),
+            "shading_avg_embedding": jnp.sum(neigh["embeding"][mi] * wc, -2),
+        }
+
     return RenderOutput(
+        **prob_out,
         coarse_raycolor=color,
         ray_mask=ray_mask,
         acc=acc,
         depth=depth,
         conf_coefficient=conf,
         pnt_mask=pnt_mask & mask_c[..., None],
+        weight=weight,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "training"))
+@functools.partial(jax.jit, static_argnames=("cfg", "training", "prob"))
 def render_rays_jit(params, points, grid, campos, camrotc2w, raydirs,
                     near, far, cfg: PointNerfConfig, key=None,
-                    training: bool = False) -> RenderOutput:
+                    training: bool = False, prob: bool = False) -> RenderOutput:
     return render_rays(params, points, grid, campos, camrotc2w, raydirs,
-                       near, far, cfg, key=key, training=training)
+                       near, far, cfg, key=key, training=training, prob=prob)

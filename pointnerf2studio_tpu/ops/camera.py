@@ -28,3 +28,30 @@ def w2pers(point_xyz_w: jnp.ndarray, camrotc2w: jnp.ndarray, campos: jnp.ndarray
     xyz_c = world_to_cam(point_xyz_w, camrotc2w, campos)
     z = xyz_c[..., 2]
     return jnp.stack([xyz_c[..., 0] / z, xyz_c[..., 1] / z, z], axis=-1)
+
+
+def roll_pitch_yaw_to_rotation(rpy: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] roll/pitch/yaw (radians, applied x then y then z) ->
+    [..., 3, 3] rotation matrices (standard ZYX Euler composition;
+    reference: pointnerf/models/helpers/geometrics.py:45-70)."""
+    cx, cy, cz = (jnp.cos(rpy[..., i]) for i in range(3))
+    sx, sy, sz = (jnp.sin(rpy[..., i]) for i in range(3))
+    rows = jnp.stack(
+        [cz * cy, cz * sy * sx - sz * cx, cz * sy * cx + sz * sx,
+         sz * cy, sz * sy * sx + cz * cx, sz * sy * cx - cz * sx,
+         -sy, cy * sx, cy * cx], axis=-1)
+    return rows.reshape(rpy.shape[:-1] + (3, 3))
+
+
+def world2local_dist(dists: jnp.ndarray, radii: jnp.ndarray,
+                     rotations: jnp.ndarray) -> jnp.ndarray:
+    """Rotate offsets into per-point local frames and scale each axis by
+    1/radius — the anisotropic-gaussian footprint transform of the
+    `gau_intrp` weight kernel (reference:
+    pointnerf/models/helpers/geometrics.py:15-42).
+
+    dists [..., 3], radii [..., 3], rotations [..., 3] -> [..., 3].
+    """
+    rot = roll_pitch_yaw_to_rotation(rotations)
+    local = jnp.einsum("...ij,...j->...i", rot, dists)
+    return local / (radii + 1e-8)

@@ -61,3 +61,157 @@ def near_far_linear_ray_generation(
     if squeeze:
         return raypos[0], seg[0], mid_ts[0]
     return raypos, seg, mid_ts
+
+
+def _march_from_segments(campos, raydir, seg, near, dtype):
+    """Shared tail: segment lengths -> midpoints -> world positions."""
+    B, R, D = seg.shape
+    end_ts = near + jnp.cumsum(seg, axis=-1)
+    end_ts = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(near, dtype), (B, R, 1)), end_ts], -1)
+    mid_ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])
+    raypos = campos[:, None, None, :] + raydir[:, :, None, :] * mid_ts[..., None]
+    seg = seg * jnp.linalg.norm(raydir, axis=-1)[..., None]
+    return raypos, seg, mid_ts
+
+
+def near_far_disparity_linear_ray_generation(
+    campos: jnp.ndarray,
+    raydir: jnp.ndarray,
+    num_samples: int,
+    near: jnp.ndarray | float,
+    far: jnp.ndarray | float,
+    jitter: float = 0.0,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Samples linear in disparity (1/t), the `opt.inverse` path
+    (reference: diff_ray_marching.py:144-192, selected by
+    point_query.py:78-81)."""
+    squeeze = raydir.ndim == 2
+    if squeeze:
+        raydir = raydir[None]
+        campos = campos[None] if campos.ndim == 1 else campos
+    B, R, _ = raydir.shape
+    dtype = raydir.dtype
+
+    tvals = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)
+    tvals = 1.0 / (1.0 / near * (1.0 - tvals) + 1.0 / far * tvals)
+    base_seg = tvals[1:] - tvals[:-1]
+    if jitter > 0.0 and key is not None:
+        u = jax.random.uniform(key, (B, R, num_samples), dtype=dtype)
+        seg = base_seg * (1.0 + jitter * (u - 0.5))
+    else:
+        seg = jnp.broadcast_to(base_seg, (B, R, num_samples))
+    out = _march_from_segments(campos, raydir, seg, near, dtype)
+    return tuple(x[0] for x in out) if squeeze else out
+
+
+def near_middle_far_ray_generation(
+    campos: jnp.ndarray,
+    raydir: jnp.ndarray,
+    num_samples: int,
+    near: jnp.ndarray | float,
+    middle: jnp.ndarray | float,
+    far: jnp.ndarray | float,
+    middle_split: float = 0.6,
+    jitter: float = 0.0,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Linear in [near, middle], disparity-linear in [middle, far]
+    (reference: diff_ray_marching.py:85-141)."""
+    squeeze = raydir.ndim == 2
+    if squeeze:
+        raydir = raydir[None]
+        campos = campos[None] if campos.ndim == 1 else campos
+    B, R, _ = raydir.shape
+    dtype = raydir.dtype
+
+    n0 = int(num_samples * middle_split) + 1
+    t0 = jnp.linspace(0.0, 1.0, n0, dtype=dtype)
+    vals0 = near * (1.0 - t0) + middle * t0
+    n1 = num_samples - n0 + 2
+    t1 = jnp.linspace(0.0, 1.0, n1, dtype=dtype)
+    vals1 = 1.0 / (1.0 / middle * (1.0 - t1) + 1.0 / far * t1)
+    tvals = jnp.concatenate([vals0, vals1])
+    base_seg = (tvals[1:] - tvals[:-1])[:num_samples]
+    if jitter > 0.0 and key is not None:
+        u = jax.random.uniform(key, (B, R, num_samples), dtype=dtype)
+        seg = base_seg * (1.0 + jitter * (u - 0.5))
+    else:
+        seg = jnp.broadcast_to(base_seg, (B, R, num_samples))
+    out = _march_from_segments(campos, raydir, seg, near, dtype)
+    return tuple(x[0] for x in out) if squeeze else out
+
+
+def sample_pdf(
+    bins: jnp.ndarray,        # [..., S] previous sample ts
+    weights: jnp.ndarray,     # [..., S] blend weights at those ts
+    n_samples: int,
+    det: bool = True,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Inverse-CDF importance resampling of ray ts.
+
+    Jit-native rewrite of the reference's numpy/host implementation
+    (reference: diff_ray_marching.py:36-82, which round-trips to CPU
+    and loops `np.searchsorted` per ray); here one vectorized
+    `jnp.searchsorted` on device. Returns the new ts merged with the
+    old bins and sorted, shape [..., n_samples + S].
+    """
+    mids = 0.5 * (bins[..., 1:] + bins[..., :-1])        # [..., S-1]
+    w = weights[..., 1:-1] + 1e-5                        # [..., S-2]
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # [..., S-1]
+
+    if det or key is None:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,),
+                               dtype=bins.dtype)
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"),
+                    in_axes=(0, 0))(
+        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, n_samples))
+    inds = inds.reshape(u.shape)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, -1)
+    cdf_a = jnp.take_along_axis(cdf, above, -1)
+    bin_b = jnp.take_along_axis(mids, jnp.minimum(below, mids.shape[-1] - 1), -1)
+    bin_a = jnp.take_along_axis(mids, jnp.minimum(above, mids.shape[-1] - 1), -1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    samples = bin_b + t * (bin_a - bin_b)
+    merged = jnp.concatenate([samples, jax.lax.stop_gradient(bins)], -1)
+    return jax.lax.stop_gradient(jnp.sort(merged, axis=-1))
+
+
+def refine_ray_generation(
+    campos: jnp.ndarray,
+    raydir: jnp.ndarray,
+    num_samples: int,
+    prev_ts: jnp.ndarray,      # [..., R, S]
+    prev_weights: jnp.ndarray,  # [..., R, S]
+    jitter: float = 0.0,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """PDF-importance refinement pass
+    (reference: diff_ray_marching.py:383-417)."""
+    squeeze = raydir.ndim == 2
+    if squeeze:
+        raydir = raydir[None]
+        campos = campos[None] if campos.ndim == 1 else campos
+        prev_ts, prev_weights = prev_ts[None], prev_weights[None]
+    end_ts = sample_pdf(prev_ts, prev_weights, num_samples + 1,
+                        det=jitter <= 0, key=key)
+    # keep a fixed sample count: the merged/sorted ts are S+n+1 long;
+    # take the first num_samples+1 boundaries
+    end_ts = end_ts[..., : num_samples + 1]
+    seg = end_ts[..., 1:] - end_ts[..., :-1]
+    mid_ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])
+    raypos = campos[:, None, None, :] + raydir[:, :, None, :] * mid_ts[..., None]
+    seg = seg * jnp.linalg.norm(raydir, axis=-1)[..., None]
+    if squeeze:
+        return raypos[0], seg[0], mid_ts[0]
+    return raypos, seg, mid_ts

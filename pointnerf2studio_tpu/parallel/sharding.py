@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pointnerf2studio_tpu.config import PointNerfConfig
 from pointnerf2studio_tpu.models.render import render_rays
-from pointnerf2studio_tpu.train.loss import compute_loss
+from pointnerf2studio_tpu.train.loss import compute_losses
 from pointnerf2studio_tpu.train.trainer import TrainState, make_optimizers
 
 import optax
@@ -88,17 +88,14 @@ def make_sharded_train_step(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
             points = state.points.with_trainable(point_trainables)
             out = render_rays(params, points, grid, campos, camrotc2w,
                               raydirs, near, far, cfg, key=key, training=True)
-            total, aux = compute_loss(
-                out, gt_rgb,
-                zero_epsilon=cfg.train.zero_epsilon,
-                zero_one_weight=cfg.train.zero_one_loss_weight,
-                psum_axis="rays")
+            total, aux = compute_losses(
+                out, gt_rgb, cfg.train, psum_axis="rays")
             return total, aux
 
         (_, aux), (g_params, g_points) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, state.points.trainable())
-        # loss sums are already global (psum inside compute_loss), so
+        # loss sums are already global (psum inside the loss), so
         # grads w.r.t. the replicated tensors only need the psum.
         g_params = jax.lax.psum(g_params, "rays")
         g_points = jax.lax.psum(g_points, "rays")

@@ -96,6 +96,18 @@ def fit(
             grid = build_grid_from_points(
                 pruned.xyz, pruned.alive, cfg.query)
 
+        # Probe holes + grow points (reference: train_ft.py:844-923).
+        if t.prob_freq > 0 and step % t.prob_freq == 0:
+            from pointnerf2studio_tpu.train.grow import probe_and_grow
+            n_views = max(1, dataset.num_views // t.prob_num_step)
+            probe_views = list(np.random.default_rng(step).permutation(
+                dataset.num_views)[:n_views])
+            state, grid, n_new = probe_and_grow(
+                cfg, state, grid, dataset, views=probe_views,
+                chunk=eval_chunk, opacity_thresh=t.prob_thresh,
+                prob_mul=t.prob_mul)
+            logger.flush(step, extra={"grown_points": n_new})
+
         if save_freq and step % save_freq == 0:
             save_checkpoint(out_dir, state, step)
 

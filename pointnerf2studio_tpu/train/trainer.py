@@ -27,7 +27,7 @@ from pointnerf2studio_tpu.models.aggregator import AggregatorParams
 from pointnerf2studio_tpu.models.neural_points import NeuralPointCloud
 from pointnerf2studio_tpu.models.render import render_rays
 from pointnerf2studio_tpu.ops.grid import PointGrid
-from pointnerf2studio_tpu.train.loss import compute_loss
+from pointnerf2studio_tpu.train.loss import compute_losses
 
 
 @struct.dataclass
@@ -89,10 +89,7 @@ def make_train_step(cfg: PointNerfConfig) -> Callable:
             out = render_rays(
                 params, points, grid, campos, camrotc2w, raydirs,
                 near=near, far=far, cfg=cfg, key=key, training=True)
-            total, aux = compute_loss(
-                out, gt_rgb,
-                zero_epsilon=cfg.train.zero_epsilon,
-                zero_one_weight=cfg.train.zero_one_loss_weight)
+            total, aux = compute_losses(out, gt_rgb, cfg.train)
             return total, aux
 
         (_, aux), (g_params, g_points) = jax.value_and_grad(

@@ -1,0 +1,126 @@
+"""Point growing: prob-mode render outputs + probe/grow mechanics."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnerf2studio_tpu.data.blender import BlenderDataset
+from pointnerf2studio_tpu.data.synthetic import (
+    camera_rays, make_sphere_scene, sphere_config)
+from pointnerf2studio_tpu.models import neural_points as npts
+from pointnerf2studio_tpu.models.render import render_rays_jit
+from pointnerf2studio_tpu.train.grow import (
+    _dilate1, probe_and_grow, reset_point_opt_slots)
+from pointnerf2studio_tpu.train.trainer import create_train_state
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_sphere_scene(n_points=2000, cfg=sphere_config(sr=8, d=32))
+
+
+class TestProbOutputs:
+    def test_max_opacity_location_on_sphere(self, scene):
+        raydirs = camera_rays(scene.campos, scene.camrotc2w, 8, 8, 10.0)
+        out = render_rays_jit(scene.params, scene.cloud, scene.grid,
+                              scene.campos, scene.camrotc2w, raydirs,
+                              scene.near, scene.far, scene.cfg, prob=True)
+        mask = np.asarray(out.ray_mask)
+        assert mask.any()
+        locs = np.asarray(out.ray_max_sample_loc_w)[mask]
+        radii = np.linalg.norm(locs, axis=-1)
+        # max-opacity samples should cluster near the sphere surface
+        # (radius 0.5, voxels 0.04)
+        assert np.all(radii > 0.3) and np.all(radii < 0.7)
+        ops = np.asarray(out.ray_max_shading_opacity)[mask]
+        assert np.all(ops >= 0) and np.all(ops <= 1)
+        conf = np.asarray(out.shading_avg_conf)[mask]
+        # neighbor conf is 0.8 everywhere; weighted avg stays in (0, 0.8]
+        assert np.all(conf <= 0.81) and np.all(conf >= 0)
+
+    def test_prob_off_gives_none(self, scene):
+        raydirs = camera_rays(scene.campos, scene.camrotc2w, 4, 4, 6.0)
+        out = render_rays_jit(scene.params, scene.cloud, scene.grid,
+                              scene.campos, scene.camrotc2w, raydirs,
+                              scene.near, scene.far, scene.cfg)
+        assert out.ray_max_shading_opacity is None
+
+
+class TestDilate:
+    def test_dilate1(self):
+        m = np.zeros((5, 5), bool)
+        m[2, 2] = True
+        d = _dilate1(m)
+        assert d.sum() == 5
+        assert d[1, 2] and d[3, 2] and d[2, 1] and d[2, 3] and d[2, 2]
+
+
+class TestGrowMechanics:
+    def test_reset_opt_slots(self, scene):
+        state = create_train_state(scene.params, scene.cloud, scene.cfg)
+        # fake nonzero moments
+        opt = jax.tree.map(
+            lambda x: x + 1.0 if hasattr(x, "dtype") and x.dtype.kind == "f"
+            else x, state.opt_state_points)
+        opt2 = reset_point_opt_slots(opt, np.array([0, 5]))
+        mu = jax.tree.leaves(opt2)
+        found = False
+        for leaf in mu:
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                    leaf.shape[0] == scene.cloud.capacity:
+                arr = np.asarray(leaf)
+                assert np.all(arr[0] == 0) and np.all(arr[5] == 0)
+                assert np.all(arr[1] != 0)
+                found = True
+        assert found
+
+    def test_probe_and_grow_fills_holes(self, scene):
+        """Kill a patch of points -> probe must grow points back near
+        the hole."""
+        xyz = np.asarray(scene.cloud.xyz)
+        # carve a hole clean through the sphere along the view axis
+        # (killing only the front shell would leave rays hitting the
+        # back surface and ray_mask would never report a miss)
+        hole = np.linalg.norm(xyz[:, :2], axis=-1) < 0.28
+        cloud = scene.cloud.replace(alive=jnp.asarray(~hole))
+        from pointnerf2studio_tpu.ops.grid import build_grid_from_points
+        grid = build_grid_from_points(cloud.xyz, cloud.alive, scene.cfg.query)
+
+        # dataset: one 24x24 view of the ORIGINAL (hole-free) teacher
+        h = w = 24
+        focal = 16.0
+        rays = np.asarray(camera_rays(scene.campos, scene.camrotc2w, h, w, focal))
+        from pointnerf2studio_tpu.train.evaluator import (
+            make_render_chunk_fn, render_image)
+        fn = make_render_chunk_fn(scene.cfg)
+        full = render_image(fn, scene.params, scene.cloud, scene.grid,
+                            np.asarray(scene.campos),
+                            np.asarray(scene.camrotc2w), rays, (h, w),
+                            scene.near, scene.far, chunk=192)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = np.asarray(scene.camrotc2w)
+        pose[:3, 3] = np.asarray(scene.campos)
+        ds = BlenderDataset(
+            images=full["coarse_raycolor"][None].astype(np.float32),
+            poses=pose[None],
+            intrinsics=np.array([[focal, 0, w / 2], [0, focal, h / 2],
+                                 [0, 0, 1]], np.float32),
+            near=scene.near, far=scene.far, split="train")
+
+        state = create_train_state(scene.params, cloud, scene.cfg)
+        n_alive_before = int(np.asarray(state.points.num_alive))
+        state2, grid2, n_new = probe_and_grow(
+            scene.cfg, state, grid, ds, views=[0], chunk=192,
+            opacity_thresh=0.05)
+        n_alive_after = int(np.asarray(state2.points.num_alive))
+        assert n_new > 0, "no points grown at the hole boundary"
+        assert n_alive_after == n_alive_before + n_new
+        # grown points live near the carved hole boundary
+        grown_mask = np.asarray(state2.points.alive) & hole  # recycled slots
+        new_xyz = np.asarray(state2.points.xyz)[grown_mask]
+        if new_xyz.shape[0]:
+            r_xy = np.linalg.norm(new_xyz[:, :2], axis=-1)
+            assert r_xy.mean() < 0.4
