@@ -59,6 +59,11 @@ class QueryConfig:
     cand_cap: int = 64
     # Capacity for dilated-occupied (query) voxels; 0 -> 4 * max_o.
     max_q: int = 0
+    # MLP-tower chunk over compacted shading points (lax.map). Bounds
+    # activation memory AND works around a TPU backend register-
+    # allocation failure on >=512k-row decode programs (observed on
+    # v5e, tools/probe_knn_decode.py). 0 = unchunked.
+    decode_chunk: int = 131_072
 
     @property
     def scaled_vsize(self) -> Tuple[float, float, float]:
@@ -179,6 +184,11 @@ class PointNerfConfig:
     # Background model: "no" (constant bg_color) or "plane"
     # (models/bg_plane.py; reference --bgmodel).
     bgmodel: str = "no"
+    # Compositing plug-ins (reference diff_render_func.py:16-33):
+    # blend "alpha" | "alpha2" (collocated light), tonemap
+    # "off" | "gamma" | "normalize".
+    blend_func: str = "alpha"
+    tonemap_func: str = "off"
     feat_grad: bool = True
     conf_grad: bool = True
     dir_grad: bool = True

@@ -230,10 +230,12 @@ def decode_radiance(
     dists_rot = jnp.concatenate([dists_w, dists[..., 3:]], axis=-1)
     dists_pe = positional_encoding(dists_rot, cfg.num_dist_freqs)   # [M,K,60]
 
+    # cast before the concat so the [M, K, 284] activation tensor is
+    # materialized in the compute dtype (halves HBM traffic in bf16)
     feat = jnp.concatenate(
-        [neigh_emb,
-         positional_encoding(neigh_emb, cfg.num_feat_freqs),
-         dists_pe], axis=-1)
+        [neigh_emb.astype(dtype),
+         positional_encoding(neigh_emb, cfg.num_feat_freqs).astype(dtype),
+         dists_pe.astype(dtype)], axis=-1)
     feat = _mlp(params["mlp_base"], feat, dtype)                    # [M,K,256]
 
     extras = [feat]

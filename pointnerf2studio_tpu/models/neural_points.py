@@ -93,21 +93,57 @@ def from_arrays(
 def gather_neighbors(
     points: NeuralPointCloud,
     sample_pidx: jnp.ndarray,   # [R, SR, K] int32, -1 = empty
+    points_axis: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Gather per-neighbor attributes into padded [R, SR, K, .] tensors.
 
     Mirrors the index_select block in the reference forward
     (studio_utils.py:199-207): invalid slots gather point 0 (indices are
     clamped) and must be masked downstream via `sample_pidx >= 0`.
+
+    With `points_axis` set (inside `shard_map` over a mesh with that
+    axis), the trainable attribute tensors are ROW-SHARDED over the
+    axis while xyz/Rw2c/the indices stay replicated: each chip gathers
+    the rows it owns (masked) and one `psum` completes the gather —
+    point-parallelism for clouds whose features + Adam moments exceed
+    one chip's HBM (SURVEY.md §2.3). The psum transpose is a broadcast,
+    so gradients flow back as local scatter-adds into each chip's
+    shard with no extra collective.
     """
     idx = jnp.clip(sample_pidx, 0, points.capacity - 1)
-    out = {
-        "xyz": points.xyz[idx],
-        "embeding": points.points_embeding[idx],
-        "conf": points.points_conf[idx],
-        "dir": points.points_dir[idx],
-        "color": points.points_color[idx],
-    }
+    out = {"xyz": points.xyz[idx]}
+    if points_axis is None:
+        # one packed gather instead of four — XLA/TPU gathers cost per
+        # row, so fusing the attribute columns quarters the row count
+        c = points.points_embeding.shape[-1]
+        packed = jnp.concatenate(
+            [points.points_embeding, points.points_conf,
+             points.points_dir, points.points_color], axis=-1)
+        vals = packed[idx]
+        out.update(
+            embeding=vals[..., :c],
+            conf=vals[..., c:c + 1],
+            dir=vals[..., c + 1:c + 4],
+            color=vals[..., c + 4:c + 7],
+        )
+    else:
+        n_local = points.points_embeding.shape[0]
+        off = jax.lax.axis_index(points_axis) * n_local
+        loc = sample_pidx - off
+        own = (loc >= 0) & (loc < n_local)
+        li = jnp.clip(loc, 0, n_local - 1)
+        packed = jnp.concatenate(
+            [points.points_embeding, points.points_conf,
+             points.points_dir, points.points_color], axis=-1)
+        vals = packed[li] * own[..., None].astype(packed.dtype)
+        vals = jax.lax.psum(vals, points_axis)
+        c = points.points_embeding.shape[-1]
+        out.update(
+            embeding=vals[..., :c],
+            conf=vals[..., c:c + 1],
+            dir=vals[..., c + 1:c + 4],
+            color=vals[..., c + 4:c + 7],
+        )
     if points.Rw2c.ndim == 3:
         out["Rw2c"] = points.Rw2c[idx]
     return out
@@ -166,3 +202,48 @@ def grow(
         points_color=put(points.points_color, new_color),
         alive=points.alive.at[safe_target].set(True, mode="drop"),
     )
+
+
+def init_features(
+    key, xyz: jnp.ndarray, feat_dim: int, method: str = "rand"
+) -> jnp.ndarray:
+    """Feature initialization when training a cloud from bare geometry
+    (reference: neural_points.py:284-304). Methods: rand (U-0.5),
+    zeros, ones, pos (positional encoding of xyz, rand-padded), or
+    gau_<std> (gaussian)."""
+    n = xyz.shape[0]
+    if method == "rand":
+        return jax.random.uniform(key, (n, feat_dim)) - 0.5
+    if method == "zeros":
+        return jnp.zeros((n, feat_dim))
+    if method == "ones":
+        return jnp.ones((n, feat_dim))
+    if method == "pos":
+        from pointnerf2studio_tpu.ops.encoding import positional_encoding
+        if feat_dim <= 3:
+            return xyz[:, :feat_dim]
+        emb = positional_encoding(xyz, feat_dim // 6)
+        if emb.shape[-1] < feat_dim:
+            pad = jax.random.uniform(
+                key, (n, feat_dim - emb.shape[-1])) - 0.5
+            emb = jnp.concatenate([emb, pad], -1)
+        return emb
+    if method.startswith("gau"):
+        std = float(method.split("_")[1])
+        return std * jax.random.normal(key, (n, feat_dim))
+    raise ValueError(f"unknown feature_init_method: {method}")
+
+
+def jitter_points(
+    key, xyz: jnp.ndarray, alive: jnp.ndarray, std: float,
+    mode: str = "pointgaussian",
+) -> jnp.ndarray:
+    """Per-step position noise on live points (reference
+    `pointgaussian`/`pointuniform`, neural_points.py:670-680)."""
+    if mode == "pointgaussian":
+        noise = std * jax.random.normal(key, xyz.shape, xyz.dtype)
+    elif mode == "pointuniform":
+        noise = (jax.random.uniform(key, xyz.shape, xyz.dtype) - 0.5) * std * 2
+    else:
+        raise ValueError(f"unknown point noise mode: {mode}")
+    return jnp.where(alive[:, None], xyz + noise, xyz)

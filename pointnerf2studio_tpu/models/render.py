@@ -35,7 +35,8 @@ from pointnerf2studio_tpu.models.aggregator import (
 from pointnerf2studio_tpu.models.neural_points import (
     NeuralPointCloud, gather_neighbors)
 from pointnerf2studio_tpu.ops.camera import w2pers
-from pointnerf2studio_tpu.ops.compositing import ray_dist_from_sample_z
+from pointnerf2studio_tpu.ops.compositing import (
+    BLEND_FUNCTIONS, TONE_MAPS, ray_dist_from_sample_z)
 from pointnerf2studio_tpu.ops.grid import PointGrid
 from pointnerf2studio_tpu.ops.query import (
     compact_shading_locs, knn_for_locs, knn_from_cache, mask_raypos,
@@ -77,6 +78,7 @@ def render_rays(
     key: Optional[jax.Array] = None,
     training: bool = False,
     prob: bool = False,
+    points_axis: Optional[str] = None,
 ) -> RenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -102,13 +104,21 @@ def render_rays(
         sample_loc_w, sample_mask = compact_shading_locs(raypos, rp_mask, SR)
 
     # Stage 2: global validity compaction across (ray, slot) pairs.
+    # cumsum-rank + scatter rather than a stable argsort — sorts are
+    # the slowest primitive on TPU (measured 16x slower at R=32k,
+    # tools/profile_render2.py); the cumsum keeps the exact same
+    # valid-first, flat-index-ordered selection.
     budget = q.compact_budget if q.compact_budget > 0 else SR
     M = min(R * budget, R * SR)
     flat_mask = sample_mask.reshape(R * SR)
-    order = jnp.argsort(~flat_mask, stable=True).astype(jnp.int32)
-    sel = order[:M]                                           # valid-first
+    rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1        # [R*SR]
+    n_valid = jnp.where(flat_mask.shape[0] > 0,
+                        rank[-1] + 1, 0)
+    dest = jnp.where(flat_mask & (rank < M), rank, M)
+    sel = jnp.zeros((M,), jnp.int32).at[dest].set(
+        jnp.arange(R * SR, dtype=jnp.int32), mode="drop")     # valid-first
+    mask_c = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(n_valid, M)
     locs = sample_loc_w.reshape(R * SR, 3)[sel]               # [M, 3]
-    mask_c = flat_mask[sel]                                   # [M]
     ray_id = sel // SR                                        # [M]
 
     # Stage 3: K-NN + gathers on the compacted set only.
@@ -123,7 +133,7 @@ def render_rays(
             grid, points.xyz, locs, mask_c, q.K, q.radius_limit ** 2,
             q.kernel_size, layered=q.layered_search)          # [M, K]
     pnt_mask = pidx >= 0
-    neigh = gather_neighbors(points, pidx)
+    neigh = gather_neighbors(points, pidx, points_axis=points_axis)
 
     loc_pers_c = w2pers(locs, camrotc2w, campos)              # [M, 3]
     neigh_pers = w2pers(neigh["xyz"], camrotc2w, campos)      # [M, K, 3]
@@ -145,14 +155,42 @@ def render_rays(
     if points.Rw2c.ndim == 3:        # per-point Rw2c (edited scenes)
         rw2c = neigh["Rw2c"]         # [M, K, 3, 3]
         viewdirs = raydirs           # rotation happens per neighbor
+        per_point_rw2c = True
     else:
         rw2c = points.Rw2c
         viewdirs = jnp.sum(raydirs[..., :, None] * points.Rw2c, axis=-2)
-    sigma_c, rgb_c = decode_radiance(
-        params, cfg.agg,
-        neigh_emb=emb, neigh_color=neigh["color"],
-        neigh_dir=neigh["dir"], dists=dists, weight=weight,
-        pnt_mask=pnt_mask, viewdirs=viewdirs[ray_id], Rw2c=rw2c)
+        per_point_rw2c = False
+    vd_sel = viewdirs[ray_id]
+
+    DC = q.decode_chunk
+    if DC and M > DC:
+        # chunk the MLP tower over shading points (see decode_chunk)
+        n = (M + DC - 1) // DC
+        pad = n * DC - M
+
+        def cpad(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                           ).reshape((n, DC) + x.shape[1:])
+
+        mapped = [emb, neigh["color"], neigh["dir"], dists, weight,
+                  pnt_mask, vd_sel] + ([rw2c] if per_point_rw2c else [])
+
+        def one(args):
+            rw = args[7] if per_point_rw2c else rw2c
+            return decode_radiance(
+                params, cfg.agg, neigh_emb=args[0], neigh_color=args[1],
+                neigh_dir=args[2], dists=args[3], weight=args[4],
+                pnt_mask=args[5], viewdirs=args[6], Rw2c=rw)
+
+        sigma_c, rgb_c = jax.lax.map(one, tuple(cpad(x) for x in mapped))
+        sigma_c = sigma_c.reshape(n * DC)[:M]
+        rgb_c = rgb_c.reshape(n * DC, 3)[:M]
+    else:
+        sigma_c, rgb_c = decode_radiance(
+            params, cfg.agg,
+            neigh_emb=emb, neigh_color=neigh["color"],
+            neigh_dir=neigh["dir"], dists=dists, weight=weight,
+            pnt_mask=pnt_mask, viewdirs=vd_sel, Rw2c=rw2c)
 
     # Stage 4: scatter compacted results back to [R, SR] slots.
     slot_ok = mask_c & jnp.any(pnt_mask, axis=-1)             # [M]
@@ -172,10 +210,11 @@ def render_rays(
     trans = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
     trans = jnp.concatenate(
         [jnp.ones(trans.shape[:-1] + (1,), trans.dtype), trans[..., :-1]], -1)
-    blend = opacity * trans                                   # [R, SR]
+    blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)  # [R, SR]
     bg = jnp.asarray(cfg.bg_color, jnp.float32)
     acc = jnp.sum(blend, axis=-1)
     color = jnp.sum(blend[..., None] * rgb, axis=-2) + (1 - acc)[..., None] * bg
+    color = TONE_MAPS[cfg.tonemap_func](color)
     depth = jnp.sum(blend * loc_pers_z, axis=-1)
 
     # Rays whose shading points found no neighbors fall out of the mask

@@ -55,3 +55,51 @@ def alpha_composite(
     acc = jnp.sum(blend, axis=-1)
     color = color + (1.0 - acc)[..., None] * background
     return color, acc
+
+
+def alpha_blend(opacity: jnp.ndarray, acc_transmission: jnp.ndarray) -> jnp.ndarray:
+    """Standard emission-absorption blend weights
+    (reference: diff_render_func.py:36-37)."""
+    return opacity * acc_transmission
+
+
+def alpha2_blend(opacity: jnp.ndarray, acc_transmission: jnp.ndarray) -> jnp.ndarray:
+    """Collocated-light blend: transmission applied twice for the round
+    trip camera->point->camera (reference: diff_render_func.py:40-45)."""
+    return opacity * acc_transmission * acc_transmission
+
+
+def radiance_render(ray_feature: jnp.ndarray) -> jnp.ndarray:
+    """Color channels of the decoded per-slot feature (channels 1:4;
+    reference: diff_render_func.py:49-50)."""
+    return ray_feature[..., 1:4]
+
+
+def white_color(ray_feature: jnp.ndarray) -> jnp.ndarray:
+    """All-white albedo (silhouette renders;
+    reference: diff_render_func.py:53-55)."""
+    return jnp.ones_like(ray_feature[..., 1:4])
+
+
+def simple_tone_map(color: jnp.ndarray, gamma: float = 2.2,
+                    exposure: float = 1.0) -> jnp.ndarray:
+    """Gamma tone map (reference: diff_render_func.py:58-59)."""
+    return jnp.clip(jnp.power(color * exposure + 1e-5, 1.0 / gamma), 0.0, 1.0)
+
+
+def normalize_tone_map(color: jnp.ndarray) -> jnp.ndarray:
+    """L2-normalize color to the unit sphere, remapped to [0, 1]
+    (reference: diff_render_func.py:65-67)."""
+    n = color / jnp.maximum(jnp.linalg.norm(color, axis=-1, keepdims=True),
+                            1e-12)
+    return n * 0.5 + 0.5
+
+
+def no_tone_map(color: jnp.ndarray, **_) -> jnp.ndarray:
+    return color
+
+
+BLEND_FUNCTIONS = {"alpha": alpha_blend, "alpha2": alpha2_blend}
+RENDER_FUNCTIONS = {"radiance": radiance_render, "white": white_color}
+TONE_MAPS = {"gamma": simple_tone_map, "normalize": normalize_tone_map,
+             "off": no_tone_map}

@@ -81,25 +81,30 @@ def compact_shading_locs(
     SR: int,
     extra: Optional[jnp.ndarray] = None,   # [R, D] int payload (e.g. qslot)
 ):
-    """Scatter the first SR masked samples of each ray into fixed slots.
+    """Gather the first SR masked samples of each ray into fixed slots.
 
-    cumsum-rank + scatter, the jit-safe equivalent of `get_shadingloc`
-    (query_worldcoords.cu:192-214 with host-side rank prep at :390-391).
+    jit-safe equivalent of `get_shadingloc` (query_worldcoords.cu:192-214
+    with host-side rank prep at :390-391). Implemented as a per-ray
+    partial sort (`top_k` over the D sample indices) + gather rather
+    than a cumsum + scatter: TPU scatters over the [R, D] domain were
+    the top cost of the whole render step (~1s at R=32k, D=400 —
+    tools/profile_render2.py), while row-wise top_k + row gathers
+    vectorize cleanly.
     Returns (sample_loc_w, sample_mask[, extra_slots]).
     """
     R, D, _ = raypos.shape
-    rank = jnp.cumsum(raypos_mask.astype(jnp.int32), axis=-1)     # 1-based
-    put = raypos_mask & (rank <= SR)
-    slot = jnp.where(put, rank - 1, SR)                           # SR = dropped
-    ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, D))
-    sample_loc_w = jnp.zeros((R, SR, 3), raypos.dtype).at[
-        ray_ids, slot].set(raypos, mode="drop")
-    sample_mask = jnp.zeros((R, SR), jnp.bool_).at[
-        ray_ids, slot].set(put, mode="drop")
+    # valid samples keep their depth index as the key, invalid sort last;
+    # the SR smallest keys are exactly the first SR valid samples in order
+    key = jnp.where(raypos_mask, jnp.arange(D, dtype=jnp.int32), D)
+    neg_top, d_sel = jax.lax.top_k(-key, SR)                      # [R, SR]
+    sample_mask = neg_top > -D
+    sample_loc_w = jnp.take_along_axis(
+        raypos, d_sel[..., None], axis=1
+    ) * sample_mask[..., None].astype(raypos.dtype)
     if extra is None:
         return sample_loc_w, sample_mask
-    extra_slots = jnp.full((R, SR), -1, extra.dtype).at[
-        ray_ids, slot].set(extra, mode="drop")
+    extra_slots = jnp.where(
+        sample_mask, jnp.take_along_axis(extra, d_sel, axis=1), -1)
     return sample_loc_w, sample_mask, extra_slots
 
 
@@ -143,18 +148,21 @@ def _knn_chunk(
     if layered:
         # A shell is searched only if the shells inside it yielded < K
         # candidates (reference early-exit at query_worldcoords.cu:300).
+        # Counts via a small one-hot matmul (MXU) — scatter-adds over
+        # the candidate domain were a top render-step cost.
         shell_per_cand = jnp.repeat(shells, P)                          # [V*P]
-        shell_counts = jnp.zeros((C, num_shells), jnp.int32).at[
-            :, shell_per_cand].add(cand_valid.astype(jnp.int32))
-        before = jnp.cumsum(shell_counts, axis=-1) - shell_counts       # [C, S]
+        onehot = (shell_per_cand[:, None]
+                  == jnp.arange(num_shells)[None, :]).astype(jnp.float32)
+        shell_counts = (cand_valid.astype(jnp.float32) @ onehot
+                        ).astype(jnp.int32)                             # [C, S]
+        before = jnp.cumsum(shell_counts, axis=-1) - shell_counts
         eligible = before[:, shell_per_cand] < K
         cand_valid = cand_valid & eligible
 
     key = jnp.where(cand_valid, d2, jnp.inf)
-    _, top_idx = jax.lax.top_k(-key, K)                                 # [C, K]
-    top_valid = jnp.take_along_axis(cand_valid, top_idx, axis=-1)
+    top_key, top_idx = jax.lax.top_k(-key, K)                           # [C, K]
     top_pidx = jnp.take_along_axis(cand, top_idx, axis=-1)
-    return jnp.where(top_valid, top_pidx, -1)
+    return jnp.where(top_key > -jnp.inf, top_pidx, -1)
 
 
 def mask_raypos_qslot(grid: PointGrid, raypos: jnp.ndarray) -> jnp.ndarray:
@@ -189,21 +197,23 @@ def knn_from_cache(
         ok = ok & (d2 <= radius2)
 
     if layered:
-        # a shell is searched only if inner shells yielded < K candidates
-        M, C = pidx.shape
-        counts = jnp.zeros((M, num_shells), jnp.int32).at[
-            jnp.arange(M)[:, None], jnp.clip(shell, 0, num_shells - 1)
-        ].add(ok.astype(jnp.int32), mode="drop")
-        before = jnp.cumsum(counts, axis=-1) - counts
-        eligible = jnp.take_along_axis(
-            before, jnp.clip(shell, 0, num_shells - 1), axis=-1) < K
+        # a shell is searched only if inner shells yielded < K
+        # candidates. Pure arithmetic per shell — a take_along_axis
+        # gather over the [M, C] candidate domain cost ~770 ms at
+        # bench scale (tools/probe_knn_decode.py), this costs ~nothing
+        # (num_shells is 2-3).
+        eligible = shell == 0
+        before = jnp.zeros(pidx.shape[:1] + (1,), jnp.int32)
+        for s in range(1, num_shells):
+            before = before + jnp.sum(
+                (ok & (shell == s - 1)).astype(jnp.int32), -1, keepdims=True)
+            eligible = eligible | ((shell == s) & (before < K))
         ok = ok & eligible
 
     key = jnp.where(ok, d2, jnp.inf)
-    _, top = jax.lax.top_k(-key, K)
-    top_ok = jnp.take_along_axis(ok, top, axis=-1)
+    top_key, top = jax.lax.top_k(-key, K)
     top_pidx = jnp.take_along_axis(pidx, top, axis=-1)
-    return jnp.where(top_ok, top_pidx, -1)
+    return jnp.where(top_key > -jnp.inf, top_pidx, -1)
 
 
 def knn_for_locs(

@@ -40,6 +40,59 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices[:n]), ("rays",))
 
 
+def make_mesh_2d(n_rays: int, n_points: int) -> Mesh:
+    """2-D mesh for ray-parallel x point-parallel execution.
+
+    Chip (i, j) processes ray shard i against point-attribute shard j;
+    the neighbor-attribute gather completes with a psum over "points"
+    (models/neural_points.py gather_neighbors). Use when the point
+    features + Adam moments of a multi-million-point scene exceed one
+    chip's HBM headroom (SURVEY.md §6 hard part 6).
+    """
+    devices = jax.devices()
+    n = n_rays * n_points
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(n_rays, n_points),
+                ("rays", "points"))
+
+
+def _points_axis(mesh: Mesh) -> Optional[str]:
+    return "points" if "points" in mesh.axis_names else None
+
+
+def cloud_pspec(sharded: bool):
+    """PartitionSpec pytree for a NeuralPointCloud: geometry replicated,
+    trainable attribute rows sharded over "points" when requested."""
+    from pointnerf2studio_tpu.models.neural_points import NeuralPointCloud
+    attr = P("points") if sharded else P()
+    return NeuralPointCloud(
+        xyz=P(), points_embeding=attr, points_conf=attr,
+        points_dir=attr, points_color=attr, Rw2c=P(), alive=P())
+
+
+def state_pspec(state: TrainState, mesh: Mesh):
+    """PartitionSpec pytree matching a TrainState: params + fields-opt
+    replicated; point attrs and their Adam moments row-sharded over
+    "points" when the mesh has that axis."""
+    sharded = _points_axis(mesh) is not None
+    cap = state.points.capacity
+
+    def opt_spec(x):
+        if (sharded and hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] == cap):
+            return P("points")
+        return P()
+
+    return TrainState(
+        params=jax.tree.map(lambda _: P(), state.params),
+        points=cloud_pspec(sharded),
+        opt_state_fields=jax.tree.map(lambda _: P(), state.opt_state_fields),
+        opt_state_points=jax.tree.map(opt_spec, state.opt_state_points),
+        step=P(),
+    )
+
+
 def ray_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("rays"))
 
@@ -60,18 +113,25 @@ def make_sharded_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     compositing) device-local — zero collectives in the forward. Points,
     grid and params are replicated per chip.
     """
+    pts_axis = _points_axis(mesh)
+
     def local(params, points, grid, campos, camrotc2w, raydirs, near, far):
         return render_rays(params, points, grid, campos, camrotc2w,
-                           raydirs, near, far, cfg, training=False)
+                           raydirs, near, far, cfg, training=False,
+                           points_axis=pts_axis)
 
     fn = _shard_map(
         local, mesh,
-        in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P()),
+        in_specs=(P(), cloud_pspec(pts_axis is not None), P(), P(), P(),
+                  P("rays"), P(), P()),
         out_specs=P("rays"))
     return jax.jit(fn)
 
 
-def make_sharded_train_step(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
+def make_sharded_train_step(
+    cfg: PointNerfConfig, mesh: Mesh,
+    example_state: Optional[TrainState] = None,
+) -> Callable:
     """Full training step over the mesh.
 
     Inside `shard_map`: local forward on this chip's ray shard, loss
@@ -79,15 +139,31 @@ def make_sharded_train_step(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     params psum'd — the explicit form of the gradient all-reduce the
     reference got from DDP/NCCL (studio_pipeline.py:48-53). The
     optimizer update runs identically on every chip.
+
+    On a 2-D mesh (make_mesh_2d) the point attributes + their Adam
+    moments are additionally row-sharded over "points": each chip
+    updates only its shard (its gradient scatter covers exactly its
+    rows), so optimizer memory scales down with the axis size.
+    `example_state` is required then (to shape the opt-state specs).
     """
     tx_f, tx_p = make_optimizers(cfg)
+    pts_axis = _points_axis(mesh)
+    if pts_axis is None:
+        state_spec = P()
+    else:
+        if example_state is None:
+            raise ValueError("2-D mesh needs example_state for specs")
+        state_spec = state_pspec(example_state, mesh)
 
     def local_step(state: TrainState, grid, campos, camrotc2w, raydirs,
                    gt_rgb, near, far, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
+
         def loss_fn(params, point_trainables):
             points = state.points.with_trainable(point_trainables)
             out = render_rays(params, points, grid, campos, camrotc2w,
-                              raydirs, near, far, cfg, key=key, training=True)
+                              raydirs, near, far, cfg, key=key,
+                              training=True, points_axis=pts_axis)
             total, aux = compute_losses(
                 out, gt_rgb, cfg.train, psum_axis="rays")
             return total, aux
@@ -114,6 +190,7 @@ def make_sharded_train_step(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
 
     fn = _shard_map(
         local_step, mesh,
-        in_specs=(P(), P(), P(), P(), P("rays"), P("rays"), P(), P(), P()),
-        out_specs=(P(), P()))
+        in_specs=(state_spec, P(), P(), P(), P("rays"), P("rays"),
+                  P(), P(), P()),
+        out_specs=(state_spec, P()))
     return jax.jit(fn)

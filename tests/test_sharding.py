@@ -9,7 +9,7 @@ from pointnerf2studio_tpu.data.synthetic import (
     camera_rays, make_sphere_scene, sphere_config)
 from pointnerf2studio_tpu.models.render import render_rays_jit
 from pointnerf2studio_tpu.parallel.sharding import (
-    make_mesh, make_sharded_render, make_sharded_train_step)
+    make_mesh, make_mesh_2d, make_sharded_render, make_sharded_train_step)
 from pointnerf2studio_tpu.train.trainer import create_train_state
 
 
@@ -55,6 +55,84 @@ def test_sharded_train_step_runs_and_learns(scene):
     assert int(state.step) == 5
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_point_sharded_render_matches_single(scene):
+    """2-D rays x points mesh: the psum-completed attribute gather must
+    reproduce the replicated render exactly."""
+    mesh = make_mesh_2d(4, 2)
+    raydirs = camera_rays(scene.campos, scene.camrotc2w, 16, 16, 12.0)
+    render2d = make_sharded_render(scene.cfg, mesh)
+    out2d = render2d(scene.params, scene.cloud, scene.grid, scene.campos,
+                     scene.camrotc2w, raydirs,
+                     jnp.asarray(scene.near), jnp.asarray(scene.far))
+    out1 = render_rays_jit(scene.params, scene.cloud, scene.grid,
+                           scene.campos, scene.camrotc2w, raydirs,
+                           scene.near, scene.far, scene.cfg)
+    np.testing.assert_allclose(
+        np.asarray(out2d.coarse_raycolor), np.asarray(out1.coarse_raycolor),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out2d.ray_mask), np.asarray(out1.ray_mask))
+
+
+def test_point_sharded_train_step_learns():
+    """Runs in a FRESH interpreter: the XLA CPU runtime aborts the
+    process when this collective-grad program executes in a pytest
+    worker that has already run other test modules (upstream runtime
+    issue — the identical program passes standalone and inside
+    dryrun_multichip). Subprocess isolation keeps the suite green
+    while still executing the real 2-D point-sharded step."""
+    import subprocess
+    import sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/pn2s_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from pointnerf2studio_tpu.data.synthetic import (
+    camera_rays, make_sphere_scene, sphere_config)
+from pointnerf2studio_tpu.models.render import render_rays_jit
+from pointnerf2studio_tpu.parallel.sharding import (
+    make_mesh_2d, make_sharded_train_step)
+from pointnerf2studio_tpu.train.trainer import create_train_state
+
+scene = make_sphere_scene(n_points=2_000, cfg=sphere_config(sr=8, d=32))
+mesh = make_mesh_2d(4, 2)
+state = create_train_state(scene.params, scene.cloud, scene.cfg)
+step_fn = make_sharded_train_step(scene.cfg, mesh, example_state=state)
+raydirs = camera_rays(scene.campos, scene.camrotc2w, 16, 16, 12.0)
+gt = jnp.ones((256, 3), jnp.float32) * 0.3
+losses = []
+for s in range(5):
+    state, aux = step_fn(state, scene.grid, scene.campos,
+                         scene.camrotc2w, raydirs, gt,
+                         jnp.asarray(scene.near), jnp.asarray(scene.far),
+                         jax.random.PRNGKey(s))
+    losses.append(float(aux["total"]))
+assert all(np.isfinite(losses)), losses
+assert losses[-1] < losses[0], losses
+out = render_rays_jit(state.params, state.points, scene.grid,
+                      scene.campos, scene.camrotc2w, raydirs,
+                      scene.near, scene.far, scene.cfg)
+assert np.all(np.isfinite(np.asarray(out.coarse_raycolor)))
+print("LEARNS_OK", losses[0], losses[-1])
+"""
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert "LEARNS_OK" in r.stdout
 
 
 def test_graft_entry_compiles():

@@ -1,4 +1,8 @@
-"""Stage timing v2: the candidate-cache render pipeline at bench scale."""
+"""Stage timing v2: the candidate-cache render pipeline at bench scale.
+
+Scene state (grid/cloud/params) is passed as jit ARGUMENTS — closing
+over it bakes the 1-4 GB candidate cache into each executable as a
+constant (slow compiles, duplicated HBM)."""
 
 import os
 import sys
@@ -14,7 +18,7 @@ from pointnerf2studio_tpu.config import (
     AggregatorConfig, PointNerfConfig, QueryConfig)
 from pointnerf2studio_tpu.data.synthetic import camera_rays, make_sphere_scene
 from pointnerf2studio_tpu.models.aggregator import (
-    decode_radiance, inverse_distance_weight)
+    aggregation_weight, decode_radiance)
 from pointnerf2studio_tpu.models.neural_points import gather_neighbors
 from pointnerf2studio_tpu.ops.camera import w2pers
 from pointnerf2studio_tpu.ops.query import (
@@ -23,11 +27,12 @@ from pointnerf2studio_tpu.ops.raygen import near_far_linear_ray_generation
 
 
 def timed(fn, *args, n=5):
-    jax.device_get(fn(*args))
+    out = fn(*args)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.device_get(jax.tree.leaves(out)[0][:1])
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n, out
 
 
@@ -36,7 +41,7 @@ def main():
         query=QueryConfig(
             vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
             SR=80, K=8, P=12, max_o=700_000, z_depth_dim=400,
-            compact_budget=16),
+            compact_budget=16, max_q=1_000_000),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     q = cfg.query
@@ -51,71 +56,77 @@ def main():
     raydirs = jnp.concatenate([rd] * (R // rd.shape[0] + 1))[:R]
     grid, cloud, params = scene.grid, scene.cloud, scene.params
     near, far = jnp.asarray(1.1), jnp.asarray(2.9)
+    campos, camrot = scene.campos, scene.camrotc2w
     base, _ = timed(jax.jit(lambda x: x + 1), jnp.zeros(8))
     print(f"dispatch baseline: {base*1e3:.1f} ms  R={R}")
 
     M = R * q.compact_budget
 
     @jax.jit
-    def stage1(raydirs):
+    def stage1(grid, raydirs):
         raypos, _, _ = near_far_linear_ray_generation(
-            scene.campos, raydirs, q.z_depth_dim, near=near, far=far)
+            campos, raydirs, q.z_depth_dim, near=near, far=far)
         qs = mask_raypos_qslot(grid, raypos)
         m = qs >= 0
         loc, sm, qss = compact_shading_locs(raypos, m, q.SR, extra=qs)
         flat_m = sm.reshape(-1)
-        order = jnp.argsort(~flat_m, stable=True).astype(jnp.int32)
-        sel = order[:M]
-        return (loc.reshape(-1, 3)[sel], flat_m[sel],
+        rank = jnp.cumsum(flat_m.astype(jnp.int32)) - 1
+        n_valid = rank[-1] + 1
+        dest = jnp.where(flat_m & (rank < M), rank, M)
+        sel = jnp.zeros((M,), jnp.int32).at[dest].set(
+            jnp.arange(flat_m.shape[0], dtype=jnp.int32), mode="drop")
+        mask_c = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(n_valid, M)
+        return (loc.reshape(-1, 3)[sel], mask_c,
                 qss.reshape(-1)[sel], sel)
 
-    t1, (locs, mask_c, qslot, sel) = timed(stage1, raydirs)
+    t1, (locs, mask_c, qslot, sel) = timed(stage1, grid, raydirs)
     print(f"stage1 raygen+mask+compact: {(t1-base)*1e3:.1f} ms  "
           f"valid={int(mask_c.sum())}/{M}")
 
     @jax.jit
-    def stage1a(raydirs):
+    def stage1a(grid, raydirs):
         raypos, _, _ = near_far_linear_ray_generation(
-            scene.campos, raydirs, q.z_depth_dim, near=near, far=far)
+            campos, raydirs, q.z_depth_dim, near=near, far=far)
         return mask_raypos_qslot(grid, raypos)
 
-    t1a, _ = timed(stage1a, raydirs)
+    t1a, _ = timed(stage1a, grid, raydirs)
     print(f"  (raygen+qslot gather only): {(t1a-base)*1e3:.1f} ms")
 
     @jax.jit
-    def stage2(qslot, locs, mask_c):
+    def stage2(grid, qslot, locs, mask_c):
         return knn_from_cache(grid, qslot, locs, mask_c, q.K,
                               q.radius_limit ** 2, 2, True)
 
-    t2, pidx = timed(stage2, qslot, locs, mask_c)
+    t2, pidx = timed(stage2, grid, qslot, locs, mask_c)
     print(f"stage2 cache knn:           {(t2-base)*1e3:.1f} ms  "
           f"found={int((pidx >= 0).sum())}")
 
     @jax.jit
-    def stage3a(pidx):
+    def stage3a(cloud, pidx):
         return gather_neighbors(cloud, pidx)
 
-    t3a, neigh = timed(stage3a, pidx)
+    t3a, neigh = timed(stage3a, cloud, pidx)
     print(f"stage3a attr gathers:       {(t3a-base)*1e3:.1f} ms")
 
     @jax.jit
-    def stage3b(neigh, pidx, locs, qslot):
+    def stage3b(params, cloud, neigh, pidx, locs, sel):
         pnt_mask = pidx >= 0
-        loc_pers = w2pers(locs, scene.camrotc2w, scene.campos)
-        neigh_pers = w2pers(neigh["xyz"], scene.camrotc2w, scene.campos)
+        loc_pers = w2pers(locs, camrot, campos)
+        neigh_pers = w2pers(neigh["xyz"], camrot, campos)
         lp = loc_pers[..., None, :]
         pdist = jnp.stack(
             [neigh_pers[..., 0] * neigh_pers[..., 2] - lp[..., 0] * lp[..., 2],
              neigh_pers[..., 1] * neigh_pers[..., 2] - lp[..., 1] * lp[..., 2],
              neigh_pers[..., 2] - lp[..., 2]], -1)
         dists = jnp.concatenate([neigh["xyz"] - locs[..., None, :], pdist], -1)
-        weight = inverse_distance_weight(dists, pnt_mask)
+        weight, emb = aggregation_weight(
+            cfg.agg, neigh["embeding"], dists, pnt_mask, max(q.scaled_vsize))
         vd = raydirs[(sel // q.SR)]
-        return decode_radiance(params, cfg.agg, neigh["embeding"],
+        return decode_radiance(params, cfg.agg, emb,
                                neigh["color"], neigh["dir"], dists, weight,
                                pnt_mask, vd, cloud.Rw2c)
 
-    t3b, _ = timed(stage3b, neigh, pidx, locs, qslot)
+    t3b, _ = timed(stage3b, params, cloud, neigh, pidx, locs, sel)
     print(f"stage3b mlp tower:          {(t3b-base)*1e3:.1f} ms")
 
     total = (t1 - base) + (t2 - base) + (t3a - base) + (t3b - base)
