@@ -124,6 +124,26 @@ def cmd_gen_points(args):
     import jax
 
     cfg = get_preset(args.scene)
+
+    if args.from_ply:
+        # COLMAP/PLY initialization path (reference w_colmap_n360
+        # family: load_init_points, nerf_synth360_ft_dataset.py:358-375)
+        from pointnerf2studio_tpu.data.pointcloud_init import (
+            init_cloud_from_points, load_ply)
+        d = load_ply(args.from_ply)
+        cloud = init_cloud_from_points(
+            d["xyz"], d["color"], feat_dim=cfg.agg.point_features_dim,
+            vox_res=args.vox_res, ranges=cfg.query.ranges,
+            capacity=args.capacity)
+        params = cio.import_aggregator_params(
+            cio.load_torch_state_dict(args.init_mlp)) if args.init_mlp \
+            else init_aggregator_params(jax.random.PRNGKey(0), cfg.agg)
+        os.makedirs(args.out, exist_ok=True)
+        out_path = os.path.join(args.out, "0_net_ray_marching.pth")
+        cio.export_torch_checkpoint(params, cloud, out_path)
+        print("wrote", out_path)
+        return
+
     ds = load_blender(args.data, "train", factor=args.factor)
     mvs_params = load_mvsnet_params(args.mvsnet_ckpt)
     fpn_params = load_fpn_params(args.fpn_ckpt)
@@ -194,8 +214,11 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("gen-points")
     common(g)
     g.add_argument("--out", required=True)
-    g.add_argument("--mvsnet-ckpt", required=True)
-    g.add_argument("--fpn-ckpt", required=True)
+    g.add_argument("--mvsnet-ckpt", default=None)
+    g.add_argument("--fpn-ckpt", default=None)
+    g.add_argument("--from-ply", default=None,
+                   help="init from a COLMAP/PLY point cloud instead of "
+                        "running MVSNet")
     g.add_argument("--init-mlp", default=None)
     g.add_argument("--num-src", type=int, default=2)
     g.add_argument("--max-batches", type=int, default=None)

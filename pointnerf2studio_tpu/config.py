@@ -86,6 +86,12 @@ class AggregatorConfig:
     num_feat_freqs: int = 3
     num_dist_freqs: int = 5
     agg_dist_pers: int = 20
+    # Aggregation order (reference point_aggregators.py:605-660):
+    # 0 = aggregate embeddings over K before one per-slot MLP (no dist
+    #     features; requires point_color_mode/point_dir_mode off),
+    # 1 = per-K MLP, aggregate features, then density+color per slot,
+    # 2 = per-K density (weighted-summed) + aggregated-feature color.
+    agg_intrp_order: int = 2
     point_features_dim: int = 32
     point_color_mode: bool = True
     point_dir_mode: bool = True
@@ -98,6 +104,12 @@ class AggregatorConfig:
     act_super: bool = False
     # Compute dtype of the MLP tower (params stay float32).
     compute_dtype: str = "float32"
+    # Opt-in: the fused Pallas decode kernel (ops/fused_decode.py) for
+    # rendering on TPU. Measured SLOWER than the XLA decoder on v5e
+    # (86 vs 51 ms per 262k slots, tools/probe_knn_decode.py) — XLA's
+    # fusion already keeps this workload near its HBM bound — so it is
+    # off by default and kept as a parity-tested experiment.
+    fused_decode: bool = False
     # Aggregation weight kernel (reference `agg_distance_kernel`,
     # point_aggregators.py:353-483): linear | numlinear | quadric |
     # numquadric | avg | trilinear | sh_intrp | gau_intrp.

@@ -64,8 +64,13 @@ def scannet_config(scene: str = "scene0241_01", **overrides) -> PointNerfConfig:
         z_depth_dim=400, SR=24, K=8, max_o=610_000, P=12)
     cfg = PointNerfConfig(
         query=query,
-        # scene241_points.sh: no pruning, prob 10000/0.7/x0.4
-        train=TrainConfig(prob_freq=10_000, prob_thresh=0.7, prob_mul=0.4),
+        # scene241_points.sh: no pruning, prob 10000/0.7/x0.4; ray_miss
+        # tracked at weight 0 for probe-frame ranking
+        train=TrainConfig(
+            prob_freq=10_000, prob_thresh=0.7, prob_mul=0.4,
+            color_loss_items=("ray_masked_coarse_raycolor",
+                              "ray_miss_coarse_raycolor"),
+            color_loss_weights=(1.0, 0.0)),
         near_plane=0.1, far_plane=8.0,
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg

@@ -50,6 +50,10 @@ def _mlp_dims(cfg: AggregatorConfig) -> Dict[str, List[Tuple[int, int]]]:
     dist_dim = cfg.dist_dim
     dist_pe = 2 * cfg.num_dist_freqs * dist_dim if cfg.num_dist_freqs else dist_dim
     feat_dim = cfg.shading_feature_dim
+    if cfg.agg_intrp_order == 0:
+        # order 0 feeds [agg_emb, PE(agg_emb)] only — no dist features
+        # (reference point_aggregators.py:531-536)
+        dist_pe = 0
     base_in = 2 * cfg.num_feat_freqs * feat_dim + dist_pe + feat_dim
     head_in = (cfg.hidden_size + (3 if cfg.point_color_mode else 0)
                + (4 if cfg.point_dir_mode else 0))
@@ -221,40 +225,73 @@ def decode_radiance(
     M, K, _ = neigh_emb.shape
     dtype = jnp.dtype(cfg.compute_dtype)
     per_point = Rw2c.ndim == 4
+    order = cfg.agg_intrp_order
 
     dir_enc = positional_encoding(viewdirs, cfg.num_viewdir_freqs, ori=True)
     ori_viewdirs, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]      # [M,3],[M,24]
-
-    # world part of dists rotated into the (editing) frame
-    dists_w = jnp.sum(dists[..., :3, None] * Rw2c, axis=-2)
-    dists_rot = jnp.concatenate([dists_w, dists[..., 3:]], axis=-1)
-    dists_pe = positional_encoding(dists_rot, cfg.num_dist_freqs)   # [M,K,60]
-
-    # cast before the concat so the [M, K, 284] activation tensor is
-    # materialized in the compute dtype (halves HBM traffic in bf16)
-    feat = jnp.concatenate(
-        [neigh_emb.astype(dtype),
-         positional_encoding(neigh_emb, cfg.num_feat_freqs).astype(dtype),
-         dists_pe.astype(dtype)], axis=-1)
-    feat = _mlp(params["mlp_base"], feat, dtype)                    # [M,K,256]
-
-    extras = [feat]
-    if cfg.point_color_mode:
-        extras.append(neigh_color.astype(dtype))
-    if cfg.point_dir_mode:
-        ndir = jnp.sum(neigh_dir[..., :, None] * Rw2c, axis=-2)
-        if per_point:
-            ov = jnp.sum(ori_viewdirs[:, None, :, None] * Rw2c, axis=-2)
-        else:
-            ov = ori_viewdirs[:, None, :]                           # [M,1,3]
-        extras.append((ndir - ov).astype(dtype))
-        extras.append(jnp.sum(ndir * ov, axis=-1, keepdims=True).astype(dtype))
-    feat = _mlp(params["mlp_head"], jnp.concatenate(extras, axis=-1), dtype)
-
-    alpha = jax.nn.relu(_linear_head(params["density_head"][0], feat, dtype))
     w = (weight * pnt_mask.astype(weight.dtype))[..., None].astype(dtype)
-    sigma = jnp.sum(alpha * w, axis=-2)[..., 0]                     # [M]
-    agg_feat = jnp.sum(feat * w, axis=-2)                           # [M, 256]
+
+    if order == 0:
+        # aggregate embeddings over K FIRST; no distance features
+        # (reference point_aggregators.py:531-536)
+        if cfg.point_color_mode or cfg.point_dir_mode:
+            raise ValueError("agg_intrp_order=0 requires point color/dir "
+                             "modes off (per-K inputs have no per-slot "
+                             "aggregation in the reference either)")
+        agg_emb = jnp.sum(neigh_emb.astype(dtype) * w, axis=-2)     # [M, C]
+        feat = jnp.concatenate(
+            [agg_emb,
+             positional_encoding(agg_emb, cfg.num_feat_freqs)], axis=-1)
+        feat = _mlp(params["mlp_base"], feat, dtype)                # [M, 256]
+        feat = _mlp(params["mlp_head"], feat, dtype)
+        alpha = jax.nn.relu(
+            _linear_head(params["density_head"][0], feat, dtype))
+        sigma = alpha[..., 0]
+        agg_feat = feat
+    else:
+        # world part of dists rotated into the (editing) frame
+        dists_w = jnp.sum(dists[..., :3, None] * Rw2c, axis=-2)
+        dists_rot = jnp.concatenate([dists_w, dists[..., 3:]], axis=-1)
+
+        # encodings computed directly in the compute dtype: the PE
+        # intermediates are the largest activations of the whole step
+        # ([M, K, 192]), and bf16 sin/cos is plenty for encodings
+        emb_c = neigh_emb.astype(dtype)
+        dists_pe = positional_encoding(
+            dists_rot.astype(dtype), cfg.num_dist_freqs)
+        feat = jnp.concatenate(
+            [emb_c,
+             positional_encoding(emb_c, cfg.num_feat_freqs),
+             dists_pe], axis=-1)
+        feat = _mlp(params["mlp_base"], feat, dtype)                # [M,K,256]
+
+        extras = [feat]
+        if cfg.point_color_mode:
+            extras.append(neigh_color.astype(dtype))
+        if cfg.point_dir_mode:
+            ndir = jnp.sum(neigh_dir[..., :, None] * Rw2c, axis=-2)
+            if per_point:
+                ov = jnp.sum(ori_viewdirs[:, None, :, None] * Rw2c, axis=-2)
+            else:
+                ov = ori_viewdirs[:, None, :]                       # [M,1,3]
+            extras.append((ndir - ov).astype(dtype))
+            extras.append(
+                jnp.sum(ndir * ov, axis=-1, keepdims=True).astype(dtype))
+        feat = _mlp(params["mlp_head"], jnp.concatenate(extras, -1), dtype)
+
+        if order == 1:
+            # aggregate features, then one density eval per slot
+            # (reference point_aggregators.py:592-604)
+            agg_feat = jnp.sum(feat * w, axis=-2)                   # [M, 256]
+            alpha = jax.nn.relu(
+                _linear_head(params["density_head"][0], agg_feat, dtype))
+            sigma = alpha[..., 0]
+        else:
+            # order 2: per-K density, weighted-summed
+            alpha = jax.nn.relu(
+                _linear_head(params["density_head"][0], feat, dtype))
+            sigma = jnp.sum(alpha * w, axis=-2)[..., 0]             # [M]
+            agg_feat = jnp.sum(feat * w, axis=-2)                   # [M, 256]
 
     color_in = jnp.concatenate([agg_feat, dir_pe.astype(dtype)], axis=-1)
     cfeat = _mlp(params["mlp_color"], color_in, dtype)

@@ -162,8 +162,51 @@ def render_rays(
         per_point_rw2c = False
     vd_sel = viewdirs[ray_id]
 
+    from pointnerf2studio_tpu.ops.fused_decode import (
+        fused_decode, fused_decode_eligible)
+    use_fused = (cfg.agg.fused_decode and not training
+                 and fused_decode_eligible(cfg.agg, per_point_rw2c, q.K)
+                 and jax.default_backend() == "tpu")
+
     DC = q.decode_chunk
-    if DC and M > DC:
+    if use_fused:
+        from pointnerf2studio_tpu.ops.encoding import positional_encoding
+        dists_rot = jnp.concatenate(
+            [dists[..., :3] @ rw2c, dists[..., 3:]], axis=-1)
+        dir_enc = positional_encoding(
+            vd_sel, cfg.agg.num_viewdir_freqs, ori=True)
+        ov, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]
+        ndir = neigh["dir"] @ rw2c
+        dirdot = jnp.concatenate(
+            [ndir - ov[:, None, :],
+             jnp.sum(ndir * ov[:, None, :], -1, keepdims=True)], axis=-1)
+        wk = weight * pnt_mask.astype(weight.dtype)
+
+        def run_fused(args):
+            return fused_decode(
+                params, args[0], args[1], args[2], args[3], args[4],
+                args[5], K=q.K,
+                num_feat_freqs=cfg.agg.num_feat_freqs,
+                num_dist_freqs=cfg.agg.num_dist_freqs)
+
+        fargs = (emb, dists_rot, neigh["color"], dirdot, wk, dir_pe)
+        if DC and M > DC:
+            # same decode_chunk workaround as the XLA path: the v5e
+            # backend regalloc fails on the >=512k-row XLA tail
+            n = (M + DC - 1) // DC
+            pad = n * DC - M
+
+            def cpad(x):
+                return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                               ).reshape((n, DC) + x.shape[1:])
+
+            sigma_c, rgb_c = jax.lax.map(
+                run_fused, tuple(cpad(x) for x in fargs))
+            sigma_c = sigma_c.reshape(n * DC)[:M]
+            rgb_c = rgb_c.reshape(n * DC, 3)[:M]
+        else:
+            sigma_c, rgb_c = run_fused(fargs)
+    elif DC and M > DC:
         # chunk the MLP tower over shading points (see decode_chunk)
         n = (M + DC - 1) // DC
         pad = n * DC - M

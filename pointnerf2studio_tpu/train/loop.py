@@ -71,6 +71,10 @@ def fit(
     sampler = PixelSampler(dataset, cfg.train.rays_per_batch, seed=seed)
     key = jax.random.PRNGKey(seed)
     t = cfg.train
+    # Per-view ray-miss loss ranking for probe-frame selection
+    # (reference: mvs_points_volumetric_model.update_rank_ray_miss
+    # :134-153 — probe the frames the model misses the most).
+    miss_rank: Dict[int, float] = {}
 
     for step in range(1, max_steps + 1):
         b = sampler.next_batch()
@@ -82,6 +86,9 @@ def fit(
             jnp.asarray(b["near"], jnp.float32),
             jnp.asarray(b["far"], jnp.float32), sub)
         logger.accumulate({k: v for k, v in aux.items()})
+        if "ray_miss_coarse_raycolor_loss" in aux:
+            miss_rank[b["view"]] = float(
+                aux["ray_miss_coarse_raycolor_loss"])
 
         if step % print_freq == 0:
             n_alive = int(np.asarray(state.points.num_alive))
@@ -100,8 +107,17 @@ def fit(
         if t.prob_freq > 0 and step % t.prob_freq == 0:
             from pointnerf2studio_tpu.train.grow import probe_and_grow
             n_views = max(1, dataset.num_views // t.prob_num_step)
-            probe_views = list(np.random.default_rng(step).permutation(
-                dataset.num_views)[:n_views])
+            if miss_rank:
+                # worst ray-miss frames first; random fill-up
+                ranked = sorted(miss_rank, key=miss_rank.get, reverse=True)
+                probe_views = ranked[:n_views]
+                miss_rank.clear()   # reset_ray_miss_ranking (:164-167)
+            else:
+                probe_views = []
+            if len(probe_views) < n_views:
+                rest = [v for v in np.random.default_rng(step).permutation(
+                    dataset.num_views) if v not in probe_views]
+                probe_views += list(rest[:n_views - len(probe_views)])
             state, grid, n_new = probe_and_grow(
                 cfg, state, grid, dataset, views=probe_views,
                 chunk=eval_chunk, opacity_thresh=t.prob_thresh,

@@ -1,0 +1,72 @@
+"""PLY loading + bare-geometry cloud initialization."""
+
+import numpy as np
+import pytest
+
+from pointnerf2studio_tpu.data.pointcloud_init import (
+    init_cloud_from_points, load_ply)
+
+PTS = np.array([[0.1, 0.2, 0.3], [0.4, 0.5, 0.6], [-0.1, -0.2, -0.3],
+                [0.9, 0.8, 0.7]], np.float32)
+COL = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [128, 128, 128]],
+               np.uint8)
+
+
+def write_ascii(path):
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat ascii 1.0\n")
+        f.write(b"element vertex 4\n")
+        for p in "xyz":
+            f.write(f"property float {p}\n".encode())
+        for c in ("red", "green", "blue"):
+            f.write(f"property uchar {c}\n".encode())
+        f.write(b"end_header\n")
+        for p, c in zip(PTS, COL):
+            f.write((" ".join(f"{v:.6f}" for v in p) + " "
+                     + " ".join(str(int(v)) for v in c) + "\n").encode())
+
+
+def write_binary(path):
+    dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                   ("red", "u1"), ("green", "u1"), ("blue", "u1")])
+    rec = np.zeros(4, dt)
+    rec["x"], rec["y"], rec["z"] = PTS.T
+    rec["red"], rec["green"], rec["blue"] = COL.T
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex 4\n")
+        for p in "xyz":
+            f.write(f"property float {p}\n".encode())
+        for c in ("red", "green", "blue"):
+            f.write(f"property uchar {c}\n".encode())
+        f.write(b"end_header\n")
+        f.write(rec.tobytes())
+
+
+@pytest.mark.parametrize("writer", [write_ascii, write_binary])
+def test_load_ply(tmp_path, writer):
+    p = str(tmp_path / "cloud.ply")
+    writer(p)
+    d = load_ply(p)
+    np.testing.assert_allclose(d["xyz"], PTS, atol=1e-5)
+    np.testing.assert_allclose(d["color"][0], [1.0, 0.0, 0.0], atol=1e-2)
+
+
+def test_init_cloud(tmp_path):
+    write_binary(str(tmp_path / "c.ply"))
+    d = load_ply(str(tmp_path / "c.ply"))
+    cloud = init_cloud_from_points(d["xyz"], d["color"], feat_dim=16,
+                                   capacity=8)
+    assert cloud.capacity == 8
+    assert int(np.asarray(cloud.num_alive)) == 4
+    assert cloud.points_embeding.shape == (8, 16)
+    np.testing.assert_allclose(np.asarray(cloud.xyz[:4]), PTS, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cloud.points_conf[:4]), 0.3)
+
+
+def test_init_cloud_range_filter():
+    cloud = init_cloud_from_points(
+        PTS, None, feat_dim=8,
+        ranges=(-0.5, -0.5, -0.5, 0.5, 0.5, 0.5))
+    # point (0.9, 0.8, 0.7) and (0.4,0.5,0.6)? 0.5<=0.5 kept; 0.6 > 0.5
+    assert int(np.asarray(cloud.num_alive)) == 2

@@ -141,9 +141,64 @@ def main():
         except Exception as e:
             print(f"decode M={mm} {dtype}: FAIL {str(e)[:120]}", flush=True)
 
-    for mm, dtype in ((M, "bfloat16"), (M, "float32"), (M // 2, "bfloat16")):
+    for mm, dtype in ((M // 2, "bfloat16"),):
         try_decode(mm, dtype)
+    probe_fused(scene, cfg, locs, mask_c, pidx, sel, raydirs)
 
+
+
+def probe_fused(scene, cfg, locs, mask_c, pidx, sel, raydirs):
+    """Compare XLA decode vs fused kernel at fixed M (append-mode probe)."""
+    import dataclasses
+    from pointnerf2studio_tpu.ops.encoding import positional_encoding
+    from pointnerf2studio_tpu.ops.fused_decode import fused_decode
+
+    q = cfg.query
+    cloud, params = scene.cloud, scene.params
+    neigh = jax.jit(lambda c, p: gather_neighbors(c, p))(cloud, pidx)
+    jax.block_until_ready(neigh["xyz"])
+    mm = 262144
+    agg = dataclasses.replace(cfg.agg, compute_dtype="bfloat16")
+
+    dists = jnp.concatenate(
+        [neigh["xyz"] - locs[..., None, :],
+         neigh["xyz"] - locs[..., None, :]], -1)[:mm]
+    emb = neigh["embeding"][:mm]
+    colorv = neigh["color"][:mm]
+    ndir = neigh["dir"][:mm]
+    pm = (pidx >= 0)[:mm]
+    w = jnp.ones(pm.shape, jnp.float32) / 8.0
+    vd = raydirs[(sel // q.SR)][:mm]
+
+    @jax.jit
+    def xla_decode(emb, colorv, ndir, dists, w, pm, vd):
+        from pointnerf2studio_tpu.models.aggregator import decode_radiance
+        return decode_radiance(params, agg, emb, colorv, ndir, dists, w,
+                               pm, vd, cloud.Rw2c)
+
+    t, _ = timed(xla_decode, emb, colorv, ndir, dists, w, pm, vd)
+    print(f"decode XLA   M={mm}: {t*1e3:.1f} ms", flush=True)
+
+    dir_enc = positional_encoding(vd, agg.num_viewdir_freqs, ori=True)
+    ov, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]
+    dirdot = jnp.concatenate(
+        [ndir - ov[:, None, :],
+         jnp.sum(ndir * ov[:, None, :], -1, keepdims=True)], -1)
+
+    @jax.jit
+    def fused(emb, dists, colorv, dirdot, wk, dir_pe):
+        return fused_decode(params, emb, dists, colorv, dirdot, wk,
+                            dir_pe, K=q.K,
+                            num_feat_freqs=agg.num_feat_freqs,
+                            num_dist_freqs=agg.num_dist_freqs)
+
+    t, _ = timed(fused, emb, dists, colorv, dirdot, w * pm, dir_pe)
+    print(f"decode FUSED M={mm}: {t*1e3:.1f} ms", flush=True)
+
+    bf = jnp.bfloat16
+    t, _ = timed(fused, emb.astype(bf), dists.astype(bf), colorv.astype(bf),
+                 dirdot.astype(bf), (w * pm).astype(bf), dir_pe.astype(bf))
+    print(f"decode FUSED bf16-in:  {t*1e3:.1f} ms", flush=True)
 
 if __name__ == "__main__":
     main()
