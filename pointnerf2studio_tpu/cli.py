@@ -166,6 +166,16 @@ def cmd_gen_points(args):
     print("wrote", os.path.join(args.out, "0_net_ray_marching.pth"))
 
 
+def cmd_evaluate_images(args):
+    """Standalone metrics over rendered-vs-GT PNG directories
+    (reference: run/evaluate.py:102-110)."""
+    import json
+
+    from pointnerf2studio_tpu.utils.metrics import metrics_over_dirs
+    m = metrics_over_dirs(args.pred, args.gt)
+    print(json.dumps(m))
+
+
 def cmd_edit(args):
     from pointnerf2studio_tpu.edit import load_and_merge_parts
     from pointnerf2studio_tpu.utils import checkpoint_io as cio
@@ -225,6 +235,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--vox-res", type=int, default=320)
     g.add_argument("--capacity", type=int, default=None)
     g.set_defaults(fn=cmd_gen_points)
+
+    ev = sub.add_parser("evaluate-images",
+                        help="metrics over rendered/GT PNG dirs")
+    ev.add_argument("--pred", required=True)
+    ev.add_argument("--gt", required=True)
+    ev.set_defaults(fn=cmd_evaluate_images)
 
     ed = sub.add_parser("edit")
     ed.add_argument("--parts", nargs="+", required=True)

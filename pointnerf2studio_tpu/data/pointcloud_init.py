@@ -122,3 +122,42 @@ def init_cloud_from_points(
         color = np.full((n, 3), 0.5, np.float32)
     return npts.from_arrays(xyz, emb, conf, dirs, color,
                             capacity=capacity)
+
+
+def init_points_from_depth(
+    depths: np.ndarray,       # [V, H, W] metric depth (0 = invalid)
+    poses: np.ndarray,        # [V, 4, 4] c2w, OpenCV convention
+    intrinsics: np.ndarray,   # [3, 3]
+    images: Optional[np.ndarray] = None,    # [V, H, W, 3] for colors
+    stride: int = 1,          # pixel subsampling
+    max_depth: float = 10.0,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Unproject sensor depth maps into a world point cloud — the
+    ScanNet init path (reference: train_ft.py:652-654
+    `load_init_depth_points`, dataset class upstream-only).
+
+    Returns (xyz [N, 3], color [N, 3] or None); feed into
+    `init_cloud_from_points` for downsampling + feature init.
+    """
+    V, H, W = depths.shape
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    us, vs = np.meshgrid(np.arange(0, W, stride), np.arange(0, H, stride))
+    xyz_all, col_all = [], []
+    for v in range(V):
+        d = depths[v, ::stride, ::stride]
+        ok = (d > 0) & (d < max_depth) & np.isfinite(d)
+        if not ok.any():
+            continue
+        z = d[ok]
+        x = (us[ok] + 0.5 - cx) / fx * z
+        y = (vs[ok] + 0.5 - cy) / fy * z
+        cam = np.stack([x, y, z, np.ones_like(z)], -1)
+        world = cam @ poses[v].T
+        xyz_all.append(world[:, :3].astype(np.float32))
+        if images is not None:
+            col_all.append(images[v, ::stride, ::stride][ok])
+    xyz = np.concatenate(xyz_all, 0)
+    color = np.concatenate(col_all, 0).astype(np.float32) \
+        if images is not None else None
+    return xyz, color

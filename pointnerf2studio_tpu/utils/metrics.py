@@ -94,3 +94,40 @@ def compute_all(img: np.ndarray, ref: np.ndarray) -> dict:
         "ssim": ssim(img, ref),
         "rmse": rmse(img, ref),
     }
+
+
+def metrics_over_dirs(pred_dir: str, gt_dir: str,
+                      pattern: str = "*.png") -> dict:
+    """Standalone metric computation over two directories of rendered /
+    ground-truth PNG pairs (reference: pointnerf/run/evaluate.py:34-110,
+    invoked after training and as a CLI). Pairs are matched by sorted
+    filename order. LPIPS is included only if the optional torch
+    `lpips` package is importable."""
+    import glob as _glob
+    import os
+
+    from PIL import Image
+
+    preds = sorted(_glob.glob(os.path.join(pred_dir, pattern)))
+    gts = sorted(_glob.glob(os.path.join(gt_dir, pattern)))
+    if not preds or len(preds) != len(gts):
+        raise ValueError(
+            f"mismatched image sets: {len(preds)} vs {len(gts)}")
+
+    acc = {"psnr": [], "ssim": [], "rmse": []}
+    for p, g in zip(preds, gts):
+        a = np.asarray(Image.open(p), np.float32)[..., :3] / 255.0
+        b = np.asarray(Image.open(g), np.float32)[..., :3] / 255.0
+        acc["psnr"].append(psnr(a, b))
+        acc["ssim"].append(ssim(a, b))
+        acc["rmse"].append(rmse(a, b))
+    out = {k: float(np.mean(v)) for k, v in acc.items()}
+    try:
+        out["lpips"] = float(np.mean(
+            [lpips(np.asarray(Image.open(p), np.float32)[..., :3] / 255.0,
+                   np.asarray(Image.open(g), np.float32)[..., :3] / 255.0)
+             for p, g in zip(preds, gts)]))
+    except (ImportError, RuntimeError):
+        pass
+    out["n_images"] = len(preds)
+    return out

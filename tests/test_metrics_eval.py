@@ -76,3 +76,22 @@ class TestEvaluator:
             # orthonormal rotation
             np.testing.assert_allclose(
                 p[:3, :3] @ p[:3, :3].T, np.eye(3), atol=1e-5)
+
+
+def test_metrics_over_dirs(tmp_path):
+    from PIL import Image
+    from pointnerf2studio_tpu.utils.metrics import metrics_over_dirs
+    rng = np.random.default_rng(0)
+    (tmp_path / "pred").mkdir()
+    (tmp_path / "gt").mkdir()
+    for i in range(3):
+        gt = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        noise = np.clip(gt.astype(int) + rng.integers(-5, 5, gt.shape),
+                        0, 255).astype(np.uint8)
+        Image.fromarray(gt).save(tmp_path / "gt" / f"{i:03d}.png")
+        Image.fromarray(noise).save(tmp_path / "pred" / f"{i:03d}.png")
+    m = metrics_over_dirs(str(tmp_path / "pred"), str(tmp_path / "gt"))
+    assert m["n_images"] == 3
+    assert m["psnr"] > 30
+    assert 0.5 < m["ssim"] <= 1.0
+    assert m["rmse"] < 0.05

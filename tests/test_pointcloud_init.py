@@ -70,3 +70,35 @@ def test_init_cloud_range_filter():
         ranges=(-0.5, -0.5, -0.5, 0.5, 0.5, 0.5))
     # point (0.9, 0.8, 0.7) and (0.4,0.5,0.6)? 0.5<=0.5 kept; 0.6 > 0.5
     assert int(np.asarray(cloud.num_alive)) == 2
+
+
+def test_init_points_from_depth():
+    from pointnerf2studio_tpu.data.pointcloud_init import (
+        init_points_from_depth)
+    H = W = 8
+    K = np.array([[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]], np.float32)
+    # one camera at origin looking +z, constant depth 2 -> plane z=2
+    depths = np.full((1, H, W), 2.0, np.float32)
+    depths[0, 0, 0] = 0.0      # invalid pixel dropped
+    poses = np.eye(4, dtype=np.float32)[None]
+    imgs = np.full((1, H, W, 3), 0.25, np.float32)
+    xyz, color = init_points_from_depth(depths, poses, K, images=imgs)
+    assert xyz.shape == (H * W - 1, 3)
+    np.testing.assert_allclose(xyz[:, 2], 2.0, atol=1e-5)
+    np.testing.assert_allclose(color, 0.25)
+    # center pixel unprojects near the optical axis
+    assert np.abs(xyz[:, :2]).max() < 1.0
+
+
+def test_stage_timer_and_rate_meter():
+    import jax.numpy as jnp
+    from pointnerf2studio_tpu.utils.profiling import RateMeter, StageTimer
+    st = StageTimer()
+    out = st.stage("add", lambda: jnp.ones(8) + 1)
+    assert float(out[0]) == 2.0
+    rep = st.report()
+    assert "add" in rep and "total" in rep
+    rm = RateMeter()
+    assert rm.tick() == {}
+    r = rm.tick(n_items=100)
+    assert r["items_per_sec"] > 0

@@ -40,8 +40,8 @@ def main():
     cfg = PointNerfConfig(
         query=QueryConfig(
             vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
-            SR=80, K=8, P=12, max_o=700_000, z_depth_dim=400,
-            compact_budget=16, max_q=1_000_000),
+            SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
+            compact_budget=10, max_q=1_000_000),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     q = cfg.query
