@@ -38,13 +38,13 @@ def main() -> None:
     # z_depth_dim matches the REFERENCE's sampling density: chair uses
     # 400 samples over [2, 6] = one per 1.25 scaled voxels
     # (dev_scripts/w_n360/chair_points.sh); this scene's [1.1, 2.9]
-    # span at the same density is 180 samples. compact_budget 10 gives
-    # 327k shading slots for the ~248k valid ones (zero drops).
+    # span at the same density is 180 samples. compact_budget 8 gives
+    # 262k shading slots for the ~112k valid ones (zero drops).
     cfg = PointNerfConfig(
         query=QueryConfig(
             vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
             SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
-            compact_budget=10),
+            compact_budget=8),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     scene = make_sphere_scene(n_points=558_000, cfg=cfg)

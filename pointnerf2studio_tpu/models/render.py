@@ -11,12 +11,12 @@ studio_utils.py:147-209).
 Shape strategy (the core TPU design decision): the reference compacts
 rays dynamically on device->host syncs; here shapes are fixed. The
 expensive inner work (K-NN + the MLP tower) runs on a fixed-capacity
-dense prefix of VALID shading points: all (ray, slot) pairs are sorted
-by validity (a cheap stable argsort) and only the first
-`R * compact_budget` reach the MXU — the padded-slot FLOP waste the
-reference avoids with boolean `masked_select`
-(studio_model.py:310-315), we avoid with static-capacity compaction.
-Results scatter back to [R, SR] for compositing.
+dense prefix of VALID shading points: (ray, sample) pairs are
+cumsum-ranked by validity and only the first `R * compact_budget`
+reach the MXU — the padded-slot FLOP waste the reference avoids with
+boolean `masked_select` (studio_model.py:310-315), we avoid with
+static-capacity compaction. Results scatter back to the [R, D] sample
+grid for compositing (the per-ray SR cap is a mask, not a layout).
 """
 
 from __future__ import annotations
@@ -39,8 +39,7 @@ from pointnerf2studio_tpu.ops.compositing import (
     BLEND_FUNCTIONS, TONE_MAPS, ray_dist_from_sample_z)
 from pointnerf2studio_tpu.ops.grid import PointGrid
 from pointnerf2studio_tpu.ops.query import (
-    compact_shading_locs, knn_for_locs, knn_from_cache, mask_raypos,
-    mask_raypos_qslot)
+    knn_for_locs, knn_from_cache, mask_raypos, mask_raypos_qslot)
 from pointnerf2studio_tpu.ops.raygen import (
     near_far_disparity_linear_ray_generation, near_far_linear_ray_generation)
 
@@ -89,7 +88,14 @@ def render_rays(
         campos, raydirs, q.z_depth_dim, near=near, far=far,
         jitter=cfg.train.jitter if training else 0.0, key=key)
 
-    # Stage 1: ray masking + first-SR shading-slot compaction (per ray).
+    # Stage 1: ray masking + the per-ray first-SR cap as a pure MASK on
+    # the [R, D] sample grid. (An earlier design compacted each ray's
+    # samples into [R, SR] slots first; the per-ray top_k/scatter cost
+    # ~70 ms at bench scale and the [R, D] formulation is semantically
+    # identical — slots beyond the SR-th valid sample are dropped, and
+    # compositing over the D axis visits the same valid samples in the
+    # same depth order.)
+    D = q.z_depth_dim
     use_cache = grid.cache is not None
     if use_cache:
         qslot_rd = mask_raypos_qslot(grid, raypos)            # [R, D]
@@ -97,35 +103,31 @@ def render_rays(
     else:
         rp_mask = mask_raypos(grid, raypos)
     ray_hit = jnp.any(rp_mask, axis=-1)                       # [R]
-    if use_cache:
-        sample_loc_w, sample_mask, qslot_rs = compact_shading_locs(
-            raypos, rp_mask, SR, extra=qslot_rd)
-    else:
-        sample_loc_w, sample_mask = compact_shading_locs(raypos, rp_mask, SR)
+    rank_d = jnp.cumsum(rp_mask.astype(jnp.int32), axis=-1)   # 1-based
+    keep = rp_mask & (rank_d <= SR)
 
-    # Stage 2: global validity compaction across (ray, slot) pairs.
+    # Stage 2: global validity compaction across (ray, sample) pairs.
     # cumsum-rank + scatter rather than a stable argsort — sorts are
     # the slowest primitive on TPU (measured 16x slower at R=32k,
     # tools/profile_render2.py); the cumsum keeps the exact same
     # valid-first, flat-index-ordered selection.
     budget = q.compact_budget if q.compact_budget > 0 else SR
-    M = min(R * budget, R * SR)
-    flat_mask = sample_mask.reshape(R * SR)
-    rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1        # [R*SR]
-    n_valid = jnp.where(flat_mask.shape[0] > 0,
-                        rank[-1] + 1, 0)
+    M = min(R * budget, R * D)
+    flat_mask = keep.reshape(R * D)
+    rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1        # [R*D]
+    n_valid = rank[-1] + 1
     dest = jnp.where(flat_mask & (rank < M), rank, M)
     sel = jnp.zeros((M,), jnp.int32).at[dest].set(
-        jnp.arange(R * SR, dtype=jnp.int32), mode="drop")     # valid-first
+        jnp.arange(R * D, dtype=jnp.int32), mode="drop")      # valid-first
     mask_c = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(n_valid, M)
-    locs = sample_loc_w.reshape(R * SR, 3)[sel]               # [M, 3]
-    ray_id = sel // SR                                        # [M]
+    locs = raypos.reshape(R * D, 3)[sel]                      # [M, 3]
+    ray_id = sel // D                                         # [M]
 
     # Stage 3: K-NN + gathers on the compacted set only.
     num_shells = (q.kernel_size[0] + 1) // 2
     if use_cache:
         pidx = knn_from_cache(
-            grid, qslot_rs.reshape(R * SR)[sel], locs, mask_c,
+            grid, qslot_rd.reshape(R * D)[sel], locs, mask_c,
             q.K, q.radius_limit ** 2, num_shells,
             layered=q.layered_search)                         # [M, K]
     else:
@@ -235,19 +237,23 @@ def render_rays(
             neigh_dir=neigh["dir"], dists=dists, weight=weight,
             pnt_mask=pnt_mask, viewdirs=vd_sel, Rw2c=rw2c)
 
-    # Stage 4: scatter compacted results back to [R, SR] slots.
+    # Stage 4: scatter compacted results back to [R, D] sample slots.
     slot_ok = mask_c & jnp.any(pnt_mask, axis=-1)             # [M]
     sigma_c = sigma_c * slot_ok.astype(sigma_c.dtype)
-    sigma = jnp.zeros((R * SR,), sigma_c.dtype).at[sel].set(sigma_c)
-    rgb = jnp.zeros((R * SR, 3), rgb_c.dtype).at[sel].set(rgb_c)
-    slot_valid = jnp.zeros((R * SR,), jnp.bool_).at[sel].set(slot_ok)
-    sigma = sigma.reshape(R, SR)
-    rgb = rgb.reshape(R, SR, 3)
-    slot_valid = slot_valid.reshape(R, SR)
+    sigma = jnp.zeros((R * D,), sigma_c.dtype).at[sel].set(sigma_c)
+    rgb = jnp.zeros((R * D, 3), rgb_c.dtype).at[sel].set(rgb_c)
+    slot_valid = jnp.zeros((R * D,), jnp.bool_).at[sel].set(slot_ok)
+    sigma = sigma.reshape(R, D)
+    rgb = rgb.reshape(R, D, 3)
+    slot_valid = slot_valid.reshape(R, D)
 
-    # Compositing (full [R, SR], cheap elementwise).
-    loc_pers_z = w2pers(sample_loc_w, camrotc2w, campos)[..., 2]
-    dist = ray_dist_from_sample_z(loc_pers_z, slot_valid, q.vsize[2])
+    # Compositing (full [R, D], cheap elementwise). Invalid samples'
+    # z is masked to -inf so the cummax step-length semantics match
+    # the reference's compacted slots (gaps measured between
+    # consecutive VALID samples, long gaps clamped to vsize_z).
+    loc_pers_z = w2pers(raypos, camrotc2w, campos)[..., 2]
+    z_masked = jnp.where(slot_valid, loc_pers_z, -1e9)
+    dist = ray_dist_from_sample_z(z_masked, slot_valid, q.vsize[2])
 
     opacity = 1.0 - jnp.exp(-sigma * dist)
     trans = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
@@ -272,14 +278,14 @@ def render_rays(
         # averages there (neural_points_volumetric_model.py:331-362)
         s_star = jnp.argmax(opacity, axis=-1)                 # [R]
         max_op = jnp.take_along_axis(opacity, s_star[:, None], -1)[:, 0]
-        flat_star = jnp.arange(R, dtype=jnp.int32) * SR + s_star.astype(jnp.int32)
-        slot_to_m = jnp.full((R * SR,), -1, jnp.int32).at[sel].set(
+        flat_star = jnp.arange(R, dtype=jnp.int32) * D + s_star.astype(jnp.int32)
+        slot_to_m = jnp.full((R * D,), -1, jnp.int32).at[sel].set(
             jnp.arange(M, dtype=jnp.int32))
         m_idx = slot_to_m[flat_star]                          # [R]
         ok = (m_idx >= 0)[:, None, None]
         mi = jnp.clip(m_idx, 0)
         wc = (weight[mi] * conf[mi])[..., None] * ok          # [R, K, 1]
-        loc_star = sample_loc_w.reshape(R * SR, 3)[flat_star]
+        loc_star = raypos.reshape(R * D, 3)[flat_star]
         prob_out = {
             "ray_max_shading_opacity": max_op,
             "ray_max_sample_loc_w": loc_star,

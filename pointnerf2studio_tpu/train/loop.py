@@ -144,9 +144,15 @@ def fit(
     return FitResult(state=state, metrics=metrics, out_dir=out_dir)
 
 
-def save_checkpoint(out_dir: str, state: TrainState, step: int) -> None:
-    """Native orbax checkpoint + reference-compatible torch export."""
+def save_checkpoint(out_dir: str, state: TrainState, step: int,
+                    best_psnr: float = 0.0) -> None:
+    """Native orbax checkpoint + reference-compatible torch export
+    (both the net file and the `<step>_states.pth` sidecar the
+    reference's resume tooling reads)."""
     cio.save_train_state(os.path.join(out_dir, "ckpt"), state, step)
     cio.export_torch_checkpoint(
         state.params, state.points,
         os.path.join(out_dir, f"{step}_net_ray_marching.pth"))
+    cio.export_states_file(
+        os.path.join(out_dir, f"{step}_states.pth"),
+        epoch_count=0, total_steps=step, best_PSNR=best_psnr)

@@ -184,3 +184,24 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
              if d.startswith("step_")]
     return max(steps) if steps else None
+
+
+def export_states_file(path: str, epoch_count: int, total_steps: int,
+                       best_PSNR: float = 0.0,
+                       best_iter: int = 0) -> None:
+    """Write the reference's `<iter>_states.pth` sidecar (epoch_count /
+    total_steps / best_PSNR — base_model.save_networks, reference
+    base_model.py:85-102) so reference resume tooling can read our
+    training runs."""
+    import torch
+
+    torch.save({"epoch_count": epoch_count, "total_steps": total_steps,
+                "best_PSNR": best_PSNR, "best_iter": best_iter}, path)
+
+
+def load_states_file(path: str) -> Dict[str, Any]:
+    import torch
+
+    d = torch.load(path, map_location="cpu", weights_only=False)
+    return {k: (v.item() if hasattr(v, "item") else v)
+            for k, v in d.items()}

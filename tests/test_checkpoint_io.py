@@ -151,3 +151,14 @@ class TestRoundtrip:
         np.testing.assert_array_equal(
             np.asarray(cloud2.points_embeding),
             np.asarray(cloud.points_embeding)[:50])
+
+
+def test_states_file_roundtrip(tmp_path):
+    from pointnerf2studio_tpu.utils.checkpoint_io import (
+        export_states_file, load_states_file)
+    p = str(tmp_path / "5000_states.pth")
+    export_states_file(p, epoch_count=3, total_steps=5000, best_PSNR=31.2)
+    d = load_states_file(p)
+    assert d["epoch_count"] == 3
+    assert d["total_steps"] == 5000
+    assert abs(d["best_PSNR"] - 31.2) < 1e-6
