@@ -102,6 +102,14 @@ def _linear_head(lyr: Dict[str, jnp.ndarray], x: jnp.ndarray,
     return x.astype(dtype) @ lyr["kernel"].astype(dtype) + lyr["bias"].astype(dtype)
 
 
+def _density_act(raw: jnp.ndarray, act_super: bool) -> jnp.ndarray:
+    """raw2out_density (reference point_aggregators.py:261-266):
+    mip-NeRF-stabilized softplus(x - 1) under act_super, else ReLU."""
+    if act_super:
+        return jax.nn.softplus(raw - 1.0)
+    return jax.nn.relu(raw)
+
+
 def inverse_distance_weight(
     dists: jnp.ndarray,       # [..., K, C>=3] (world delta in [..., :3])
     pnt_mask: jnp.ndarray,    # [..., K] bool
@@ -244,8 +252,9 @@ def decode_radiance(
              positional_encoding(agg_emb, cfg.num_feat_freqs)], axis=-1)
         feat = _mlp(params["mlp_base"], feat, dtype)                # [M, 256]
         feat = _mlp(params["mlp_head"], feat, dtype)
-        alpha = jax.nn.relu(
-            _linear_head(params["density_head"][0], feat, dtype))
+        alpha = _density_act(
+            _linear_head(params["density_head"][0], feat, dtype),
+            cfg.act_super)
         sigma = alpha[..., 0]
         agg_feat = feat
     else:
@@ -283,13 +292,15 @@ def decode_radiance(
             # aggregate features, then one density eval per slot
             # (reference point_aggregators.py:592-604)
             agg_feat = jnp.sum(feat * w, axis=-2)                   # [M, 256]
-            alpha = jax.nn.relu(
-                _linear_head(params["density_head"][0], agg_feat, dtype))
+            alpha = _density_act(
+                _linear_head(params["density_head"][0], agg_feat, dtype),
+                cfg.act_super)
             sigma = alpha[..., 0]
         else:
             # order 2: per-K density, weighted-summed
-            alpha = jax.nn.relu(
-                _linear_head(params["density_head"][0], feat, dtype))
+            alpha = _density_act(
+                _linear_head(params["density_head"][0], feat, dtype),
+                cfg.act_super)
             sigma = jnp.sum(alpha * w, axis=-2)[..., 0]             # [M]
             agg_feat = jnp.sum(feat * w, axis=-2)                   # [M, 256]
 

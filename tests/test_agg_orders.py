@@ -66,6 +66,10 @@ class TestOrders:
         """Order 1 density depends on the aggregation weights."""
         cfg = AggregatorConfig(agg_intrp_order=1)
         params = init_aggregator_params(jax.random.PRNGKey(1), cfg)
+        # keep the density head out of the ReLU dead zone so the
+        # comparison is non-degenerate regardless of the random draw
+        params["density_head"][0]["bias"] = (
+            params["density_head"][0]["bias"] + 1.0)
         emb, color, ndir, dists, pm, w, vd = make_inputs()
         s1, _ = decode_radiance(params, cfg, emb, color, ndir, dists, w,
                                 pm, vd, jnp.eye(3))
@@ -73,3 +77,12 @@ class TestOrders:
         s2, _ = decode_radiance(params, cfg, emb, color, ndir, dists, w2,
                                 pm, vd, jnp.eye(3))
         assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_act_super_softplus_density():
+    """act_super uses softplus(x-1): strictly positive even where ReLU
+    would clamp to zero (reference point_aggregators.py:261-266)."""
+    s_relu, _ = run(AggregatorConfig(act_super=False))
+    s_soft, _ = run(AggregatorConfig(act_super=True))
+    assert np.all(np.asarray(s_soft) > 0)
+    assert not np.allclose(np.asarray(s_relu), np.asarray(s_soft))
