@@ -47,14 +47,17 @@ def near_far_linear_ray_generation(
     if jitter > 0.0 and key is not None:
         u = jax.random.uniform(key, (B, R, D), dtype=dtype)
         seg = base_seg * (1.0 + jitter * (u - 0.5))
+        end_ts = near + jnp.cumsum(seg, axis=-1)                   # [B, R, D]
+        end_ts = jnp.concatenate(
+            [jnp.full((B, R, 1), near, dtype=dtype), end_ts], axis=-1)
+        mid_ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])        # [B, R, D]
     else:
+        # closed form — a per-ray lane-axis cumsum is one of the
+        # slowest vector ops on TPU and is pure overhead when the
+        # segments are the unjittered constants
         seg = jnp.broadcast_to(base_seg, (B, R, D))
-
-    end_ts = near + jnp.cumsum(seg, axis=-1)                       # [B, R, D]
-    end_ts = jnp.concatenate(
-        [jnp.full((B, R, 1), near, dtype=dtype), end_ts], axis=-1
-    )
-    mid_ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])            # [B, R, D]
+        mid_ts = jnp.broadcast_to(
+            0.5 * (tvals[:-1] + tvals[1:]), (B, R, D))
     raypos = campos[:, None, None, :] + raydir[:, :, None, :] * mid_ts[..., None]
     seg = seg * jnp.linalg.norm(raydir, axis=-1)[..., None]
 
@@ -100,9 +103,16 @@ def near_far_disparity_linear_ray_generation(
     if jitter > 0.0 and key is not None:
         u = jax.random.uniform(key, (B, R, num_samples), dtype=dtype)
         seg = base_seg * (1.0 + jitter * (u - 0.5))
+        out = _march_from_segments(campos, raydir, seg, near, dtype)
     else:
+        # closed form (no per-ray cumsum; see linear variant)
         seg = jnp.broadcast_to(base_seg, (B, R, num_samples))
-    out = _march_from_segments(campos, raydir, seg, near, dtype)
+        mid_ts = jnp.broadcast_to(
+            0.5 * (tvals[:-1] + tvals[1:]), (B, R, num_samples))
+        raypos = (campos[:, None, None, :]
+                  + raydir[:, :, None, :] * mid_ts[..., None])
+        out = (raypos, seg * jnp.linalg.norm(raydir, axis=-1)[..., None],
+               mid_ts)
     return tuple(x[0] for x in out) if squeeze else out
 
 

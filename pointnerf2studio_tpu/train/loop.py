@@ -53,14 +53,32 @@ def fit(
     mesh=None,
     seed: int = 0,
     eval_chunk: int = 4096,
+    resume: bool = True,
 ) -> FitResult:
-    """Fine-tune `params` + `points` on `dataset`."""
+    """Fine-tune `params` + `points` on `dataset`.
+
+    With `resume` (default), an existing orbax checkpoint under
+    `out_dir/ckpt` restores the full TrainState — params, point cloud,
+    BOTH Adam states (whose step counts also restore the lr-schedule
+    position) — and training continues from the saved step, the
+    reference's checkpoint-restart elasticity pattern
+    (train_ft.py:542-546,783-786 scheduler fast-forward).
+    """
     os.makedirs(out_dir, exist_ok=True)
     logger = Logger(out_dir)
     max_steps = max_steps or cfg.train.max_iterations
 
-    grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
     state = create_train_state(params, points, cfg)
+    start_step = 1
+    if resume:
+        last = cio.latest_step(os.path.join(out_dir, "ckpt"))
+        if last is not None and last < max_steps:
+            state = cio.restore_train_state(
+                os.path.join(out_dir, "ckpt"), last, state)
+            start_step = last + 1
+            print(f"resumed from step {last}")
+    grid = build_grid_from_points(
+        state.points.xyz, state.points.alive, cfg.query)
     if mesh is not None:
         from pointnerf2studio_tpu.parallel.sharding import (
             make_sharded_train_step)
@@ -76,7 +94,7 @@ def fit(
     # :134-153 — probe the frames the model misses the most).
     miss_rank: Dict[int, float] = {}
 
-    for step in range(1, max_steps + 1):
+    for step in range(start_step, max_steps + 1):
         b = sampler.next_batch()
         key, sub = jax.random.split(key)
         state, aux = step_fn(

@@ -94,3 +94,36 @@ def test_fit_with_pruning(teacher_scene, toy_dataset, tmp_path):
     n_alive = int(np.asarray(res.state.points.num_alive))
     assert n_alive < 2000 and n_alive > 0
     assert np.isfinite(float(np.asarray(res.state.step)))
+
+
+def test_fit_resumes_from_checkpoint(tmp_path):
+    """fit() restores the latest orbax checkpoint and continues from
+    the saved step (reference auto-resume, train_ft.py:542-546)."""
+    import jax
+    from pointnerf2studio_tpu.data.synthetic import (
+        make_sphere_scene, sphere_config)
+    from pointnerf2studio_tpu.data.blender import BlenderDataset
+    from pointnerf2studio_tpu.train.loop import fit
+
+    scene = make_sphere_scene(n_points=1500, cfg=sphere_config(sr=8, d=24))
+    h = w = 8
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.asarray(scene.camrotc2w)
+    pose[:3, 3] = np.asarray(scene.campos)
+    ds = BlenderDataset(
+        images=np.full((1, h, w, 3), 0.4, np.float32), poses=pose[None],
+        intrinsics=np.array([[6.0, 0, w / 2], [0, 6.0, h / 2], [0, 0, 1]],
+                            np.float32),
+        near=scene.near, far=scene.far, split="train")
+    import dataclasses
+    cfg = dataclasses.replace(
+        scene.cfg, train=dataclasses.replace(
+            scene.cfg.train, rays_per_batch=32))
+    out = str(tmp_path / "run")
+    r1 = fit(cfg, ds, scene.params, scene.cloud, out, max_steps=2,
+             save_freq=0, print_freq=100)
+    assert int(np.asarray(r1.state.step)) == 2
+    # second invocation resumes from the final (step 2) checkpoint
+    r2 = fit(cfg, ds, scene.params, scene.cloud, out, max_steps=4,
+             save_freq=0, print_freq=100)
+    assert int(np.asarray(r2.state.step)) == 4

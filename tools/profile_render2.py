@@ -41,7 +41,7 @@ def main():
         query=QueryConfig(
             vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
             SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
-            compact_budget=10, max_q=1_000_000),
+            compact_budget=8, max_q=1_000_000),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     q = cfg.query
@@ -62,22 +62,27 @@ def main():
 
     M = R * q.compact_budget
 
+    D = q.z_depth_dim
+
     @jax.jit
     def stage1(grid, raydirs):
+        # mirrors the [R, D] mask formulation in models/render.py
+        R_ = raydirs.shape[0]
         raypos, _, _ = near_far_linear_ray_generation(
             campos, raydirs, q.z_depth_dim, near=near, far=far)
         qs = mask_raypos_qslot(grid, raypos)
         m = qs >= 0
-        loc, sm, qss = compact_shading_locs(raypos, m, q.SR, extra=qs)
-        flat_m = sm.reshape(-1)
+        rank_d = jnp.cumsum(m.astype(jnp.int32), axis=-1)
+        keep = m & (rank_d <= q.SR)
+        flat_m = keep.reshape(R_ * D)
         rank = jnp.cumsum(flat_m.astype(jnp.int32)) - 1
         n_valid = rank[-1] + 1
         dest = jnp.where(flat_m & (rank < M), rank, M)
         sel = jnp.zeros((M,), jnp.int32).at[dest].set(
-            jnp.arange(flat_m.shape[0], dtype=jnp.int32), mode="drop")
+            jnp.arange(R_ * D, dtype=jnp.int32), mode="drop")
         mask_c = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(n_valid, M)
-        return (loc.reshape(-1, 3)[sel], mask_c,
-                qss.reshape(-1)[sel], sel)
+        return (raypos.reshape(-1, 3)[sel], mask_c,
+                qs.reshape(-1)[sel], sel)
 
     t1, (locs, mask_c, qslot, sel) = timed(stage1, grid, raydirs)
     print(f"stage1 raygen+mask+compact: {(t1-base)*1e3:.1f} ms  "
@@ -121,7 +126,7 @@ def main():
         dists = jnp.concatenate([neigh["xyz"] - locs[..., None, :], pdist], -1)
         weight, emb = aggregation_weight(
             cfg.agg, neigh["embeding"], dists, pnt_mask, max(q.scaled_vsize))
-        vd = raydirs[(sel // q.SR)]
+        vd = raydirs[(sel // q.z_depth_dim)]
         return decode_radiance(params, cfg.agg, emb,
                                neigh["color"], neigh["dir"], dists, weight,
                                pnt_mask, vd, cloud.Rw2c)
