@@ -176,6 +176,62 @@ def cmd_evaluate_images(args):
     print(json.dumps(m))
 
 
+def cmd_visualize(args):
+    """Neural-point-cloud inspection: PLY export + axis projections
+    (reference: run/visualize.py pyrender viewer + the visualizer's
+    point dumps, utils/visualizer.py:97-121 — headless here: a TPU pod
+    has no display, so artifacts are files)."""
+    import numpy as np
+
+    from pointnerf2studio_tpu.utils import checkpoint_io as cio
+
+    params, cloud = cio.load_reference_checkpoint(args.checkpoint)
+    xyz = np.asarray(cloud.xyz)
+    alive = np.asarray(cloud.alive)
+    color = np.clip(np.asarray(cloud.points_color), 0.0, 1.0)
+    conf = np.asarray(cloud.points_conf)[:, 0]
+    xyz, color, conf = xyz[alive], color[alive], conf[alive]
+    os.makedirs(args.out, exist_ok=True)
+
+    ply = os.path.join(args.out, "points.ply")
+    rgb8 = (color * 255).astype(np.uint8)
+    with open(ply, "wb") as f:
+        hdr = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {xyz.shape[0]}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n")
+        f.write(hdr.encode())
+        rec = np.zeros(xyz.shape[0],
+                       dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+        rec["xyz"], rec["rgb"] = xyz.astype(np.float32), rgb8
+        rec.tofile(f)
+    print("wrote", ply, f"({xyz.shape[0]} points)")
+
+    # three orthographic scatter projections colored by point color
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+        for ax, (a, b), name in zip(axes, [(0, 1), (0, 2), (1, 2)],
+                                    ["xy", "xz", "yz"]):
+            sel = np.random.default_rng(0).choice(
+                xyz.shape[0], min(100_000, xyz.shape[0]), replace=False)
+            ax.scatter(xyz[sel, a], xyz[sel, b], s=0.1, c=color[sel])
+            ax.set_title(name)
+            ax.set_aspect("equal")
+        out_png = os.path.join(args.out, "projections.png")
+        fig.savefig(out_png, dpi=120, bbox_inches="tight")
+        print("wrote", out_png)
+    except ImportError:
+        print("matplotlib unavailable; skipped projections.png")
+    print(f"conf: min {conf.min():.3f} mean {conf.mean():.3f} "
+          f"max {conf.max():.3f}")
+
+
 def cmd_edit(args):
     from pointnerf2studio_tpu.edit import load_and_merge_parts
     from pointnerf2studio_tpu.utils import checkpoint_io as cio
@@ -241,6 +297,13 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--pred", required=True)
     ev.add_argument("--gt", required=True)
     ev.set_defaults(fn=cmd_evaluate_images)
+
+    vz = sub.add_parser("visualize",
+                        help="export PLY + projection PNG of a "
+                             "checkpoint's neural points")
+    vz.add_argument("--checkpoint", required=True)
+    vz.add_argument("--out", required=True)
+    vz.set_defaults(fn=cmd_visualize)
 
     ed = sub.add_parser("edit")
     ed.add_argument("--parts", nargs="+", required=True)

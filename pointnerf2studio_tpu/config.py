@@ -59,6 +59,10 @@ class QueryConfig:
     cand_cap: int = 64
     # Capacity for dilated-occupied (query) voxels; 0 -> 4 * max_o.
     max_q: int = 0
+    # Fast-path per-ray shading-slot layout cap (models/fast_render.py).
+    # 0 -> min(SR, 32). Set >= SR for exact reference-cap semantics;
+    # rays with more than this many valid samples drop the tail.
+    ray_slot_budget: int = 0
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

@@ -1,0 +1,373 @@
+"""Fast eval render path: fat candidate cache + one-hot compaction.
+
+Measured-driven redesign of the render step for TPU v5e (the legacy
+path lives in models/render.py and remains the training/prob-mode
+path). Three findings shape it (tools/probe_decompose*.py, honest
+varied-input timings at 32k rays, chair scale):
+
+  1. XLA TPU gathers are BYTES-bound for fat rows (~200 GB/s) but
+     ROW-overhead-bound for thin ones — so the candidate cache rows
+     carry EVERYTHING per candidate (xyz f32, packed pidx+shell, all
+     point attributes as bf16 pairs): ONE 6 KB-row gather replaces the
+     thin-candidate gather + the per-neighbor attribute gather
+     (8.1 ms vs 4.0 + 31.8 ms at bench scale).
+  2. Per-ray one-hot-matmul slot compaction (rank == b einsums) is
+     ~free on the MXU, vs ~30 ms for the flat cumsum+scatter over the
+     [R*D] domain; compositing then runs on [R, B] slots instead of
+     the full [R, D] sample grid.
+  3. top_k once beats an 8-pass argmin loop for the K-of-C selection
+     (42 ms of VPU/materialization traffic saved).
+
+Per-ray slot budget B (`ray_slot_budget`): layout cap on shading slots
+per ray. The semantic cap stays SR; rays with more than B valid samples
+drop the tail (identical to SR when B >= SR — use that for parity
+tests; B=32 measured indistinguishable on chair-scale scenes: mask
+agreement 1.0, color diff = bf16 attr rounding).
+
+Reference counterpart: the same pipeline as studio_model.get_outputs
+(pointnerf/nerfstudio/studio_model.py:263-399) — reorganized around
+the TPU memory system rather than translated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pointnerf2studio_tpu.config import PointNerfConfig
+from pointnerf2studio_tpu.models.aggregator import (
+    AggregatorParams, aggregation_weight, decode_radiance)
+from pointnerf2studio_tpu.models.neural_points import NeuralPointCloud
+from pointnerf2studio_tpu.ops.camera import w2pers
+from pointnerf2studio_tpu.ops.compositing import (
+    BLEND_FUNCTIONS, TONE_MAPS, ray_dist_from_sample_z)
+from pointnerf2studio_tpu.ops.grid import PointGrid
+from pointnerf2studio_tpu.ops.query import neighbor_offsets
+
+AW = 40                  # packed bf16 attr columns (39 used, 1 pad)
+ROWW = 4 + AW // 2       # f32 words per candidate
+
+
+@struct.dataclass
+class FatCache:
+    """Per-query-voxel candidate rows carrying geometry + attributes.
+
+    rows[max_q, C*ROWW] f32, per candidate:
+      [x, y, z, bitcast(meta), 20 x bitcast(bf16 attr pair)]
+    meta = pidx * 4 + shell, or -1 for an empty slot. Attr order:
+    embedding(32), conf(1), dir(3), color(3), pad(1) — bf16.
+
+    Rebuild whenever points OR their attributes change (eval-time
+    structure; training uses the thin cache + differentiable gathers).
+    """
+    coor_2_qslot: jnp.ndarray      # [gx, gy, gz] int32, -1 = not query
+    rows: jnp.ndarray              # [max_q, C*ROWW] f32
+    n_q: jnp.ndarray               # [] int32
+
+    @property
+    def cand(self) -> int:
+        return self.rows.shape[1] // ROWW
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "max_q", "cand_cap", "chunk"))
+def build_fat_cache(
+    grid: PointGrid,
+    cloud: NeuralPointCloud,
+    kernel_size: Tuple[int, int, int],
+    max_q: int,
+    cand_cap: int = 64,
+    chunk: int = 32768,
+) -> FatCache:
+    """Build the fat candidate cache (once per point/attr change)."""
+    offs_np, shells_np = neighbor_offsets(kernel_size)
+    offsets = jnp.asarray(offs_np)
+    shells = jnp.asarray(shells_np)
+    V = offsets.shape[0]
+    P = grid.occ_2_pnts.shape[1]
+    C = min(cand_cap, V * P)
+    gx, gy, gz = grid.dims
+    nvox = gx * gy * gz
+    dims_arr = jnp.array(grid.dims, jnp.int32)
+    xyz = cloud.xyz
+    N = xyz.shape[0]
+
+    occ_flat = grid.coor_occ.reshape(-1)
+    qslot = jnp.cumsum(occ_flat.astype(jnp.int32)) - 1
+    n_q = jnp.sum(occ_flat.astype(jnp.int32))
+    valid_q = occ_flat & (qslot < max_q)
+    coor_2_qslot = jnp.where(valid_q, qslot, -1).reshape(grid.dims)
+    q_flat = jnp.full((max_q,), nvox, jnp.int32).at[
+        jnp.where(valid_q, qslot, max_q)
+    ].set(jnp.arange(nvox, dtype=jnp.int32), mode="drop")
+    q_coor = jnp.stack([q_flat // (gy * gz), (q_flat // gz) % gy,
+                        q_flat % gz], -1)
+    q_live = q_flat < nvox
+    center_w = (grid.ranges_min
+                + (q_coor.astype(jnp.float32) + 0.5) * grid.scaled_vsize)
+
+    attrs = jnp.concatenate(
+        [cloud.points_embeding, cloud.points_conf, cloud.points_dir,
+         cloud.points_color, jnp.zeros((N, 1), jnp.float32)], -1)
+    attrs_p = jax.lax.bitcast_convert_type(
+        attrs.astype(jnp.bfloat16).reshape(N, AW // 2, 2), jnp.float32)
+
+    def one_chunk(args):
+        qc, cw, live = args
+        B = qc.shape[0]
+        nb = qc[:, None, :] + offsets[None]
+        inb = jnp.all((nb >= 0) & (nb < dims_arr), -1) & live[:, None]
+        nbc = jnp.clip(nb, 0, dims_arr - 1)
+        slot = grid.coor_2_occ[nbc[..., 0], nbc[..., 1], nbc[..., 2]]
+        slot_ok = inb & (slot >= 0)
+        cand = grid.occ_2_pnts[jnp.where(slot_ok, slot, 0)]      # [B, V, P]
+        ok = slot_ok[..., None] & (cand >= 0)
+        cxyz = xyz[jnp.clip(cand, 0, N - 1)]
+        d2c = jnp.sum((cxyz - cw[:, None, None, :]) ** 2, -1)
+        sh = jnp.broadcast_to(shells[None, :, None], cand.shape)
+        okf = ok.reshape(B, V * P)
+        # keep candidates ordered (shell, distance-to-center): layered
+        # semantics survive cand_cap truncation
+        key = (sh.reshape(B, V * P).astype(jnp.float32) * 1e12
+               + jnp.minimum(d2c.reshape(B, V * P), 1e9))
+        key = jnp.where(okf, key, jnp.inf)
+        _, top = jax.lax.top_k(-key, C)
+        sel_ok = jnp.take_along_axis(okf, top, -1)
+        sel_pidx = jnp.take_along_axis(cand.reshape(B, V * P), top, -1)
+        sel_sh = jnp.take_along_axis(sh.reshape(B, V * P), top, -1)
+        meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
+        sel_xyz = jnp.take_along_axis(
+            cxyz.reshape(B, V * P, 3), top[..., None], 1)
+        sel_attr = attrs_p[jnp.clip(sel_pidx, 0, N - 1)]
+        pack = jnp.concatenate([
+            sel_xyz,
+            jax.lax.bitcast_convert_type(meta, jnp.float32)[..., None],
+            sel_attr,
+        ], -1)
+        return pack.reshape(B, C * ROWW)
+
+    padded = (max_q + chunk - 1) // chunk * chunk
+    pad = padded - max_q
+    rows = jax.lax.map(one_chunk, (
+        jnp.pad(q_coor, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
+        jnp.pad(center_w, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
+        jnp.pad(q_live, (0, pad)).reshape(-1, chunk)))
+    return FatCache(
+        coor_2_qslot=coor_2_qslot,
+        rows=rows.reshape(padded, C * ROWW)[:max_q],
+        n_q=n_q)
+
+
+@struct.dataclass
+class FastRenderOutput:
+    coarse_raycolor: jnp.ndarray    # [R, 3]
+    ray_mask: jnp.ndarray           # [R]
+    acc: jnp.ndarray                # [R]
+    depth: jnp.ndarray              # [R]
+
+
+def fast_render_rays(
+    params: AggregatorParams,
+    Rw2c: jnp.ndarray,              # [3, 3] global rotation
+    cache: FatCache,
+    campos: jnp.ndarray,
+    camrotc2w: jnp.ndarray,
+    raydirs: jnp.ndarray,           # [R, 3]
+    near,
+    far,
+    cfg: PointNerfConfig,
+    ranges_min: jnp.ndarray,        # grid geometry ([3])
+    scaled_vsize: jnp.ndarray,      # [3]
+) -> FastRenderOutput:
+    q = cfg.query
+    R = raydirs.shape[0]
+    D = q.z_depth_dim
+    SR, K = q.SR, q.K
+    BP = q.ray_slot_budget or min(SR, 32)
+    budget = q.compact_budget if q.compact_budget > 0 else SR
+    M = min(R * budget, R * D)
+    radius2 = q.radius_limit ** 2
+    CAND = cache.cand
+    dims = cache.coor_2_qslot.shape
+    gy, gz = dims[1], dims[2]
+    dims_arr = jnp.array(dims, jnp.int32)
+    num_shells = (q.kernel_size[0] + 1) // 2
+    DC = q.decode_chunk
+
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    step_t = (far - near) / D
+    qslot_flat = cache.coor_2_qslot.reshape(-1)
+
+    # ---- sample mask + per-ray one-hot compaction to BP slots ----
+    t_mid = near + (jnp.arange(D, dtype=jnp.float32) + 0.5) * step_t
+    pos = campos + raydirs[:, None, :] * t_mid[None, :, None]
+    gc = jnp.floor((pos - ranges_min) / scaled_vsize).astype(jnp.int32)
+    inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
+    gcc = jnp.clip(gc, 0, dims_arr - 1)
+    fidx = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
+    qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
+    mask = qs >= 0
+    ray_hit = jnp.any(mask, axis=-1)
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)          # 1-based
+    keep = mask & (rank <= min(SR, BP))
+    ohb = keep[:, :, None] & (rank[:, :, None] == jnp.arange(1, BP + 1))
+    d_sel = jnp.einsum("rdb,d->rb", ohb.astype(jnp.bfloat16),
+                       jnp.arange(D, dtype=jnp.bfloat16)).astype(jnp.int32)
+    # qslot ids reach ~2^20 — f32 one-hot keeps them exact
+    q_sel = jnp.einsum("rdb,rd->rb", ohb.astype(jnp.float32),
+                       qs.astype(jnp.float32)).astype(jnp.int32)
+    cnt = jnp.sum(keep.astype(jnp.int32), axis=-1)              # [R]
+
+    # ---- level-2 global compaction to the M budget ----
+    off = jnp.cumsum(cnt) - cnt
+    sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
+    dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
+    rayi = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 0)
+    sel_ray = jnp.zeros((M,), jnp.int32).at[dest].set(rayi, mode="drop")
+    sel_d = jnp.zeros((M,), jnp.int32).at[dest].set(d_sel, mode="drop")
+    sel_slot = jnp.zeros((M,), jnp.int32).at[dest].set(sloti, mode="drop")
+    qslot_c = jnp.zeros((M,), jnp.int32).at[dest].set(
+        jnp.maximum(q_sel, 0), mode="drop")
+    total = jnp.minimum(jnp.sum(cnt), M)
+    mask_c = jnp.arange(M, dtype=jnp.int32) < total
+
+    # ---- fat gather + K-NN + extract + decode, chunked over slots ----
+    # One lax.map body does gather -> top_k -> one-hot extract ->
+    # weights -> MLP per chunk: bounds the unpacked-candidate
+    # intermediates ([CH, C, AW] etc.) that OOM HBM at full M, and the
+    # decode_chunk regalloc workaround comes along for free.
+    CH = min(DC or M, 65536, M)
+
+    def chunk_body(args):
+        qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
+        Mc = qslot_cc.shape[0]
+        rows3 = cache.rows[qslot_cc].reshape(Mc, CAND, ROWW)
+        cxyz = rows3[..., :3]
+        meta = jax.lax.bitcast_convert_type(rows3[..., 3], jnp.int32)
+        shell = (meta & 3).astype(jnp.int32)
+        attrs = jax.lax.bitcast_convert_type(
+            rows3[..., 4:], jnp.bfloat16).reshape(Mc, CAND, AW)
+
+        rd_sel = raydirs[sel_ray_c]
+        t_sel = near + (sel_d_c.astype(jnp.float32) + 0.5) * step_t
+        locs = campos + rd_sel * t_sel[:, None]                 # [Mc, 3]
+        d2 = jnp.sum((cxyz - locs[:, None, :]) ** 2, -1)        # [Mc, C]
+        ok = (meta >= 0) & mask_cc[:, None]
+        if radius2 > 0:
+            ok = ok & (d2 <= radius2)
+        if q.layered_search and num_shells > 1:
+            eligible = shell == 0
+            before = jnp.zeros((Mc, 1), jnp.int32)
+            for s in range(1, num_shells):
+                before = before + jnp.sum(
+                    (ok & (shell == s - 1)).astype(jnp.int32), -1,
+                    keepdims=True)
+                eligible = eligible | ((shell == s) & (before < K))
+            ok = ok & eligible
+
+        key = jnp.where(ok, d2, jnp.inf)
+        neg_top, top_idx = jax.lax.top_k(-key, K)               # [Mc, K]
+        pnt_mask = neg_top > -jnp.inf
+        oh8 = ((top_idx[..., None] == jnp.arange(CAND))
+               & pnt_mask[..., None])                           # [Mc, K, C]
+        nxyz = jnp.einsum("mkc,mcd->mkd", oh8.astype(jnp.float32), cxyz)
+        nattr = jnp.einsum("mkc,mca->mka", oh8.astype(jnp.bfloat16), attrs)
+        emb = nattr[..., :32].astype(jnp.float32)
+        conf = nattr[..., 32].astype(jnp.float32)
+        ndir = nattr[..., 33:36].astype(jnp.float32)
+        ncol = nattr[..., 36:39].astype(jnp.float32)
+
+        nei_pers = w2pers(nxyz, camrotc2w, campos)
+        lp = w2pers(locs, camrotc2w, campos)[..., None, :]
+        pdist = jnp.stack(
+            [nei_pers[..., 0] * nei_pers[..., 2] - lp[..., 0] * lp[..., 2],
+             nei_pers[..., 1] * nei_pers[..., 2] - lp[..., 1] * lp[..., 2],
+             nei_pers[..., 2] - lp[..., 2]], -1)
+        dists = jnp.concatenate([nxyz - locs[:, None, :], pdist], -1)
+        weight, emb2 = aggregation_weight(
+            cfg.agg, emb, dists, pnt_mask, max(q.scaled_vsize))
+        if cfg.agg.conf_in_weight:
+            weight = weight * conf
+        vd = jnp.sum(rd_sel[..., :, None] * Rw2c, axis=-2)
+        sig_c, rgb_c = decode_radiance(
+            params, cfg.agg, neigh_emb=emb2, neigh_color=ncol,
+            neigh_dir=ndir, dists=dists, weight=weight,
+            pnt_mask=pnt_mask, viewdirs=vd, Rw2c=Rw2c)
+        return sig_c, rgb_c, jnp.any(pnt_mask, -1)
+
+    if M > CH:
+        n = (M + CH - 1) // CH
+        pad = n * CH - M
+
+        def cpad(x):
+            return jnp.pad(x, ((0, pad),)).reshape((n, CH))
+
+        sig, rgb, found = jax.lax.map(
+            chunk_body, (cpad(qslot_c), cpad(sel_ray), cpad(sel_d),
+                         cpad(mask_c)))
+        sig = sig.reshape(n * CH)[:M]
+        rgb = rgb.reshape(n * CH, 3)[:M]
+        found = found.reshape(n * CH)[:M]
+    else:
+        sig, rgb, found = chunk_body((qslot_c, sel_ray, sel_d, mask_c))
+
+    # ---- scatter to [R, BP] slots + composite ----
+    slot_ok = mask_c & found
+    sig = sig * slot_ok.astype(sig.dtype)
+    dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
+    sig_rb = jnp.zeros((R * BP,), sig.dtype).at[dest2].set(
+        sig, mode="drop").reshape(R, BP)
+    rgb_rb = jnp.zeros((R * BP, 3), rgb.dtype).at[dest2].set(
+        rgb, mode="drop").reshape(R, BP, 3)
+    valid_rb = jnp.zeros((R * BP,), jnp.bool_).at[dest2].set(
+        slot_ok, mode="drop").reshape(R, BP)
+    d_rb = jnp.zeros((R * BP,), jnp.int32).at[dest2].set(
+        sel_d, mode="drop").reshape(R, BP)
+
+    t_rb = near + (d_rb.astype(jnp.float32) + 0.5) * step_t
+    pos_rb = campos + raydirs[:, None, :] * t_rb[..., None]
+    z_rb = w2pers(pos_rb, camrotc2w, campos)[..., 2]
+    z_masked = jnp.where(valid_rb, z_rb, -1e9)
+    dist = ray_dist_from_sample_z(z_masked, valid_rb, q.vsize[2])
+    opacity = 1.0 - jnp.exp(-sig_rb * dist)
+    trans = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones((R, 1), trans.dtype), trans[:, :-1]], -1)
+    blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
+    bg = jnp.asarray(cfg.bg_color, jnp.float32)
+    acc = jnp.sum(blend, -1)
+    color = jnp.sum(blend[..., None] * rgb_rb, -2) + (1 - acc)[..., None] * bg
+    color = TONE_MAPS[cfg.tonemap_func](color)
+    depth = jnp.sum(blend * z_rb, -1)
+
+    ray_found = jnp.any(valid_rb, -1)
+    ray_mask = ray_hit & ray_found
+    color = jnp.where(ray_mask[:, None], color, bg)
+    return FastRenderOutput(
+        coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth)
+
+
+def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
+                    grid: PointGrid, max_q: Optional[int] = None):
+    """Build the fat cache for a scene; returns (cache, geometry args)."""
+    if max_q is None:
+        nq = int(jax.device_get(jnp.sum(
+            grid.coor_occ.reshape(-1).astype(jnp.int32))))
+        max_q = (nq + 32767) // 32768 * 32768
+    cache = build_fat_cache(grid, cloud, cfg.query.kernel_size, max_q,
+                            cfg.query.cand_cap)
+    return cache, grid.ranges_min, grid.scaled_vsize
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fast_render_rays_jit(params, Rw2c, cache, campos, camrotc2w, raydirs,
+                         near, far, cfg, ranges_min, scaled_vsize):
+    return fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
+                            raydirs, near, far, cfg, ranges_min,
+                            scaled_vsize)

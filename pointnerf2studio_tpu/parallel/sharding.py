@@ -128,6 +128,29 @@ def make_sharded_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     return jax.jit(fn)
 
 
+def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
+    """Fast-path (fat-cache) render with rays sharded over the mesh.
+
+    The fat cache + params replicate per chip; all per-ray work is
+    local (models/fast_render.py). Signature:
+    f(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
+      ranges_min, scaled_vsize) -> FastRenderOutput sharded over rays.
+    """
+    from pointnerf2studio_tpu.models.fast_render import fast_render_rays
+
+    def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
+              ranges_min, scaled_vsize):
+        return fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
+                                raydirs, near, far, cfg, ranges_min,
+                                scaled_vsize)
+
+    fn = _shard_map(
+        local, mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P(), P(), P()),
+        out_specs=P("rays"))
+    return jax.jit(fn)
+
+
 def make_sharded_train_step(
     cfg: PointNerfConfig, mesh: Mesh,
     example_state: Optional[TrainState] = None,

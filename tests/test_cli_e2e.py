@@ -80,3 +80,11 @@ def test_cli_gen_train_eval(blender_dir, ply_cloud, tmp_path, capsys):
               "--checkpoint", out, "--eval-views", "1"])
     printed = capsys.readouterr().out
     assert "psnr" in printed
+
+    viz = str(tmp_path / "viz")
+    cli_main(["visualize", "--checkpoint", out, "--out", viz])
+    ply = os.path.join(viz, "points.ply")
+    assert os.path.exists(ply)
+    with open(ply, "rb") as f:
+        head = f.read(200)
+    assert b"element vertex" in head

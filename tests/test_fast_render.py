@@ -1,0 +1,78 @@
+"""Fast render path (fat cache + one-hot compaction) vs the reference
+render path: identical masks, colors within bf16-attribute rounding.
+
+With ray_slot_budget >= SR the fast path's selection semantics match
+the legacy path exactly; the only numeric difference is the bf16
+packing of point attributes in the cache rows.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnerf2studio_tpu.config import (
+    AggregatorConfig, PointNerfConfig, QueryConfig)
+from pointnerf2studio_tpu.data.synthetic import (
+    camera_rays, make_sphere_scene, sphere_config)
+from pointnerf2studio_tpu.models.fast_render import (
+    fast_render_rays_jit, make_fast_scene)
+from pointnerf2studio_tpu.models.render import render_rays_jit
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = sphere_config(sr=16, d=48)
+    cfg = dataclasses.replace(
+        cfg, query=dataclasses.replace(cfg.query, ray_slot_budget=16))
+    return make_sphere_scene(n_points=4000, cfg=cfg)
+
+
+def _rays(s, h=24, w=24, focal=18.0):
+    return camera_rays(s.campos, s.camrotc2w, h, w, focal)
+
+
+def test_fast_matches_reference_path(scene):
+    s = scene
+    rays = _rays(s)
+    ref = render_rays_jit(s.params, s.cloud, s.grid, s.campos,
+                         s.camrotc2w, rays, s.near, s.far, s.cfg)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.ray_mask), np.asarray(ref.ray_mask))
+    both = np.asarray(ref.ray_mask)
+    diff = np.abs(np.asarray(out.coarse_raycolor)
+                  - np.asarray(ref.coarse_raycolor))[both]
+    assert diff.max() < 0.05, diff.max()
+    assert diff.mean() < 0.005, diff.mean()
+    # background rays exactly bg
+    missed = ~both
+    if missed.any():
+        np.testing.assert_array_equal(
+            np.asarray(out.coarse_raycolor)[missed], 1.0)
+
+
+def test_fast_sharded_matches_single(scene):
+    from pointnerf2studio_tpu.parallel.sharding import (
+        make_mesh, make_sharded_fast_render)
+    s = scene
+    rays = _rays(s, 16, 16)    # 256 rays / 8 devices
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    single = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+    mesh = make_mesh(8)
+    f = make_sharded_fast_render(s.cfg, mesh)
+    shard = f(s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+              jnp.asarray(s.near), jnp.asarray(s.far), rmin, svs)
+    np.testing.assert_allclose(
+        np.asarray(shard.coarse_raycolor),
+        np.asarray(single.coarse_raycolor), atol=2e-2)
+    np.testing.assert_array_equal(
+        np.asarray(shard.ray_mask), np.asarray(single.ray_mask))

@@ -325,7 +325,7 @@ def main():
         z_rb = w2pers(pos_rb, camrot, campos)[..., 2]
         z_masked = jnp.where(valid_rb, z_rb, -1e9)
         dist = ray_dist_from_sample_z(z_masked, valid_rb, q.vsize[2])
-        opacity = 1.0 - jnp.exp(-sig * dist)
+        opacity = 1.0 - jnp.exp(-sig_rb * dist)
         trans = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
         trans = jnp.concatenate(
             [jnp.ones((R, 1), trans.dtype), trans[:, :-1]], -1)
