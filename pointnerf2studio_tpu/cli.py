@@ -185,7 +185,8 @@ def cmd_visualize(args):
 
     from pointnerf2studio_tpu.utils import checkpoint_io as cio
 
-    params, cloud = cio.load_reference_checkpoint(args.checkpoint)
+    params, cloud = cio.load_reference_checkpoint(
+        _latest_ckpt(args.checkpoint))
     xyz = np.asarray(cloud.xyz)
     alive = np.asarray(cloud.alive)
     color = np.clip(np.asarray(cloud.points_color), 0.0, 1.0)

@@ -63,6 +63,10 @@ class QueryConfig:
     # 0 -> min(SR, 32). Set >= SR for exact reference-cap semantics;
     # rays with more than this many valid samples drop the tail.
     ray_slot_budget: int = 0
+    # Fast-path lax.map chunk (slots per gather+knn+decode chunk).
+    # 0 -> min(decode_chunk, 65536). Bounds the unpacked-candidate
+    # intermediates; larger = fewer chunk barriers, more HBM.
+    fast_chunk: int = 0
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

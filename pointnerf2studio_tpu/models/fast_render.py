@@ -183,6 +183,9 @@ def fast_render_rays(
     cfg: PointNerfConfig,
     ranges_min: jnp.ndarray,        # grid geometry ([3])
     scaled_vsize: jnp.ndarray,      # [3]
+    debug_ablate: Optional[str] = None,   # perf probes only: "decode" |
+                                          # "knn" | "qslot" skip stages
+                                          # (WRONG output, real timing)
 ) -> FastRenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -211,7 +214,10 @@ def fast_render_rays(
     inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
     gcc = jnp.clip(gc, 0, dims_arr - 1)
     fidx = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
-    qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
+    if debug_ablate == "qslot":
+        qs = jnp.where(inb, fidx % 97, -1)      # fake: no table gather
+    else:
+        qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
     mask = qs >= 0
     ray_hit = jnp.any(mask, axis=-1)
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)          # 1-based
@@ -242,7 +248,8 @@ def fast_render_rays(
     # weights -> MLP per chunk: bounds the unpacked-candidate
     # intermediates ([CH, C, AW] etc.) that OOM HBM at full M, and the
     # decode_chunk regalloc workaround comes along for free.
-    CH = min(DC or M, 65536, M)
+    CH = min(q.fast_chunk or (DC or M), M) if q.fast_chunk \
+        else min(DC or M, 65536, M)
 
     def chunk_body(args):
         qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
@@ -271,13 +278,23 @@ def fast_render_rays(
                 eligible = eligible | ((shell == s) & (before < K))
             ok = ok & eligible
 
-        key = jnp.where(ok, d2, jnp.inf)
-        neg_top, top_idx = jax.lax.top_k(-key, K)               # [Mc, K]
-        pnt_mask = neg_top > -jnp.inf
-        oh8 = ((top_idx[..., None] == jnp.arange(CAND))
-               & pnt_mask[..., None])                           # [Mc, K, C]
-        nxyz = jnp.einsum("mkc,mcd->mkd", oh8.astype(jnp.float32), cxyz)
-        nattr = jnp.einsum("mkc,mca->mka", oh8.astype(jnp.bfloat16), attrs)
+        if debug_ablate == "knn":
+            top_idx = jnp.broadcast_to(
+                jnp.arange(K, dtype=jnp.int32), (Mc, K))
+            pnt_mask = jnp.take_along_axis(ok, top_idx, -1)
+        else:
+            key = jnp.where(ok, d2, jnp.inf)
+            neg_top, top_idx = jax.lax.top_k(-key, K)           # [Mc, K]
+            pnt_mask = neg_top > -jnp.inf
+        if debug_ablate == "extract":
+            nxyz = cxyz[:, :K]                  # fake: static slice
+            nattr = attrs[:, :K]
+        else:
+            oh8 = ((top_idx[..., None] == jnp.arange(CAND))
+                   & pnt_mask[..., None])                       # [Mc, K, C]
+            nxyz = jnp.einsum("mkc,mcd->mkd", oh8.astype(jnp.float32), cxyz)
+            nattr = jnp.einsum("mkc,mca->mka", oh8.astype(jnp.bfloat16),
+                               attrs)
         emb = nattr[..., :32].astype(jnp.float32)
         conf = nattr[..., 32].astype(jnp.float32)
         ndir = nattr[..., 33:36].astype(jnp.float32)
@@ -295,10 +312,14 @@ def fast_render_rays(
         if cfg.agg.conf_in_weight:
             weight = weight * conf
         vd = jnp.sum(rd_sel[..., :, None] * Rw2c, axis=-2)
-        sig_c, rgb_c = decode_radiance(
-            params, cfg.agg, neigh_emb=emb2, neigh_color=ncol,
-            neigh_dir=ndir, dists=dists, weight=weight,
-            pnt_mask=pnt_mask, viewdirs=vd, Rw2c=Rw2c)
+        if debug_ablate == "decode":
+            sig_c = jnp.sum(weight * pnt_mask, -1) * 100.0
+            rgb_c = ncol.mean(-2)
+        else:
+            sig_c, rgb_c = decode_radiance(
+                params, cfg.agg, neigh_emb=emb2, neigh_color=ncol,
+                neigh_dir=ndir, dists=dists, weight=weight,
+                pnt_mask=pnt_mask, viewdirs=vd, Rw2c=Rw2c)
         return sig_c, rgb_c, jnp.any(pnt_mask, -1)
 
     if M > CH:

@@ -1,0 +1,102 @@
+"""End-to-end fast-path throughput across config variants (the only
+trustworthy methodology here): compact_budget, fast_chunk, extract
+ablation. One scene build, several jitted variants."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnerf2studio_tpu.config import (
+    AggregatorConfig, PointNerfConfig, QueryConfig)
+from pointnerf2studio_tpu.data.synthetic import camera_rays, make_sphere_scene
+from pointnerf2studio_tpu.models.fast_render import (
+    fast_render_rays, make_fast_scene)
+
+
+def base_cfg(**qkw):
+    kw = dict(
+        vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
+        SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
+        compact_budget=8, ray_slot_budget=32, use_cache=False)
+    kw.update(qkw)
+    return PointNerfConfig(
+        query=QueryConfig(**kw),
+        agg=AggregatorConfig(compute_dtype="bfloat16"),
+    )
+
+
+def main():
+    cfg0 = base_cfg()
+    t0 = time.time()
+    scene = make_sphere_scene(n_points=558_000, cfg=cfg0)
+    cache, rmin, svs = make_fast_scene(cfg0, scene.cloud, scene.grid)
+    jax.block_until_ready(cache.rows)
+    print(f"setup {time.time()-t0:.0f}s", flush=True)
+
+    R = 65536
+    rd0 = camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0)
+    ray_vars = []
+    for i in range(4):
+        r = rd0 + 1e-4 * jax.random.normal(jax.random.PRNGKey(i), rd0.shape)
+        r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+        ray_vars.append(jax.block_until_ready(
+            jnp.concatenate([r] * (R // r.shape[0] + 1))[:R]))
+    near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
+
+    def run(tag, cfg, ablate=None):
+        @jax.jit
+        def f(params, Rw2c, cache, raydirs):
+            return fast_render_rays(
+                params, Rw2c, cache, scene.campos, scene.camrotc2w,
+                raydirs, near, far, cfg, rmin, svs,
+                debug_ablate=ablate).coarse_raycolor
+        try:
+            out = jax.block_until_ready(
+                f(scene.params, scene.cloud.Rw2c, cache, ray_vars[0]))
+            t0 = time.perf_counter()
+            n = 8
+            for i in range(n):
+                out = f(scene.params, scene.cloud.Rw2c, cache,
+                        ray_vars[i % 4])
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / n
+            print(f"{tag:28}: {dt*1e3:7.1f} ms -> {R/dt:,.0f} rays/s",
+                  flush=True)
+        except Exception as e:
+            print(f"{tag:28}: FAILED {type(e).__name__} {str(e)[:120]}",
+                  flush=True)
+
+    # this backend reports phantom ~0ms times after a few distinct
+    # programs in one process — run ONE variant per process
+    variants = {
+        "b8": ("budget=8 ch=64k", base_cfg(), None),
+        "b6": ("budget=6 ch=64k", base_cfg(compact_budget=6), None),
+        "b5": ("budget=5 ch=64k", base_cfg(compact_budget=5), None),
+        "b6c96": ("budget=6 ch=96k",
+                  base_cfg(compact_budget=6, fast_chunk=98304), None),
+        "b6c33": ("budget=6 ch=33k",
+                  base_cfg(compact_budget=6, fast_chunk=32768), None),
+        "b6xs": ("budget=6 extract-skip", base_cfg(compact_budget=6),
+                 "extract"),
+        "b6ds": ("budget=6 decode-skip", base_cfg(compact_budget=6),
+                 "decode"),
+        "b6qs": ("budget=6 qslot-skip", base_cfg(compact_budget=6),
+                 "qslot"),
+        "b6ks": ("budget=6 knn-skip", base_cfg(compact_budget=6),
+                 "knn"),
+    }
+    which = sys.argv[1] if len(sys.argv) > 1 else "b8"
+    tag, cfg, ab = variants[which]
+    run(tag, cfg, ablate=ab)
+
+
+if __name__ == "__main__":
+    main()
