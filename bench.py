@@ -51,7 +51,8 @@ def main() -> None:
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     scene = make_sphere_scene(n_points=558_000, cfg=cfg)
-    cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid)
+    cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
+                                       near=scene.near, far=scene.far)
     jax.block_until_ready(cache.rows)
 
     H = W = 800

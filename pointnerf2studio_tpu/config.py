@@ -67,6 +67,17 @@ class QueryConfig:
     # 0 -> min(decode_chunk, 65536). Bounds the unpacked-candidate
     # intermediates; larger = fewer chunk barriers, more HBM.
     fast_chunk: int = 0
+    # Two-level sample masking (fast path): test every `coarse_step`-th
+    # sample against an extra-dilated occupancy first; only samples in
+    # positive windows pay the per-sample qslot lookup (the [R, D]
+    # scalar gather is the most expensive stage at ~7ns/row). 0 = off.
+    # Exact: the coarse test is conservative (dilation covers the whole
+    # window), the fine test re-checks every sample.
+    coarse_step: int = 0
+    # Per-ray positive-window layout cap for the coarse pass.
+    coarse_win_budget: int = 12
+    # Global average positive windows per ray (level-2 compaction).
+    coarse_win_global: int = 4
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

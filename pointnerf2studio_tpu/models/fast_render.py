@@ -49,8 +49,10 @@ from pointnerf2studio_tpu.ops.compositing import (
 from pointnerf2studio_tpu.ops.grid import PointGrid
 from pointnerf2studio_tpu.ops.query import neighbor_offsets
 
-AW = 40                  # packed bf16 attr columns (39 used, 1 pad)
-ROWW = 4 + AW // 2       # f32 words per candidate
+PAYW = 44                # bf16 payload per candidate:
+                          #   xyz_rel(3) + emb(32) + conf(1) + dir(3)
+                          #   + color(3) + pad(2)
+ROWW = 1 + PAYW // 2      # f32 words: bitcast(meta) + bf16 pairs
 
 
 @struct.dataclass
@@ -58,9 +60,13 @@ class FatCache:
     """Per-query-voxel candidate rows carrying geometry + attributes.
 
     rows[max_q, C*ROWW] f32, per candidate:
-      [x, y, z, bitcast(meta), 20 x bitcast(bf16 attr pair)]
-    meta = pidx * 4 + shell, or -1 for an empty slot. Attr order:
-    embedding(32), conf(1), dir(3), color(3), pad(1) — bf16.
+      [bitcast(meta), 22 x bitcast(bf16 payload pair)]
+    meta = pidx * 4 + shell, or -1 for an empty slot. Payload (bf16):
+    xyz RELATIVE to the query-voxel center (range +-1.5 voxels, so the
+    bf16 quantization is ~0.4% of a voxel), embedding(32), conf(1),
+    dir(3), color(3), pad(2). All-bf16 payload means ONE one-hot
+    einsum extracts everything (a separate f32 xyz einsum measured
+    ~half the 43ms extract cost).
 
     Rebuild whenever points OR their attributes change (eval-time
     structure; training uses the thin cache + differentiable gathers).
@@ -68,6 +74,9 @@ class FatCache:
     coor_2_qslot: jnp.ndarray      # [gx, gy, gz] int32, -1 = not query
     rows: jnp.ndarray              # [max_q, C*ROWW] f32
     n_q: jnp.ndarray               # [] int32
+    # occupancy extra-dilated for the two-level sample test (see
+    # QueryConfig.coarse_step); None when coarse masking is off
+    coarse_occ: Optional[jnp.ndarray] = None   # [gx, gy, gz] bool
 
     @property
     def cand(self) -> int:
@@ -75,7 +84,9 @@ class FatCache:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel_size", "max_q", "cand_cap", "chunk"))
+    jax.jit,
+    static_argnames=("kernel_size", "max_q", "cand_cap", "chunk",
+                     "coarse_dilate"))
 def build_fat_cache(
     grid: PointGrid,
     cloud: NeuralPointCloud,
@@ -83,6 +94,7 @@ def build_fat_cache(
     max_q: int,
     cand_cap: int = 64,
     chunk: int = 32768,
+    coarse_dilate: int = 0,
 ) -> FatCache:
     """Build the fat candidate cache (once per point/attr change)."""
     offs_np, shells_np = neighbor_offsets(kernel_size)
@@ -113,9 +125,7 @@ def build_fat_cache(
 
     attrs = jnp.concatenate(
         [cloud.points_embeding, cloud.points_conf, cloud.points_dir,
-         cloud.points_color, jnp.zeros((N, 1), jnp.float32)], -1)
-    attrs_p = jax.lax.bitcast_convert_type(
-        attrs.astype(jnp.bfloat16).reshape(N, AW // 2, 2), jnp.float32)
+         cloud.points_color], -1).astype(jnp.bfloat16)         # [N, 39]
 
     def one_chunk(args):
         qc, cw, live = args
@@ -143,11 +153,16 @@ def build_fat_cache(
         meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
         sel_xyz = jnp.take_along_axis(
             cxyz.reshape(B, V * P, 3), top[..., None], 1)
-        sel_attr = attrs_p[jnp.clip(sel_pidx, 0, N - 1)]
+        rel = (sel_xyz - cw[:, None, :]).astype(jnp.bfloat16)  # [B, C, 3]
+        sel_attr = attrs[jnp.clip(sel_pidx, 0, N - 1)]         # [B, C, 39]
+        payload = jnp.concatenate([
+            rel, sel_attr,
+            jnp.zeros((B, C, PAYW - 42), jnp.bfloat16)], -1)   # [B, C, 44]
+        payload_p = jax.lax.bitcast_convert_type(
+            payload.reshape(B, C, PAYW // 2, 2), jnp.float32)
         pack = jnp.concatenate([
-            sel_xyz,
             jax.lax.bitcast_convert_type(meta, jnp.float32)[..., None],
-            sel_attr,
+            payload_p,
         ], -1)
         return pack.reshape(B, C * ROWW)
 
@@ -157,10 +172,21 @@ def build_fat_cache(
         jnp.pad(q_coor, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
         jnp.pad(center_w, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
         jnp.pad(q_live, (0, pad)).reshape(-1, chunk)))
+
+    coarse_occ = None
+    if coarse_dilate > 0:
+        L = coarse_dilate
+        coarse_occ = jax.lax.reduce_window(
+            grid.coor_occ.astype(jnp.int32), 0, jax.lax.max,
+            window_dimensions=(2 * L + 1,) * 3,
+            window_strides=(1, 1, 1),
+            padding=[(L, L)] * 3).astype(jnp.bool_)
+
     return FatCache(
         coor_2_qslot=coor_2_qslot,
         rows=rows.reshape(padded, C * ROWW)[:max_q],
-        n_q=n_q)
+        n_q=n_q,
+        coarse_occ=coarse_occ)
 
 
 @struct.dataclass
@@ -207,27 +233,98 @@ def fast_render_rays(
     step_t = (far - near) / D
     qslot_flat = cache.coor_2_qslot.reshape(-1)
 
-    # ---- sample mask + per-ray one-hot compaction to BP slots ----
-    t_mid = near + (jnp.arange(D, dtype=jnp.float32) + 0.5) * step_t
-    pos = campos + raydirs[:, None, :] * t_mid[None, :, None]
-    gc = jnp.floor((pos - ranges_min) / scaled_vsize).astype(jnp.int32)
-    inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
-    gcc = jnp.clip(gc, 0, dims_arr - 1)
-    fidx = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
-    if debug_ablate == "qslot":
-        qs = jnp.where(inb, fidx % 97, -1)      # fake: no table gather
+    def _voxelize(pos):
+        gc = jnp.floor((pos - ranges_min) / scaled_vsize).astype(jnp.int32)
+        inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
+        gcc = jnp.clip(gc, 0, dims_arr - 1)
+        fi = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
+        return fi, inb
+
+    use_coarse = (q.coarse_step > 1 and cache.coarse_occ is not None
+                  and debug_ablate != "qslot")
+    if use_coarse:
+        # ---- two-level masking: coarse window test, then per-sample
+        # qslot lookups only inside positive windows ----
+        S = q.coarse_step
+        DS = -(-D // S)
+        BW = q.coarse_win_budget
+        WG = R * q.coarse_win_global
+        coarse_flat = cache.coarse_occ.reshape(-1)
+        t_c = near + (jnp.arange(DS, dtype=jnp.float32) * S
+                      + (S - 1) / 2 + 0.5) * step_t
+        cfid, _ = _voxelize(
+            campos + raydirs[:, None, :] * t_c[None, :, None])
+        # test the CLAMPED center cell even when the center itself is
+        # outside the grid: member samples can still be inside, and
+        # clamping only shrinks the Chebyshev distance the dilation
+        # covers (false positives are re-checked by the fine pass)
+        cocc = coarse_flat[cfid]                                # [R, DS]
+        wrank = jnp.cumsum(cocc.astype(jnp.int32), axis=-1)
+        wkeep = cocc & (wrank <= BW)
+        ohw = wkeep[:, :, None] & (wrank[:, :, None]
+                                   == jnp.arange(1, BW + 1))
+        w_dSel = jnp.einsum(
+            "rwb,w->rb", ohw.astype(jnp.float32),
+            jnp.arange(DS, dtype=jnp.float32)).astype(jnp.int32)
+        wcnt = jnp.sum(wkeep.astype(jnp.int32), axis=-1)        # [R]
+        woff = jnp.cumsum(wcnt) - wcnt
+        wsloti = jax.lax.broadcasted_iota(jnp.int32, (R, BW), 1)
+        wdest = jnp.where(wsloti < wcnt[:, None],
+                          woff[:, None] + wsloti, WG)
+        wrayi = jax.lax.broadcasted_iota(jnp.int32, (R, BW), 0)
+        win_ray = jnp.zeros((WG,), jnp.int32).at[wdest].set(
+            wrayi, mode="drop")
+        win_dS = jnp.zeros((WG,), jnp.int32).at[wdest].set(
+            w_dSel, mode="drop")
+        win_slot = jnp.zeros((WG,), jnp.int32).at[wdest].set(
+            wsloti, mode="drop")
+        wtotal = jnp.minimum(jnp.sum(wcnt), WG)
+        wmask = jnp.arange(WG, dtype=jnp.int32) < wtotal
+
+        # fine pass on compacted windows only
+        d_f = win_dS[:, None] * S + jnp.arange(S)               # [WG, S]
+        t_f = near + (d_f.astype(jnp.float32) + 0.5) * step_t
+        pos_f = (campos + raydirs[win_ray][:, None, :]
+                 * t_f[..., None])
+        ffid, finb = _voxelize(pos_f)
+        finb = finb & (d_f < D) & wmask[:, None]
+        qs_f = jnp.where(finb, qslot_flat[jnp.where(finb, ffid, 0)], -1)
+
+        # scatter window results back to per-ray ordered [R, BW*S]
+        # slots; unkept/empty slots stay -1
+        D2 = BW * S
+        destf = jnp.where(
+            wmask[:, None],
+            win_ray[:, None] * D2 + win_slot[:, None] * S
+            + jnp.arange(S), R * D2)
+        qs = jnp.full((R * D2,), -1, jnp.int32).at[destf].set(
+            qs_f, mode="drop").reshape(R, D2)
+        d_true = jnp.full((R * D2,), 0, jnp.int32).at[destf].set(
+            d_f, mode="drop").reshape(R, D2)
+        Dax = D2
     else:
-        qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
+        t_mid = near + (jnp.arange(D, dtype=jnp.float32) + 0.5) * step_t
+        fidx, inb = _voxelize(
+            campos + raydirs[:, None, :] * t_mid[None, :, None])
+        if debug_ablate == "qslot":
+            qs = jnp.where(inb, fidx % 97, -1)  # fake: no table gather
+        else:
+            qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
+        d_true = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), (R, D))
+        Dax = D
+
     mask = qs >= 0
     ray_hit = jnp.any(mask, axis=-1)
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)          # 1-based
     keep = mask & (rank <= min(SR, BP))
     ohb = keep[:, :, None] & (rank[:, :, None] == jnp.arange(1, BP + 1))
-    d_sel = jnp.einsum("rdb,d->rb", ohb.astype(jnp.bfloat16),
-                       jnp.arange(D, dtype=jnp.bfloat16)).astype(jnp.int32)
-    # qslot ids reach ~2^20 — f32 one-hot keeps them exact
-    q_sel = jnp.einsum("rdb,rd->rb", ohb.astype(jnp.float32),
-                       qs.astype(jnp.float32)).astype(jnp.int32)
+    # qslot ids and d reach ~2^20 / D — f32 one-hot keeps them exact
+    ohf = ohb.astype(jnp.float32)
+    sel2 = jnp.einsum(
+        "rdb,rdt->rbt", ohf,
+        jnp.stack([qs.astype(jnp.float32),
+                   d_true.astype(jnp.float32)], -1)).astype(jnp.int32)
+    q_sel, d_sel = sel2[..., 0], sel2[..., 1]
     cnt = jnp.sum(keep.astype(jnp.int32), axis=-1)              # [R]
 
     # ---- level-2 global compaction to the M budget ----
@@ -255,16 +352,21 @@ def fast_render_rays(
         qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
         Mc = qslot_cc.shape[0]
         rows3 = cache.rows[qslot_cc].reshape(Mc, CAND, ROWW)
-        cxyz = rows3[..., :3]
-        meta = jax.lax.bitcast_convert_type(rows3[..., 3], jnp.int32)
+        meta = jax.lax.bitcast_convert_type(rows3[..., 0], jnp.int32)
         shell = (meta & 3).astype(jnp.int32)
-        attrs = jax.lax.bitcast_convert_type(
-            rows3[..., 4:], jnp.bfloat16).reshape(Mc, CAND, AW)
+        payload = jax.lax.bitcast_convert_type(
+            rows3[..., 1:], jnp.bfloat16).reshape(Mc, CAND, PAYW)
 
         rd_sel = raydirs[sel_ray_c]
         t_sel = near + (sel_d_c.astype(jnp.float32) + 0.5) * step_t
         locs = campos + rd_sel * t_sel[:, None]                 # [Mc, 3]
-        d2 = jnp.sum((cxyz - locs[:, None, :]) ** 2, -1)        # [Mc, C]
+        # candidate xyz = query-voxel center + bf16 relative offset
+        vox = jnp.floor((locs - ranges_min) / scaled_vsize)
+        center = ranges_min + (vox + 0.5) * scaled_vsize        # [Mc, 3]
+        # center - locs is exact f32; only the bf16 rel quantizes
+        cdelta = (payload[..., :3].astype(jnp.float32)
+                  + (center - locs)[:, None, :])                # [Mc, C, 3]
+        d2 = jnp.sum(cdelta ** 2, -1)                           # [Mc, C]
         ok = (meta >= 0) & mask_cc[:, None]
         if radius2 > 0:
             ok = ok & (d2 <= radius2)
@@ -287,18 +389,21 @@ def fast_render_rays(
             neg_top, top_idx = jax.lax.top_k(-key, K)           # [Mc, K]
             pnt_mask = neg_top > -jnp.inf
         if debug_ablate == "extract":
-            nxyz = cxyz[:, :K]                  # fake: static slice
-            nattr = attrs[:, :K]
+            nsel = payload[:, :K]               # fake: static slice
         else:
+            # ONE bf16 one-hot einsum extracts the whole payload; the
+            # single nonzero per (m, k) passes bf16 bits through the
+            # f32 accumulator exactly
             oh8 = ((top_idx[..., None] == jnp.arange(CAND))
                    & pnt_mask[..., None])                       # [Mc, K, C]
-            nxyz = jnp.einsum("mkc,mcd->mkd", oh8.astype(jnp.float32), cxyz)
-            nattr = jnp.einsum("mkc,mca->mka", oh8.astype(jnp.bfloat16),
-                               attrs)
-        emb = nattr[..., :32].astype(jnp.float32)
-        conf = nattr[..., 32].astype(jnp.float32)
-        ndir = nattr[..., 33:36].astype(jnp.float32)
-        ncol = nattr[..., 36:39].astype(jnp.float32)
+            nsel = jnp.einsum("mkc,mca->mka", oh8.astype(jnp.bfloat16),
+                              payload)                          # [Mc, K, PAYW]
+        nxyz = (nsel[..., :3].astype(jnp.float32)
+                + center[:, None, :])                           # [Mc, K, 3]
+        emb = nsel[..., 3:35].astype(jnp.float32)
+        conf = nsel[..., 35].astype(jnp.float32)
+        ndir = nsel[..., 36:39].astype(jnp.float32)
+        ncol = nsel[..., 39:42].astype(jnp.float32)
 
         nei_pers = w2pers(nxyz, camrotc2w, campos)
         lp = w2pers(locs, camrotc2w, campos)[..., None, :]
@@ -375,14 +480,30 @@ def fast_render_rays(
 
 
 def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
-                    grid: PointGrid, max_q: Optional[int] = None):
-    """Build the fat cache for a scene; returns (cache, geometry args)."""
+                    grid: PointGrid, max_q: Optional[int] = None,
+                    near: Optional[float] = None,
+                    far: Optional[float] = None):
+    """Build the fat cache for a scene; returns (cache, geometry args).
+
+    `near`/`far` (default cfg.near_plane/far_plane) size the coarse
+    dilation when `coarse_step` is on: the coarse grid stays
+    conservative for any render whose sample spacing <= (far-near)/D.
+    """
     if max_q is None:
         nq = int(jax.device_get(jnp.sum(
             grid.coor_occ.reshape(-1).astype(jnp.int32))))
         max_q = (nq + 32767) // 32768 * 32768
+    coarse_dilate = 0
+    if cfg.query.coarse_step > 1:
+        import math
+        dt = ((far if far is not None else cfg.far_plane)
+              - (near if near is not None else cfg.near_plane))             / cfg.query.z_depth_dim
+        coarse_dilate = math.ceil(
+            (cfg.query.coarse_step - 1) / 2 * dt
+            / min(cfg.query.scaled_vsize))
     cache = build_fat_cache(grid, cloud, cfg.query.kernel_size, max_q,
-                            cfg.query.cand_cap)
+                            cfg.query.cand_cap,
+                            coarse_dilate=coarse_dilate)
     return cache, grid.ranges_min, grid.scaled_vsize
 
 

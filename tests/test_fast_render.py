@@ -58,6 +58,32 @@ def test_fast_matches_reference_path(scene):
             np.asarray(out.coarse_raycolor)[missed], 1.0)
 
 
+def test_fast_coarse_masking_matches(scene):
+    """Two-level sample masking (coarse_step) is exact: the coarse test
+    is conservative and the fine pass re-checks every sample."""
+    s = scene
+    cfg2 = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, coarse_step=5, coarse_win_budget=12,
+            coarse_win_global=8))
+    rays = _rays(s)
+    cache0, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache0, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+    cache2, rmin2, svs2 = make_fast_scene(
+        cfg2, s.cloud, s.grid, near=s.near, far=s.far)
+    assert cache2.coarse_occ is not None
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache2, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg2, rmin2, svs2)
+    np.testing.assert_array_equal(
+        np.asarray(out.ray_mask), np.asarray(base.ray_mask))
+    np.testing.assert_allclose(
+        np.asarray(out.coarse_raycolor),
+        np.asarray(base.coarse_raycolor), atol=1e-5)
+
+
 def test_fast_sharded_matches_single(scene):
     from pointnerf2studio_tpu.parallel.sharding import (
         make_mesh, make_sharded_fast_render)
