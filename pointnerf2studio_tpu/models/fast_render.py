@@ -400,10 +400,12 @@ def fast_render_rays(
                               payload)                          # [Mc, K, PAYW]
         nxyz = (nsel[..., :3].astype(jnp.float32)
                 + center[:, None, :])                           # [Mc, K, 3]
-        emb = nsel[..., 3:35].astype(jnp.float32)
+        # attr slices stay bf16 end-to-end: the decoder's compute dtype
+        # is bf16 anyway, so f32 round-trips only cost HBM traffic
+        emb = nsel[..., 3:35]
         conf = nsel[..., 35].astype(jnp.float32)
-        ndir = nsel[..., 36:39].astype(jnp.float32)
-        ncol = nsel[..., 39:42].astype(jnp.float32)
+        ndir = nsel[..., 36:39]
+        ncol = nsel[..., 39:42]
 
         nei_pers = w2pers(nxyz, camrotc2w, campos)
         lp = w2pers(locs, camrotc2w, campos)[..., None, :]
