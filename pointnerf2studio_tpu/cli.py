@@ -89,7 +89,8 @@ def cmd_eval(args):
     grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
     views = list(range(args.eval_views)) if args.eval_views else None
     m = evaluate_dataset(cfg, params, points, grid, eval_ds, views=views,
-                         out_dir=args.out, save_images=bool(args.out))
+                         out_dir=args.out, save_images=bool(args.out),
+                         fast=args.fast)
     print(m)
 
 
@@ -104,7 +105,7 @@ def cmd_render_video(args):
     grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
     path = render_video(cfg, params, points, grid, train_ds.intrinsics,
                         train_ds.hw, train_ds.near, train_ds.far,
-                        args.out, n_frames=args.frames)
+                        args.out, n_frames=args.frames, fast=args.fast)
     print("wrote", path)
 
 
@@ -269,6 +270,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(e)
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--out", default=None)
+    e.add_argument("--fast", action="store_true",
+                   help="fat-cache fast render path (eval semantics)")
     e.set_defaults(fn=cmd_eval)
 
     v = sub.add_parser("render-video")
@@ -276,6 +279,8 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--checkpoint", required=True)
     v.add_argument("--out", required=True)
     v.add_argument("--frames", type=int, default=60)
+    v.add_argument("--fast", action="store_true",
+                   help="fat-cache fast render path (eval semantics)")
     v.set_defaults(fn=cmd_render_video)
 
     g = sub.add_parser("gen-points")

@@ -107,19 +107,35 @@ def render_rays(
     keep = rp_mask & (rank_d <= SR)
 
     # Stage 2: global validity compaction across (ray, sample) pairs.
-    # cumsum-rank + scatter rather than a stable argsort — sorts are
-    # the slowest primitive on TPU (measured 16x slower at R=32k,
-    # tools/profile_render2.py); the cumsum keeps the exact same
-    # valid-first, flat-index-ordered selection.
+    # Two-stage: per-ray one-hot-matmul selection into SR slots (the
+    # rank==b einsums are ~free on the MXU), then a level-2 scatter on
+    # the much smaller [R, SR] domain. Replaces a flat cumsum+scatter
+    # over [R*D] that cost ~30ms at eval scale (probe_fusion/decompose
+    # measurements); selection is IDENTICAL (keep already caps rank at
+    # SR, so per-ray slots lose nothing, and the level-2 order is the
+    # same ray-major valid-first order).
     budget = q.compact_budget if q.compact_budget > 0 else SR
     M = min(R * budget, R * D)
-    flat_mask = keep.reshape(R * D)
-    rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1        # [R*D]
-    n_valid = rank[-1] + 1
-    dest = jnp.where(flat_mask & (rank < M), rank, M)
+    ohb = keep[:, :, None] & (rank_d[:, :, None]
+                              == jnp.arange(1, SR + 1))       # [R, D, SR]
+    ohb16 = ohb.astype(jnp.bfloat16)
+    # d values reach z_depth_dim (can exceed bf16-exact 256): split
+    # into lo/hi bf16-exact einsums
+    d_ar = jnp.arange(D, dtype=jnp.int32)
+    d_lo = jnp.einsum("rds,d->rs", ohb16,
+                      (d_ar % 128).astype(jnp.bfloat16)).astype(jnp.int32)
+    d_hi = jnp.einsum("rds,d->rs", ohb16,
+                      (d_ar // 128).astype(jnp.bfloat16)).astype(jnp.int32)
+    d_sel = d_hi * 128 + d_lo                                 # [R, SR]
+    cnt = jnp.sum(keep.astype(jnp.int32), axis=-1)            # [R]
+    off = jnp.cumsum(cnt) - cnt
+    sloti = jax.lax.broadcasted_iota(jnp.int32, (R, SR), 1)
+    dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
+    rayi = jax.lax.broadcasted_iota(jnp.int32, (R, SR), 0)
     sel = jnp.zeros((M,), jnp.int32).at[dest].set(
-        jnp.arange(R * D, dtype=jnp.int32), mode="drop")      # valid-first
-    mask_c = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(n_valid, M)
+        rayi * D + d_sel, mode="drop")                        # valid-first
+    mask_c = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(
+        jnp.sum(cnt), M)
     locs = raypos.reshape(R * D, 3)[sel]                      # [M, 3]
     ray_id = sel // D                                         # [M]
 

@@ -33,6 +33,28 @@ def make_render_chunk_fn(cfg: PointNerfConfig):
     return fn
 
 
+def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
+                       near: float, far: float):
+    """Fast-path chunk renderer (models/fast_render.py): builds the fat
+    candidate cache once for the scene, then renders ~2x faster than
+    the legacy path on TPU. Same call signature as make_render_chunk_fn
+    (points/grid arguments are ignored per call — the cache is bound)."""
+    from pointnerf2studio_tpu.models.fast_render import (
+        fast_render_rays, make_fast_scene)
+
+    cache, rmin, svs = make_fast_scene(cfg, points, grid,
+                                       near=near, far=far)
+    Rw2c = points.Rw2c
+
+    @jax.jit
+    def fn(params, _points, _grid, campos, camrotc2w, raydirs, near, far):
+        out = fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
+                               raydirs, near, far, cfg, rmin, svs)
+        return out.coarse_raycolor, out.ray_mask, out.depth, out.acc
+
+    return fn
+
+
 def render_image(
     render_chunk, params, points, grid,
     campos: np.ndarray, camrotc2w: np.ndarray,
@@ -71,9 +93,18 @@ def evaluate_dataset(
     chunk: int = 4096,
     out_dir: Optional[str] = None,
     save_images: bool = False,
+    fast: bool = False,
 ) -> Dict[str, float]:
-    """PSNR/SSIM/RMSE over dataset views (reference report_metrics)."""
-    render_chunk = make_render_chunk_fn(cfg)
+    """PSNR/SSIM/RMSE over dataset views (reference report_metrics).
+
+    `fast=True` renders through the fat-cache fast path (eval-only
+    semantics: per-ray slot cap `ray_slot_budget`, bf16 attributes).
+    """
+    if fast:
+        render_chunk = make_fast_chunk_fn(cfg, points, grid,
+                                          dataset.near, dataset.far)
+    else:
+        render_chunk = make_render_chunk_fn(cfg)
     views = views if views is not None else list(range(dataset.num_views))
     per: Dict[str, List[float]] = {"psnr": [], "ssim": [], "rmse": []}
     for v in views:
@@ -122,12 +153,13 @@ def render_video(
     cfg: PointNerfConfig, params, points, grid,
     intrinsics: np.ndarray, hw, near: float, far: float,
     out_path: str, n_frames: int = 60, radius: float = 4.0,
-    chunk: int = 4096, fps: int = 30,
+    chunk: int = 4096, fps: int = 30, fast: bool = False,
 ) -> str:
     """Spherical-path video (reference: run/render_vid.py)."""
     from pointnerf2studio_tpu.data.blender import pixel_raydirs
 
-    render_chunk = make_render_chunk_fn(cfg)
+    render_chunk = (make_fast_chunk_fn(cfg, points, grid, near, far)
+                    if fast else make_render_chunk_fn(cfg))
     h, w = hw
     i, j = np.meshgrid(np.arange(w), np.arange(h))
     xy = np.stack([i, j], -1).reshape(-1, 2)

@@ -1,0 +1,51 @@
+"""evaluate_dataset(fast=True) matches the legacy evaluator closely on
+a self-consistent scene (images rendered by the same parameters)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from pointnerf2studio_tpu.data.blender import BlenderDataset
+from pointnerf2studio_tpu.data.synthetic import (
+    camera_rays, make_sphere_scene, sphere_config)
+from pointnerf2studio_tpu.train.evaluator import (
+    evaluate_dataset, make_render_chunk_fn, render_image)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = sphere_config(sr=16, d=48)
+    cfg = dataclasses.replace(
+        cfg, query=dataclasses.replace(cfg.query, ray_slot_budget=16))
+    s = make_sphere_scene(n_points=4000, cfg=cfg)
+    h = w = 24
+    focal = 18.0
+    rays = np.asarray(camera_rays(s.campos, s.camrotc2w, h, w, focal))
+    fn = make_render_chunk_fn(s.cfg)
+    out = render_image(fn, s.params, s.cloud, s.grid,
+                       np.asarray(s.campos), np.asarray(s.camrotc2w),
+                       rays, (h, w), s.near, s.far, chunk=192)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.asarray(s.camrotc2w)
+    pose[:3, 3] = np.asarray(s.campos)
+    intr = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
+                    np.float32)
+    ds = BlenderDataset(
+        images=out["coarse_raycolor"][None].astype(np.float32),
+        poses=pose[None], intrinsics=intr,
+        near=s.near, far=s.far, split="test")
+    return s, ds
+
+
+def test_fast_eval_matches_legacy(setup):
+    s, ds = setup
+    slow = evaluate_dataset(s.cfg, s.params, s.cloud, s.grid, ds,
+                            chunk=192)
+    fast = evaluate_dataset(s.cfg, s.params, s.cloud, s.grid, ds,
+                            chunk=192, fast=True)
+    # legacy evaluator re-renders the dataset's own source imagery:
+    # near-perfect; fast path differs only by bf16 attr packing
+    assert slow["psnr"] > 40
+    assert fast["psnr"] > 32, fast
+    assert abs(fast["ssim"] - slow["ssim"]) < 0.05
