@@ -39,15 +39,16 @@ def main() -> None:
     # z_depth_dim matches the REFERENCE's sampling density: chair uses
     # 400 samples over [2, 6] = one per 1.25 scaled voxels
     # (dev_scripts/w_n360/chair_points.sh); this scene's [1.1, 2.9]
-    # span at the same density is 180 samples. compact_budget 6 gives
-    # 393k shading slots per 65k-ray chunk for the ~224k valid ones
-    # (zero drops); ray_slot_budget 32 covers the per-ray tail (p100
-    # measured < 32 on this scene).
+    # span at the same density is 180 samples. compact_budget 8 is
+    # generous headroom over the ~224k valid slots per 65k-ray chunk:
+    # all-padding tail chunks are skipped by the prefix-validity cond,
+    # so overprovisioning is ~free. ray_slot_budget 32 covers the
+    # per-ray tail (p100 measured < 32 on this scene).
     cfg = PointNerfConfig(
         query=QueryConfig(
             vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
             SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
-            compact_budget=6, ray_slot_budget=32, use_cache=False),
+            compact_budget=8, ray_slot_budget=32, use_cache=False),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     scene = make_sphere_scene(n_points=558_000, cfg=cfg)

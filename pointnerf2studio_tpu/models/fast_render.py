@@ -429,6 +429,21 @@ def fast_render_rays(
                 pnt_mask=pnt_mask, viewdirs=vd, Rw2c=Rw2c)
         return sig_c, rgb_c, jnp.any(pnt_mask, -1)
 
+    def chunk_or_skip(args):
+        # level-2 compaction packs valid slots FIRST, so validity is a
+        # prefix: a chunk whose first slot is invalid is ALL padding —
+        # skip its gather/K-NN/decode entirely. This makes the
+        # compact_budget headroom nearly free (over-provisioned chunks
+        # cost one scalar branch).
+        CHc = args[0].shape[0]
+
+        def skip(_):
+            return (jnp.zeros((CHc,), jnp.float32),
+                    jnp.zeros((CHc, 3), jnp.float32),
+                    jnp.zeros((CHc,), jnp.bool_))
+
+        return jax.lax.cond(args[3][0], chunk_body, skip, args)
+
     if M > CH:
         n = (M + CH - 1) // CH
         pad = n * CH - M
@@ -437,13 +452,13 @@ def fast_render_rays(
             return jnp.pad(x, ((0, pad),)).reshape((n, CH))
 
         sig, rgb, found = jax.lax.map(
-            chunk_body, (cpad(qslot_c), cpad(sel_ray), cpad(sel_d),
-                         cpad(mask_c)))
+            chunk_or_skip, (cpad(qslot_c), cpad(sel_ray), cpad(sel_d),
+                            cpad(mask_c)))
         sig = sig.reshape(n * CH)[:M]
         rgb = rgb.reshape(n * CH, 3)[:M]
         found = found.reshape(n * CH)[:M]
     else:
-        sig, rgb, found = chunk_body((qslot_c, sel_ray, sel_d, mask_c))
+        sig, rgb, found = chunk_or_skip((qslot_c, sel_ray, sel_d, mask_c))
 
     # ---- scatter to [R, BP] slots + composite ----
     slot_ok = mask_c & found
