@@ -48,7 +48,8 @@ def main() -> None:
         query=QueryConfig(
             vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
             SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
-            compact_budget=8, ray_slot_budget=32, use_cache=False),
+            compact_budget=8, ray_slot_budget=32, use_cache=False,
+            fast_chunk=4096),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     scene = make_sphere_scene(n_points=558_000, cfg=cfg)

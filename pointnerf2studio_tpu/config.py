@@ -64,8 +64,8 @@ class QueryConfig:
     # rays with more than this many valid samples drop the tail.
     ray_slot_budget: int = 0
     # Fast-path lax.map chunk (slots per gather+knn+decode chunk).
-    # 0 -> min(decode_chunk, 65536). Bounds the unpacked-candidate
-    # intermediates; larger = fewer chunk barriers, more HBM.
+    # 0 -> 8192. SMALL chunks win on v5e (4-8k: working set near VMEM,
+    # finer tail-skip quantization; 65k chunks were ~1.45x slower).
     fast_chunk: int = 0
     # Two-level sample masking (fast path): test every `coarse_step`-th
     # sample against an extra-dilated occupancy first; only samples in

@@ -345,8 +345,11 @@ def fast_render_rays(
     # weights -> MLP per chunk: bounds the unpacked-candidate
     # intermediates ([CH, C, AW] etc.) that OOM HBM at full M, and the
     # decode_chunk regalloc workaround comes along for free.
-    CH = min(q.fast_chunk or (DC or M), M) if q.fast_chunk \
-        else min(DC or M, 65536, M)
+    # Small chunks measured dramatically faster on v5e (65k -> 4k
+    # chunks: 222k -> 321k rays/s at bench scale): the per-chunk
+    # working set stays near VMEM and the tail-chunk skip quantizes
+    # finer. Floor of 2048 keeps GEMMs full.
+    CH = max(min(q.fast_chunk or 8192, DC or M, M), min(2048, M))
 
     def chunk_body(args):
         qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
