@@ -194,6 +194,11 @@ def cmd_visualize(args):
     conf = np.asarray(cloud.points_conf)[:, 0]
     xyz, color, conf = xyz[alive], color[alive], conf[alive]
     os.makedirs(args.out, exist_ok=True)
+    if xyz.shape[0] == 0:
+        # freshly-pruned / empty checkpoints: degrade gracefully
+        # (empty-array min()/mean() and rng.choice(0) would raise)
+        print("0 alive points; skipping stats and projections")
+        return
 
     ply = os.path.join(args.out, "points.ply")
     rgb8 = (color * 255).astype(np.uint8)

@@ -71,8 +71,13 @@ class QueryConfig:
     # sample against an extra-dilated occupancy first; only samples in
     # positive windows pay the per-sample qslot lookup (the [R, D]
     # scalar gather is the most expensive stage at ~7ns/row). 0 = off.
-    # Exact: the coarse test is conservative (dilation covers the whole
-    # window), the fine test re-checks every sample.
+    # The coarse test is conservative (dilation covers the whole
+    # window) and the fine test re-checks every sample, so results are
+    # exact ONLY while positive-window counts stay within
+    # coarse_win_budget (per ray) and coarse_win_global (batch
+    # average): like ray_slot_budget, these are hard layout caps that
+    # tail-drop true positive windows (and their shading samples) when
+    # exceeded.
     coarse_step: int = 0
     # Per-ray positive-window layout cap for the coarse pass.
     coarse_win_budget: int = 12

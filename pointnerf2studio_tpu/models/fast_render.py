@@ -189,6 +189,29 @@ def build_fat_cache(
         coarse_occ=coarse_occ)
 
 
+def onehot_select_qd(keep, rank, qs, d_true, BP):
+    """Compact per-ray (qslot, d) pairs into the first BP slots via
+    one-hot MXU einsums.
+
+    qslot ids reach ~2^20 and d reaches D; TPU matmuls truncate f32
+    operands to bf16 (integers exact only to 256), so extract base-128
+    DIGITS — each digit is bf16-exact, and the one-hot guarantees a
+    single nonzero product per output so the f32 accumulation is exact
+    (the same hazard render.py's d_lo/d_hi split guards against).
+    Exact for qs < 2^21, d < 2^14.
+    """
+    ohb = keep[:, :, None] & (rank[:, :, None] == jnp.arange(1, BP + 1))
+    oh16 = ohb.astype(jnp.bfloat16)
+    qsf = jnp.maximum(qs, 0)
+    digits = jnp.stack(
+        [qsf % 128, (qsf // 128) % 128, qsf // 16384,
+         d_true % 128, d_true // 128], -1).astype(jnp.bfloat16)
+    sel2 = jnp.einsum("rdb,rdt->rbt", oh16, digits).astype(jnp.int32)
+    q_sel = sel2[..., 0] + sel2[..., 1] * 128 + sel2[..., 2] * 16384
+    d_sel = sel2[..., 3] + sel2[..., 4] * 128
+    return q_sel, d_sel
+
+
 @struct.dataclass
 class FastRenderOutput:
     coarse_raycolor: jnp.ndarray    # [R, 3]
@@ -317,14 +340,7 @@ def fast_render_rays(
     ray_hit = jnp.any(mask, axis=-1)
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)          # 1-based
     keep = mask & (rank <= min(SR, BP))
-    ohb = keep[:, :, None] & (rank[:, :, None] == jnp.arange(1, BP + 1))
-    # qslot ids and d reach ~2^20 / D — f32 one-hot keeps them exact
-    ohf = ohb.astype(jnp.float32)
-    sel2 = jnp.einsum(
-        "rdb,rdt->rbt", ohf,
-        jnp.stack([qs.astype(jnp.float32),
-                   d_true.astype(jnp.float32)], -1)).astype(jnp.int32)
-    q_sel, d_sel = sel2[..., 0], sel2[..., 1]
+    q_sel, d_sel = onehot_select_qd(keep, rank, qs, d_true, BP)
     cnt = jnp.sum(keep.astype(jnp.int32), axis=-1)              # [R]
 
     # ---- level-2 global compaction to the M budget ----

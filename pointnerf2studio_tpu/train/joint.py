@@ -187,6 +187,59 @@ def generate_points_diff(
             "dir": dirs_w, "conf": conf, "valid": valid}
 
 
+def make_joint_loss_fn(
+    cfg: PointNerfConfig,
+    ranges_min: np.ndarray,
+    grid_dims: Tuple[int, int, int],
+    num_depth: int = 128,
+    dprob_thresh: float = 0.8,
+) -> Callable:
+    """loss_fn(mvs, fields, batch, kgen, krender) -> (total, aux).
+
+    Exposed separately from the train step so tests can differentiate
+    it directly (e.g. assert the ProbNet gradient is materially
+    nonzero — the depth stack trains only through point xyz)."""
+    q = cfg.query
+    t = cfg.train
+    rmin = jnp.asarray(ranges_min, jnp.float32)
+    svsize = jnp.asarray(q.scaled_vsize, jnp.float32)
+
+    def loss_fn(mvs, fields, batch: MVSTrainBatch, kgen, krender):
+        gen = generate_points_diff(
+            mvs, batch.images, batch.intrinsics, batch.w2cs,
+            batch.c2ws, batch.near_far, key=kgen,
+            num_depth=num_depth, dprob_thresh=dprob_thresh)
+        # xyz stays IN the graph: the photometric loss reaches the
+        # depth stack (CostRegNet/ProbNet) only through point
+        # positions -> aggregation distances (inverse-distance
+        # weights + sampled depth), matching reference feedforward
+        # mode (neural_points.set_points keeps xyz differentiable).
+        # Grid building voxelizes to integers and contributes no
+        # gradient; K-NN/top_k selection indices are inherently
+        # non-differentiable, so no stop_gradient is needed there.
+        points = NeuralPointCloud(
+            xyz=gen["xyz"],
+            points_embeding=gen["embedding"],
+            points_conf=gen["conf"],
+            points_dir=gen["dir"],
+            points_color=gen["color"],
+            Rw2c=jnp.eye(3),
+            alive=gen["valid"],
+        )
+        grid = build_grid(
+            jax.lax.stop_gradient(points.xyz), points.alive, rmin,
+            svsize, grid_dims, q.max_o, q.P, q.query_size)
+        out = render_rays(
+            fields, points, grid, batch.campos, batch.camrotc2w,
+            batch.raydirs, near=batch.near_far[0],
+            far=batch.near_far[1], cfg=cfg, key=krender,
+            training=True)
+        total, aux = compute_losses(out, batch.gt_rgb, t)
+        return total, aux
+
+    return loss_fn
+
+
 def make_joint_train_step(
     cfg: PointNerfConfig,
     ranges_min: np.ndarray,
@@ -202,9 +255,9 @@ def make_joint_train_step(
     tx_mvs = optax.adam(mvs_lr)
     tx_fields = optax.adam(optax.exponential_decay(
         t.lr_fields, t.lr_decay_iters, t.lr_decay_exp))
-    q = cfg.query
-    rmin = jnp.asarray(ranges_min, jnp.float32)
-    svsize = jnp.asarray(q.scaled_vsize, jnp.float32)
+    loss_impl = make_joint_loss_fn(
+        cfg, ranges_min, grid_dims,
+        num_depth=num_depth, dprob_thresh=dprob_thresh)
 
     @jax.jit
     def joint_step(state: JointState, batch: MVSTrainBatch,
@@ -212,29 +265,7 @@ def make_joint_train_step(
         kgen, krender = jax.random.split(key)
 
         def loss_fn(mvs, fields):
-            gen = generate_points_diff(
-                mvs, batch.images, batch.intrinsics, batch.w2cs,
-                batch.c2ws, batch.near_far, key=kgen,
-                num_depth=num_depth, dprob_thresh=dprob_thresh)
-            points = NeuralPointCloud(
-                xyz=jax.lax.stop_gradient(gen["xyz"]),
-                points_embeding=gen["embedding"],
-                points_conf=gen["conf"],
-                points_dir=gen["dir"],
-                points_color=gen["color"],
-                Rw2c=jnp.eye(3),
-                alive=gen["valid"],
-            )
-            grid = build_grid(
-                points.xyz, points.alive, rmin, svsize,
-                grid_dims, q.max_o, q.P, q.query_size)
-            out = render_rays(
-                fields, points, grid, batch.campos, batch.camrotc2w,
-                batch.raydirs, near=batch.near_far[0],
-                far=batch.near_far[1], cfg=cfg, key=krender,
-                training=True)
-            total, aux = compute_losses(out, batch.gt_rgb, t)
-            return total, aux
+            return loss_impl(mvs, fields, batch, kgen, krender)
 
         (_, aux), (g_mvs, g_fields) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state.mvs, state.fields)

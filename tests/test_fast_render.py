@@ -18,7 +18,7 @@ from pointnerf2studio_tpu.config import (
 from pointnerf2studio_tpu.data.synthetic import (
     camera_rays, make_sphere_scene, sphere_config)
 from pointnerf2studio_tpu.models.fast_render import (
-    fast_render_rays_jit, make_fast_scene)
+    fast_render_rays_jit, make_fast_scene, onehot_select_qd)
 from pointnerf2studio_tpu.models.render import render_rays_jit
 
 
@@ -56,6 +56,33 @@ def test_fast_matches_reference_path(scene):
     if missed.any():
         np.testing.assert_array_equal(
             np.asarray(out.coarse_raycolor)[missed], 1.0)
+
+
+def test_onehot_select_qd_exact_large_ids():
+    """The one-hot slot compaction must be EXACT for qslot ids up to
+    ~2^20 on every backend — on TPU the matmul truncates operands to
+    bf16, so the implementation extracts bf16-exact base-128 digits.
+    (This test runs wherever the suite runs; bench.py exercises the
+    same code on the real chip.)"""
+    rng = np.random.default_rng(3)
+    R, D, BP = 64, 96, 16
+    mask = rng.random((R, D)) < 0.25
+    qs = np.where(mask,
+                  rng.integers(0, 2 ** 20, (R, D), dtype=np.int64),
+                  -1).astype(np.int32)
+    d_true = np.broadcast_to(np.arange(D, dtype=np.int32) * 11, (R, D))
+    rank = np.cumsum(mask, -1)
+    keep = mask & (rank <= BP)
+    q_sel, d_sel = jax.jit(onehot_select_qd, static_argnums=4)(
+        jnp.asarray(keep), jnp.asarray(rank), jnp.asarray(qs),
+        jnp.asarray(d_true), BP)
+    for r in range(R):
+        sel_d = np.nonzero(keep[r])[0]
+        n = len(sel_d)
+        np.testing.assert_array_equal(np.asarray(q_sel)[r, :n],
+                                      qs[r, sel_d])
+        np.testing.assert_array_equal(np.asarray(d_sel)[r, :n],
+                                      d_true[r, sel_d])
 
 
 def test_fast_coarse_masking_matches(scene):

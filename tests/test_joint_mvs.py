@@ -25,7 +25,7 @@ from pointnerf2studio_tpu.models.mvsnet.costvol import (
 from pointnerf2studio_tpu.ops.grid import compute_grid_geometry
 from pointnerf2studio_tpu.train.joint import (
     MVSTrainBatch, create_joint_state, generate_points_diff,
-    init_joint_params, make_joint_train_step)
+    init_joint_params, make_joint_loss_fn, make_joint_train_step)
 
 
 H = W = 32          # full-res images; feature res 8x8 -> 64 points
@@ -159,3 +159,38 @@ def test_joint_step_updates_everything(batch, mvs_params):
     # divergence guard only: XLA CPU reduction order varies run-to-run,
     # so a tight improvement margin flakes under host load
     assert losses[-1] <= losses[0] * 3.0 + 1e-3, losses
+
+
+def _tree_l2(t):
+    return float(jnp.sqrt(sum(
+        jnp.sum(jnp.square(l)) for l in jax.tree.leaves(t))))
+
+
+def test_probnet_gradient_flows(batch, mvs_params):
+    """The depth stack (CostRegNet/ProbNet) trains ONLY through point
+    xyz -> aggregation distances; stop_gradient on xyz would sever it,
+    leaving rounding-noise grads.  Assert the ProbNet gradient norm is
+    materially nonzero relative to the FPN's (which has a direct path
+    through feature warps)."""
+    cfg = tiny_cfg()
+    fields = init_aggregator_params(jax.random.PRNGKey(2), cfg.agg)
+    rmin, dims = compute_grid_geometry(
+        np.array([-2.0, -2.0, 0.0]), np.array([2.0, 2.0, 4.0]), cfg.query)
+    loss_fn = make_joint_loss_fn(cfg, rmin, dims, num_depth=16,
+                                 dprob_thresh=0.05)
+
+    def scalar_loss(mvs):
+        total, _ = loss_fn(mvs, fields, batch,
+                           jax.random.PRNGKey(7), jax.random.PRNGKey(8))
+        return total
+
+    g = jax.grad(scalar_loss)(mvs_params)
+    g_prob = _tree_l2(g.costvol["probnet"])
+    g_cost = _tree_l2({k: v for k, v in g.costvol.items()
+                       if k != "probnet"})
+    g_fpn = _tree_l2(g.fpn)
+    assert np.isfinite([g_prob, g_cost, g_fpn]).all()
+    assert g_fpn > 0
+    # materially nonzero, not numerical noise
+    assert g_prob > 1e-6 * g_fpn, (g_prob, g_fpn)
+    assert g_cost > 1e-6 * g_fpn, (g_cost, g_fpn)
