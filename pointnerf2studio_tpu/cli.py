@@ -83,14 +83,16 @@ def cmd_eval(args):
     from pointnerf2studio_tpu.train.evaluator import evaluate_dataset
     from pointnerf2studio_tpu.utils import checkpoint_io as cio
 
-    cfg, _, eval_ds = _load_scene(args)
+    cfg, train_ds, eval_ds = _load_scene(args)
     params, points = cio.load_reference_checkpoint(
         _latest_ckpt(args.checkpoint))
     grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
     views = list(range(args.eval_views)) if args.eval_views else None
     m = evaluate_dataset(cfg, params, points, grid, eval_ds, views=views,
                          out_dir=args.out, save_images=bool(args.out),
-                         fast=args.fast)
+                         fast=args.fast,
+                         bg_src_dataset=(train_ds if cfg.bgmodel.endswith(
+                             "plane") else None))
     print(m)
 
 
@@ -135,7 +137,7 @@ def cmd_gen_points(args):
         cloud = init_cloud_from_points(
             d["xyz"], d["color"], feat_dim=cfg.agg.point_features_dim,
             vox_res=args.vox_res, ranges=cfg.query.ranges,
-            capacity=args.capacity)
+            capacity=args.capacity, point_noise=args.point_noise)
         params = cio.import_aggregator_params(
             cio.load_torch_state_dict(args.init_mlp)) if args.init_mlp \
             else init_aggregator_params(jax.random.PRNGKey(0), cfg.agg)
@@ -297,6 +299,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="init from a COLMAP/PLY point cloud instead of "
                         "running MVSNet")
     g.add_argument("--init-mlp", default=None)
+    g.add_argument("--point-noise", default="",
+                   help="jitter loaded positions once at init, e.g. "
+                        "pointgaussian_0.1 (reference --point_noise)")
     g.add_argument("--num-src", type=int, default=2)
     g.add_argument("--max-batches", type=int, default=None)
     g.add_argument("--vox-res", type=int, default=320)

@@ -175,8 +175,19 @@ class TrainConfig:
     lr_points: float = 2e-3
     lr_decay_exp: float = 0.1
     lr_decay_iters: int = 1_000_000
+    # Alternate which optimizer steps every `alter_step` iterations
+    # (0 = both every step): fields update while (step//alter_step)%2
+    # == 0, point attributes while == 1 (reference backward,
+    # neural_points_volumetric_model.py:204-211).
+    alter_step: int = 0
     max_iterations: int = 200_000
     rays_per_batch: int = 4096
+    # Pixel-sampling mode (reference --random_sample,
+    # nerf_synth360_ft_dataset.py:589-618): "random" (integer pixels),
+    # "random2" (continuous uniform coords; gt indexed by floor),
+    # "patch" (one contiguous sqrt(rays_per_batch)^2 patch),
+    # "no_crop" (the full image grid).
+    random_sample: str = "random"
     zero_epsilon: float = 1e-3
     zero_one_loss_weight: float = 1e-4
     jitter: float = 0.3
@@ -218,8 +229,14 @@ class PointNerfConfig:
     near_plane: float = 2.0
     far_plane: float = 6.0
     # Background model: "no" (constant bg_color) or "plane"
-    # (models/bg_plane.py; reference --bgmodel).
+    # (models/bg_plane.py; reference --bgmodel). Plane geometry/color
+    # are scene-level data the reference datasets supply per batch
+    # (mvs_utils.gen_bg_points reads batch["plane_pnt"/"plane_normal"],
+    # set_bg takes data["plane_color"]).
     bgmodel: str = "no"
+    bg_plane_pnt: tuple = (0.0, 0.0, 0.0)
+    bg_plane_normal: tuple = (0.0, 0.0, 1.0)
+    bg_plane_color: tuple = (1.0, 1.0, 1.0)
     # Compositing plug-ins (reference diff_render_func.py:16-33):
     # blend "alpha" | "alpha2" (collocated light), tonemap
     # "off" | "gamma" | "normalize".

@@ -38,6 +38,11 @@ class BlenderDataset:
     near: float
     far: float
     split: str
+    # per-view alpha (coverage) masks — the reference's binary depth /
+    # `depth_gt > 0` on blender data (nerf_synth360_ft_dataset.py
+    # builds them from the RGBA alpha channel); None when frames had
+    # no alpha.
+    alphas: Optional[np.ndarray] = None     # [V, H, W] float32
 
     @property
     def num_views(self) -> int:
@@ -90,7 +95,7 @@ def load_blender(
         meta = json.load(f)
 
     frames = meta["frames"][:max_views] if max_views else meta["frames"]
-    images, poses = [], []
+    images, poses, alphas = [], [], []
     for frame in frames:
         path = os.path.join(root, frame["file_path"] + ".png")
         if not os.path.exists(path):
@@ -105,6 +110,7 @@ def load_blender(
         if arr.shape[-1] == 4:
             rgb, a = arr[..., :3], arr[..., 3:]
             arr = rgb * a + np.asarray(bg_color, np.float32) * (1.0 - a)
+            alphas.append(a[..., 0])
         images.append(arr[..., :3])
         c2w = np.asarray(frame["transform_matrix"], np.float32) @ BLENDER2OPENCV
         poses.append(c2w)
@@ -117,35 +123,73 @@ def load_blender(
         [[focal, 0, w / 2.0], [0, focal, h / 2.0], [0, 0, 1]], np.float32)
     return BlenderDataset(
         images=images, poses=poses, intrinsics=intrinsics,
-        near=NEAR_FAR[0], far=NEAR_FAR[1], split=split)
+        near=NEAR_FAR[0], far=NEAR_FAR[1], split=split,
+        alphas=np.stack(alphas) if len(alphas) == len(frames) else None)
 
 
 class PixelSampler:
-    """Per-step ray batches: ONE random view, `rays_per_batch` random
-    pixels from it (Point-NeRF trains per-image — reference:
-    pointnerf/nerfstudio/studio_datamanager.py:62-81)."""
+    """Per-step ray batches: ONE random view, `rays_per_batch` pixels
+    from it (Point-NeRF trains per-image — reference:
+    pointnerf/nerfstudio/studio_datamanager.py:62-81).
+
+    `mode` mirrors the reference's --random_sample
+    (nerf_synth360_ft_dataset.py:589-618): "random" integer pixels,
+    "random2" continuous uniform coords (ray dirs from the float
+    coords, gt from their floor), "patch" one contiguous square patch,
+    "no_crop" the full image grid (batch size becomes H*W).
+    """
 
     def __init__(self, dataset: BlenderDataset, rays_per_batch: int,
-                 seed: int = 0):
+                 seed: int = 0, mode: str = "random"):
+        if mode not in ("random", "random2", "patch", "no_crop"):
+            raise ValueError(f"unknown pixel-sample mode {mode!r}")
         self.dataset = dataset
         self.rays_per_batch = rays_per_batch
         self.rng = np.random.default_rng(seed)
+        self.mode = mode
+
+    def _pixels(self, h: int, w: int):
+        n = self.rays_per_batch
+        if self.mode == "random":
+            xs = self.rng.integers(0, w, n).astype(np.float32)
+            ys = self.rng.integers(0, h, n).astype(np.float32)
+        elif self.mode == "random2":
+            xs = self.rng.uniform(0, w - 1e-5, n).astype(np.float32)
+            ys = self.rng.uniform(0, h - 1e-5, n).astype(np.float32)
+        elif self.mode == "patch":
+            s = max(1, int(np.sqrt(n)))
+            x0 = int(self.rng.integers(0, w - s + 1))
+            y0 = int(self.rng.integers(0, h - s + 1))
+            px, py = np.meshgrid(np.arange(x0, x0 + s),
+                                 np.arange(y0, y0 + s))
+            xs = px.reshape(-1).astype(np.float32)
+            ys = py.reshape(-1).astype(np.float32)
+        else:  # no_crop
+            px, py = np.meshgrid(np.arange(w), np.arange(h))
+            xs = px.reshape(-1).astype(np.float32)
+            ys = py.reshape(-1).astype(np.float32)
+        return xs, ys
 
     def next_batch(self):
         ds = self.dataset
         view = int(self.rng.integers(ds.num_views))
         h, w = ds.hw
-        xs = self.rng.integers(0, w, self.rays_per_batch)
-        ys = self.rng.integers(0, h, self.rays_per_batch)
+        xs, ys = self._pixels(h, w)
         xy = np.stack([xs, ys], -1)
         raydirs = ds.raydirs(view, xy)
-        gt = ds.images[view, ys, xs]
-        return {
+        xi = xs.astype(np.int64)
+        yi = ys.astype(np.int64)
+        gt = ds.images[view, yi, xi]
+        batch = {
             "view": view,
             "campos": ds.campos(view),
             "camrotc2w": ds.camrotc2w(view),
             "raydirs": raydirs,
             "gt_rgb": gt.astype(np.float32),
+            "pixel_xy": np.stack([xi, yi], -1),
             "near": ds.near,
             "far": ds.far,
         }
+        if ds.alphas is not None:
+            batch["gt_mask"] = (ds.alphas[view, yi, xi] > 0.0)
+        return batch

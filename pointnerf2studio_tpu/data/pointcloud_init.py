@@ -92,15 +92,29 @@ def init_cloud_from_points(
     ranges: Optional[Tuple[float, ...]] = None,
     capacity: Optional[int] = None,
     seed: int = 0,
+    point_noise: str = "",
 ):
     """Build a trainable NeuralPointCloud from bare geometry
     (reference: train_ft.py:645-680 load_init_points path +
-    NeuralPoints feature init :284-304)."""
+    NeuralPoints feature init :284-304).
+
+    `point_noise` ("pointgaussian_0.1" | "pointuniform_0.1") jitters
+    the loaded positions once at init, exactly where the reference
+    applies --point_noise to a freshly loaded cloud
+    (neural_points.py:243-248 calling :670-680)."""
     from pointnerf2studio_tpu.models import neural_points as npts
     from pointnerf2studio_tpu.models.mvsnet.pointgen import (
         voxel_downsample_closest)
 
     xyz = np.asarray(xyz, np.float32)
+    if point_noise:
+        mode, std_s = point_noise.split("_")
+        std = float(std_s)
+        if std > 0.0:
+            xyz = np.asarray(npts.jitter_points(
+                jax.random.PRNGKey(seed + 1), jnp.asarray(xyz),
+                jnp.ones((xyz.shape[0],), bool), std, mode=mode),
+                np.float32)
     if ranges is not None:
         r = np.asarray(ranges, np.float32)
         keep = np.all((xyz >= r[:3]) & (xyz <= r[3:]), axis=-1)

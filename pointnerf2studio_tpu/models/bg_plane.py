@@ -140,3 +140,64 @@ def plane_background_colors(
     bg = jnp.max(cols, axis=0)                                     # [R, 3]
     valid = jnp.any(jnp.sum(cols, axis=-1) > 0, axis=0) & sect_ok
     return bg, valid
+
+
+def create_all_bg(cfg, dataset, points_xyz=None, chunk: int = 16384,
+                  views=None, src_dataset=None):
+    """Precompute per-view background color maps [V, H, W, 3].
+
+    The reference precomputes bg rays for every train/test image once
+    before the loop (train_ft.py:604-612 create_all_bg) and indexes
+    them per batch by pixel id; this is the same artifact, computed
+    through `plane_background_colors`. Rays come from `dataset`
+    (whatever split is being rendered); plane colors are sampled from
+    `src_dataset` (default: `dataset` itself — pass the TRAIN split
+    when computing bg for test/render poses, as the reference does
+    with its img_lst). Invalid rays (no view agrees with the plane
+    color, or the ray misses the plane) fall back to `cfg.bg_color`.
+    """
+    import numpy as np
+
+    src = src_dataset if src_dataset is not None else dataset
+    V = dataset.num_views
+    VS = src.num_views
+    H, W = dataset.hw
+    views = list(range(V)) if views is None else views
+    images = jnp.asarray(src.images)
+    w2cs = jnp.asarray(np.linalg.inv(src.poses))
+    intr = jnp.broadcast_to(jnp.asarray(src.intrinsics), (VS, 3, 3))
+    plane_pnt = jnp.asarray(cfg.bg_plane_pnt, jnp.float32)
+    plane_normal = jnp.asarray(cfg.bg_plane_normal, jnp.float32)
+    plane_color = jnp.asarray(cfg.bg_plane_color, jnp.float32)
+    const_bg = np.asarray(cfg.bg_color, np.float32)
+
+    Hs, Ws = src.hw
+    if points_xyz is not None:
+        fg_masks = jax.vmap(
+            lambda w2c, K: fg_pixel_mask(points_xyz, w2c, K, (Hs, Ws)))(
+                w2cs, intr)
+    else:
+        fg_masks = jnp.zeros((VS, Hs, Ws), jnp.float32)
+
+    @jax.jit
+    def one_chunk(campos, raydirs):
+        return plane_background_colors(
+            campos, raydirs, plane_pnt, plane_normal, plane_color,
+            images, w2cs, intr, fg_masks=fg_masks)
+
+    maps = np.broadcast_to(const_bg, (V, H, W, 3)).copy()
+    for v in views:
+        rays = dataset.full_image_rays(v)
+        total = rays.shape[0]
+        padded = (total + chunk - 1) // chunk * chunk
+        rays = np.pad(rays, ((0, padded - total), (0, 0)))
+        campos = jnp.asarray(dataset.campos(v))
+        bg_v, ok_v = [], []
+        for i in range(0, padded, chunk):
+            b, ok = one_chunk(campos, jnp.asarray(rays[i:i + chunk]))
+            bg_v.append(np.asarray(b))
+            ok_v.append(np.asarray(ok))
+        bg_v = np.concatenate(bg_v)[:total].reshape(H, W, 3)
+        ok_v = np.concatenate(ok_v)[:total].reshape(H, W)
+        maps[v] = np.where(ok_v[..., None], bg_v, const_bg)
+    return maps

@@ -235,6 +235,7 @@ def fast_render_rays(
     debug_ablate: Optional[str] = None,   # perf probes only: "decode" |
                                           # "knn" | "qslot" skip stages
                                           # (WRONG output, real timing)
+    bg_ray_colors: Optional[jnp.ndarray] = None,   # [R, 3] plane bg
 ) -> FastRenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -502,7 +503,8 @@ def fast_render_rays(
     trans = jnp.concatenate(
         [jnp.ones((R, 1), trans.dtype), trans[:, :-1]], -1)
     blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
-    bg = jnp.asarray(cfg.bg_color, jnp.float32)
+    bg = (bg_ray_colors if bg_ray_colors is not None
+          else jnp.asarray(cfg.bg_color, jnp.float32))
     acc = jnp.sum(blend, -1)
     color = jnp.sum(blend[..., None] * rgb_rb, -2) + (1 - acc)[..., None] * bg
     color = TONE_MAPS[cfg.tonemap_func](color)
@@ -545,7 +547,8 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def fast_render_rays_jit(params, Rw2c, cache, campos, camrotc2w, raydirs,
-                         near, far, cfg, ranges_min, scaled_vsize):
+                         near, far, cfg, ranges_min, scaled_vsize,
+                         bg_ray_colors=None):
     return fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
                             raydirs, near, far, cfg, ranges_min,
-                            scaled_vsize)
+                            scaled_vsize, bg_ray_colors=bg_ray_colors)

@@ -204,6 +204,35 @@ def grow(
     )
 
 
+def expand_capacity(points: NeuralPointCloud,
+                    new_capacity: int) -> NeuralPointCloud:
+    """Re-pad every per-point array to `new_capacity` slots (dead).
+
+    Growth beyond the free-slot budget triggers this (SURVEY §7
+    "static capacity + doubling"); shapes change, so the jitted train
+    step recompiles once per expansion.
+    """
+    cap = points.capacity
+    if new_capacity < cap:
+        raise ValueError(f"cannot shrink capacity {cap} -> {new_capacity}")
+    if new_capacity == cap:
+        return points
+    pad = new_capacity - cap
+
+    def padrow(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+    return points.replace(
+        xyz=padrow(points.xyz),
+        points_embeding=padrow(points.points_embeding),
+        points_conf=padrow(points.points_conf),
+        points_dir=padrow(points.points_dir),
+        points_color=padrow(points.points_color),
+        Rw2c=padrow(points.Rw2c) if points.Rw2c.ndim == 3 else points.Rw2c,
+        alive=jnp.pad(points.alive, (0, pad)),
+    )
+
+
 def init_features(
     key, xyz: jnp.ndarray, feat_dim: int, method: str = "rand"
 ) -> jnp.ndarray:

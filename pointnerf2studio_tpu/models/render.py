@@ -78,6 +78,7 @@ def render_rays(
     training: bool = False,
     prob: bool = False,
     points_axis: Optional[str] = None,
+    bg_ray_colors: Optional[jnp.ndarray] = None,   # [R, 3] plane bg
 ) -> RenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -276,7 +277,13 @@ def render_rays(
     trans = jnp.concatenate(
         [jnp.ones(trans.shape[:-1] + (1,), trans.dtype), trans[..., :-1]], -1)
     blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)  # [R, SR]
-    bg = jnp.asarray(cfg.bg_color, jnp.float32)
+    # Per-ray background (bgmodel=plane): replaces the constant bg in
+    # BOTH the (1-acc) blend and the miss-ray fill — equivalent to the
+    # reference's is_background*bg_ray + scatter of the no-bg render
+    # (neural_points_volumetric_model.py:103-105, ray_march bg_color
+    # None when bg_ray present).
+    bg = (bg_ray_colors if bg_ray_colors is not None
+          else jnp.asarray(cfg.bg_color, jnp.float32))
     acc = jnp.sum(blend, axis=-1)
     color = jnp.sum(blend[..., None] * rgb, axis=-2) + (1 - acc)[..., None] * bg
     color = TONE_MAPS[cfg.tonemap_func](color)
@@ -326,6 +333,8 @@ def render_rays(
 @functools.partial(jax.jit, static_argnames=("cfg", "training", "prob"))
 def render_rays_jit(params, points, grid, campos, camrotc2w, raydirs,
                     near, far, cfg: PointNerfConfig, key=None,
-                    training: bool = False, prob: bool = False) -> RenderOutput:
+                    training: bool = False, prob: bool = False,
+                    bg_ray_colors=None) -> RenderOutput:
     return render_rays(params, points, grid, campos, camrotc2w, raydirs,
-                       near, far, cfg, key=key, training=training, prob=prob)
+                       near, far, cfg, key=key, training=training, prob=prob,
+                       bg_ray_colors=bg_ray_colors)

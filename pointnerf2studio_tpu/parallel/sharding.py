@@ -154,6 +154,7 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
 def make_sharded_train_step(
     cfg: PointNerfConfig, mesh: Mesh,
     example_state: Optional[TrainState] = None,
+    with_bg_ray: bool = False,
 ) -> Callable:
     """Full training step over the mesh.
 
@@ -179,14 +180,16 @@ def make_sharded_train_step(
         state_spec = state_pspec(example_state, mesh)
 
     def local_step(state: TrainState, grid, campos, camrotc2w, raydirs,
-                   gt_rgb, near, far, key):
+                   gt_rgb, near, far, key, *bg):
         key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
+        bg_rgb = bg[0] if bg else None
 
         def loss_fn(params, point_trainables):
             points = state.points.with_trainable(point_trainables)
             out = render_rays(params, points, grid, campos, camrotc2w,
                               raydirs, near, far, cfg, key=key,
-                              training=True, points_axis=pts_axis)
+                              training=True, points_axis=pts_axis,
+                              bg_ray_colors=bg_rgb)
             total, aux = compute_losses(
                 out, gt_rgb, cfg.train, psum_axis="rays")
             return total, aux
@@ -214,6 +217,6 @@ def make_sharded_train_step(
     fn = _shard_map(
         local_step, mesh,
         in_specs=(state_spec, P(), P(), P(), P("rays"), P("rays"),
-                  P(), P(), P()),
+                  P(), P(), P()) + ((P("rays"),) if with_bg_ray else ()),
         out_specs=(state_spec, P()))
     return jax.jit(fn)

@@ -25,9 +25,11 @@ def make_render_chunk_fn(cfg: PointNerfConfig):
     """One jitted chunk renderer reused across frames (fixed chunk size)."""
 
     @jax.jit
-    def fn(params, points, grid, campos, camrotc2w, raydirs, near, far):
+    def fn(params, points, grid, campos, camrotc2w, raydirs, near, far,
+           bg_rgb=None):
         out = render_rays(params, points, grid, campos, camrotc2w,
-                          raydirs, near, far, cfg, training=False)
+                          raydirs, near, far, cfg, training=False,
+                          bg_ray_colors=bg_rgb)
         return out.coarse_raycolor, out.ray_mask, out.depth, out.acc
 
     return fn
@@ -47,9 +49,11 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
     Rw2c = points.Rw2c
 
     @jax.jit
-    def fn(params, _points, _grid, campos, camrotc2w, raydirs, near, far):
+    def fn(params, _points, _grid, campos, camrotc2w, raydirs, near, far,
+           bg_rgb=None):
         out = fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
-                               raydirs, near, far, cfg, rmin, svs)
+                               raydirs, near, far, cfg, rmin, svs,
+                               bg_ray_colors=bg_rgb)
         return out.coarse_raycolor, out.ray_mask, out.depth, out.acc
 
     return fn
@@ -60,19 +64,26 @@ def render_image(
     campos: np.ndarray, camrotc2w: np.ndarray,
     raydirs: np.ndarray,            # [H*W, 3]
     hw, near: float, far: float, chunk: int,
+    bg_colors: Optional[np.ndarray] = None,   # [H*W, 3] plane bg
 ) -> Dict[str, np.ndarray]:
     """Chunked full-frame render -> stitched H x W canvases."""
     h, w = hw
     total = h * w
     padded = (total + chunk - 1) // chunk * chunk
     rays = np.pad(raydirs, ((0, padded - total), (0, 0)))
+    if bg_colors is not None:
+        bg_colors = np.pad(np.asarray(bg_colors, np.float32).reshape(
+            total, 3), ((0, padded - total), (0, 0)))
     colors, masks, depths, accs = [], [], [], []
     campos = jnp.asarray(campos)
     camrot = jnp.asarray(camrotc2w)
     nearj, farj = jnp.asarray(near), jnp.asarray(far)
     for i in range(0, padded, chunk):
+        bg_arg = (() if bg_colors is None
+                  else (jnp.asarray(bg_colors[i:i + chunk]),))
         c, m, d, a = render_chunk(params, points, grid, campos, camrot,
-                                  jnp.asarray(rays[i:i + chunk]), nearj, farj)
+                                  jnp.asarray(rays[i:i + chunk]), nearj,
+                                  farj, *bg_arg)
         colors.append(np.asarray(c))
         masks.append(np.asarray(m))
         depths.append(np.asarray(d))
@@ -94,11 +105,15 @@ def evaluate_dataset(
     out_dir: Optional[str] = None,
     save_images: bool = False,
     fast: bool = False,
+    bg_src_dataset: Optional[BlenderDataset] = None,
 ) -> Dict[str, float]:
     """PSNR/SSIM/RMSE over dataset views (reference report_metrics).
 
     `fast=True` renders through the fat-cache fast path (eval-only
     semantics: per-ray slot cap `ray_slot_budget`, bf16 attributes).
+    With `cfg.bgmodel` = "plane", per-view plane backgrounds are
+    precomputed from `bg_src_dataset` (the train split's images;
+    reference test_bg_info, train_ft.py:604-612).
     """
     if fast:
         render_chunk = make_fast_chunk_fn(cfg, points, grid,
@@ -106,16 +121,26 @@ def evaluate_dataset(
     else:
         render_chunk = make_render_chunk_fn(cfg)
     views = views if views is not None else list(range(dataset.num_views))
-    per: Dict[str, List[float]] = {"psnr": [], "ssim": [], "rmse": []}
+    bg_maps = None
+    if cfg.bgmodel.endswith("plane"):
+        from pointnerf2studio_tpu.models.bg_plane import create_all_bg
+        alive = np.asarray(points.alive)
+        bg_maps = create_all_bg(
+            cfg, dataset, views=views,
+            points_xyz=jnp.asarray(np.asarray(points.xyz)[alive]),
+            src_dataset=bg_src_dataset)
+    per: Dict[str, List[float]] = {}
     for v in views:
         rays = dataset.full_image_rays(v)
+        bg_v = None if bg_maps is None else bg_maps[v].reshape(-1, 3)
         out = render_image(render_chunk, params, points, grid,
                            dataset.campos(v), dataset.camrotc2w(v), rays,
-                           dataset.hw, dataset.near, dataset.far, chunk)
+                           dataset.hw, dataset.near, dataset.far, chunk,
+                           bg_colors=bg_v)
         gt = dataset.images[v]
         m = M.compute_all(out["coarse_raycolor"], gt)
-        for k in per:
-            per[k].append(m[k])
+        for k, val in m.items():
+            per.setdefault(k, []).append(val)
         if save_images and out_dir:
             os.makedirs(out_dir, exist_ok=True)
             from PIL import Image

@@ -102,6 +102,26 @@ def reset_point_opt_slots(opt_state, slots: np.ndarray):
     return jax.tree.map(zero_rows, opt_state)
 
 
+def expand_state_capacity(state: TrainState,
+                          new_capacity: int) -> TrainState:
+    """Re-pad the point cloud AND its Adam moments to `new_capacity`
+    rows (SURVEY §7 capacity doubling). Leaves whose leading dim equals
+    the old capacity (the per-point mu/nu moments) get zero rows; the
+    fields group is untouched."""
+    cap = state.points.capacity
+    pad = new_capacity - cap
+
+    def padrow(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x
+
+    return state.replace(
+        points=npts.expand_capacity(state.points, new_capacity),
+        opt_state_points=jax.tree.map(padrow, state.opt_state_points),
+    )
+
+
 def probe_and_grow(
     cfg: PointNerfConfig,
     state: TrainState,
@@ -111,8 +131,16 @@ def probe_and_grow(
     chunk: int = 4096,
     opacity_thresh: float = 0.7,
     prob_mul: float = 1.0,
+    allow_expand: bool = True,
+    capacity_round: int = 4096,
 ) -> Tuple[TrainState, PointGrid, int]:
-    """Probe views, grow points into free slots, rebuild the grid."""
+    """Probe views, grow points into free slots, rebuild the grid.
+
+    When candidates exceed free slots and `allow_expand`, capacity is
+    grown first — to at least double, rounded up to `capacity_round` —
+    and the cloud + Adam moments are re-padded (one recompile of the
+    train step). With expansion off, the overflow is DROPPED and
+    reported, never silent."""
     views = views if views is not None else list(range(dataset.num_views))
     parts = [probe_view(cfg, state.params, state.points, grid, dataset, v,
                         chunk=chunk, opacity_thresh=opacity_thresh,
@@ -120,6 +148,21 @@ def probe_and_grow(
     xyz = np.concatenate([p["xyz"] for p in parts], 0)
     if xyz.shape[0] == 0:
         return state, grid, 0
+
+    n_alive = int(np.asarray(state.points.num_alive))
+    free = state.points.capacity - n_alive
+    if xyz.shape[0] > free:
+        if allow_expand:
+            need = n_alive + xyz.shape[0]
+            new_cap = max(2 * state.points.capacity, need)
+            new_cap = -(-new_cap // capacity_round) * capacity_round
+            print(f"grow: {xyz.shape[0]} candidates > {free} free slots; "
+                  f"expanding capacity {state.points.capacity} -> {new_cap}")
+            state = expand_state_capacity(state, new_cap)
+        else:
+            print(f"grow: DROPPING {xyz.shape[0] - free} of "
+                  f"{xyz.shape[0]} candidates (capacity saturated, "
+                  f"expansion disabled)")
 
     alive_before = np.asarray(state.points.alive)
     points = npts.grow(

@@ -79,14 +79,28 @@ def fit(
             print(f"resumed from step {last}")
     grid = build_grid_from_points(
         state.points.xyz, state.points.alive, cfg.query)
+
+    # Plane background: precompute per-view bg color maps once, index
+    # them per batch by pixel id (reference: train_ft.py:604-612
+    # create_all_bg + the bg_ray_lst pixel lookup at :208-211).
+    bg_maps = None
+    if cfg.bgmodel.endswith("plane"):
+        from pointnerf2studio_tpu.models.bg_plane import create_all_bg
+        alive = np.asarray(state.points.alive)
+        bg_maps = create_all_bg(
+            cfg, dataset,
+            points_xyz=jnp.asarray(np.asarray(state.points.xyz)[alive]))
+
     if mesh is not None:
         from pointnerf2studio_tpu.parallel.sharding import (
             make_sharded_train_step)
-        step_fn = make_sharded_train_step(cfg, mesh)
+        step_fn = make_sharded_train_step(
+            cfg, mesh, with_bg_ray=bg_maps is not None)
     else:
         step_fn = make_train_step(cfg)
 
-    sampler = PixelSampler(dataset, cfg.train.rays_per_batch, seed=seed)
+    sampler = PixelSampler(dataset, cfg.train.rays_per_batch, seed=seed,
+                           mode=cfg.train.random_sample)
     key = jax.random.PRNGKey(seed)
     t = cfg.train
     # Per-view ray-miss loss ranking for probe-frame selection
@@ -97,12 +111,22 @@ def fit(
     for step in range(start_step, max_steps + 1):
         b = sampler.next_batch()
         key, sub = jax.random.split(key)
+        bg_args = ()
+        if bg_maps is not None:
+            xy = b["pixel_xy"]
+            bg_args = (jnp.asarray(
+                bg_maps[b["view"], xy[:, 1], xy[:, 0]]),)
+        kw = {}
+        if (mesh is None and "gt_mask" in b
+                and any(n.startswith("ray_depth_masked_")
+                        for n in t.color_loss_items)):
+            kw["gt_mask"] = jnp.asarray(b["gt_mask"])
         state, aux = step_fn(
             state, grid,
             jnp.asarray(b["campos"]), jnp.asarray(b["camrotc2w"]),
             jnp.asarray(b["raydirs"]), jnp.asarray(b["gt_rgb"]),
             jnp.asarray(b["near"], jnp.float32),
-            jnp.asarray(b["far"], jnp.float32), sub)
+            jnp.asarray(b["far"], jnp.float32), sub, *bg_args, **kw)
         logger.accumulate({k: v for k, v in aux.items()})
         if "ray_miss_coarse_raycolor_loss" in aux:
             miss_rank[b["view"]] = float(
@@ -148,7 +172,8 @@ def fit(
         if eval_freq and step % eval_freq == 0 and eval_dataset is not None:
             m = evaluate_dataset(
                 cfg, state.params, state.points, grid, eval_dataset,
-                views=eval_views, chunk=eval_chunk)
+                views=eval_views, chunk=eval_chunk,
+                bg_src_dataset=dataset if bg_maps is not None else None)
             logger.flush(step, extra={f"eval_{k}": v for k, v in m.items()})
 
     save_checkpoint(out_dir, state, max_steps)
@@ -156,7 +181,8 @@ def fit(
     if eval_dataset is not None:
         metrics = evaluate_dataset(
             cfg, state.params, state.points, grid, eval_dataset,
-            views=eval_views, chunk=eval_chunk)
+            views=eval_views, chunk=eval_chunk,
+            bg_src_dataset=dataset if bg_maps is not None else None)
         logger.flush(max_steps, extra={f"final_{k}": v
                                        for k, v in metrics.items()})
     return FitResult(state=state, metrics=metrics, out_dir=out_dir)

@@ -54,6 +54,21 @@ def compute_losses(
             miss = 1.0 - ray_mask_f
             se = jnp.square(out.coarse_raycolor - gt_rgb) * miss
             loss = gsum(se) / 3.0
+        elif name.startswith("ray_depth_masked_"):
+            # MSE over rays whose GT depth is valid — the reference
+            # indexes a per-pixel `depth_gt > 0` map by pixel id
+            # (base_rendering_model.py:564-570; the map is set at
+            # mvs_points_volumetric_model.py:129,339). On blender data
+            # depth_gt>0 == the alpha-foreground mask, passed here as
+            # gt_mask (or derived from gt_depth when provided).
+            if gt_depth is not None:
+                dm = (gt_depth > 0).astype(jnp.float32)[:, None]
+            elif gt_mask is not None:
+                dm = gt_mask.astype(jnp.float32)[:, None]
+            else:
+                dm = jnp.ones_like(ray_mask_f)
+            se = jnp.square(out.coarse_raycolor - gt_rgb) * dm
+            loss = gsum(se) / jnp.maximum(gsum(dm) * 3.0, 1.0)
         else:
             se = jnp.square(out.coarse_raycolor - gt_rgb)
             n = gsum(jnp.ones_like(se)) / 3.0

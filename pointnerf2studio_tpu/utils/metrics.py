@@ -72,15 +72,38 @@ def ssim(img: np.ndarray, ref: np.ndarray, data_range: float = 1.0,
     return float(s.mean())
 
 
-def lpips(img: np.ndarray, ref: np.ndarray, net: str = "alex") -> float:
-    """LPIPS via the optional `lpips` torch package (not bundled here)."""
+_LPIPS_CACHE: dict = {}
+
+
+def lpips(img: np.ndarray, ref: np.ndarray, net: str = "alex",
+          weights_path: str | None = None) -> float:
+    """LPIPS v0.1 (reference: run/evaluate.py:62-75 uses lpips-alex and
+    lpips-vgg on [-1,1] inputs).
+
+    Resolution order: (1) the JAX implementation
+    (utils/lpips.py) with a combined weight file — `weights_path`, or
+    `$LPIPS_WEIGHTS_DIR/lpips_<net>_combined.pth` (see
+    lpips.EXPORT_SNIPPET for producing one); (2) the optional torch
+    `lpips` package. Raises RuntimeError when neither is available
+    (callers degrade gracefully)."""
+    from pointnerf2studio_tpu.utils import lpips as ljax
+
+    path = weights_path or ljax.find_weights(net)
+    if path is not None:
+        key = (net, path)
+        if key not in _LPIPS_CACHE:
+            _LPIPS_CACHE[key] = ljax.load_torch_lpips_weights(path)
+        return float(ljax.lpips_distance(
+            _LPIPS_CACHE[key], np.asarray(img, np.float32),
+            np.asarray(ref, np.float32)))
     try:
         import lpips as lpips_pkg  # type: ignore
         import torch
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
-            "LPIPS needs the `lpips` package with pretrained nets, which "
-            "is not available in this environment") from e
+            "LPIPS needs either a combined weight file (see "
+            "pointnerf2studio_tpu.utils.lpips.EXPORT_SNIPPET) or the "
+            "torch `lpips` package") from e
     model = lpips_pkg.LPIPS(net=net)
     t = lambda a: torch.from_numpy(
         np.asarray(a, np.float32).transpose(2, 0, 1))[None] * 2 - 1
@@ -89,11 +112,17 @@ def lpips(img: np.ndarray, ref: np.ndarray, net: str = "alex") -> float:
 
 
 def compute_all(img: np.ndarray, ref: np.ndarray) -> dict:
-    return {
+    out = {
         "psnr": psnr(img, ref),
         "ssim": ssim(img, ref),
         "rmse": rmse(img, ref),
     }
+    try:
+        out["lpips"] = lpips(img, ref, net="alex")
+        out["vgglpips"] = lpips(img, ref, net="vgg")
+    except RuntimeError:
+        pass    # no weights in this environment; PSNR/SSIM/RMSE only
+    return out
 
 
 def metrics_over_dirs(pred_dir: str, gt_dir: str,

@@ -13,8 +13,47 @@ from pointnerf2studio_tpu.data.synthetic import (
 from pointnerf2studio_tpu.models import neural_points as npts
 from pointnerf2studio_tpu.models.render import render_rays_jit
 from pointnerf2studio_tpu.train.grow import (
-    _dilate1, probe_and_grow, reset_point_opt_slots)
+    _dilate1, expand_state_capacity, probe_and_grow,
+    reset_point_opt_slots)
 from pointnerf2studio_tpu.train.trainer import create_train_state
+
+
+class TestCapacityExpansion:
+    def test_expand_pads_cloud_and_adam_moments(self, scene):
+        state = create_train_state(scene.params, scene.cloud, scene.cfg)
+        cap = state.points.capacity
+        new = expand_state_capacity(state, cap + 512)
+        assert new.points.capacity == cap + 512
+        assert int(np.asarray(new.points.num_alive)) == int(
+            np.asarray(state.points.num_alive))
+        # Adam per-point moments re-padded with zero rows
+        padded = [l for l in jax.tree.leaves(new.opt_state_points)
+                  if hasattr(l, "shape") and l.ndim >= 1
+                  and l.shape[0] == cap + 512]
+        assert padded, "no per-point moment was re-padded"
+        for l in padded:
+            assert float(jnp.abs(l[cap:]).sum()) == 0.0
+        # old rows intact
+        np.testing.assert_array_equal(
+            np.asarray(new.points.points_embeding[:cap]),
+            np.asarray(state.points.points_embeding))
+
+    def test_grow_past_capacity_expands_without_loss(self, scene):
+        """SURVEY §7 doubling: more grow candidates than free slots
+        must expand capacity, not silently drop (VERDICT r1)."""
+        cloud = scene.cloud        # capacity 2000, all alive -> 0 free
+        state = create_train_state(scene.params, cloud, scene.cfg)
+        m = 64
+        rng = np.random.default_rng(0)
+        new_xyz = rng.normal(size=(m, 3)).astype(np.float32) * 0.1
+        state2 = expand_state_capacity(
+            state, max(2 * cloud.capacity, cloud.capacity + m))
+        grown = npts.grow(
+            state2.points, jnp.asarray(new_xyz),
+            jnp.zeros((m, 32)), jnp.full((m, 1), 0.5),
+            jnp.zeros((m, 3)), jnp.zeros((m, 3)),
+            jnp.ones((m,), bool))
+        assert int(np.asarray(grown.num_alive)) == cloud.capacity + m
 
 
 @pytest.fixture(scope="module")

@@ -51,6 +51,29 @@ class TestColorItems:
         np.testing.assert_allclose(
             float(parts["ray_miss_coarse_raycolor_loss"]), ref, rtol=1e-5)
 
+    def test_ray_depth_masked(self):
+        """MSE over rays with valid GT depth (reference
+        base_rendering_model.py:564-570: depth_gt > 0 per pixel)."""
+        t = TrainConfig(
+            color_loss_items=("ray_depth_masked_coarse_raycolor",),
+            color_loss_weights=(1.0,), zero_one_loss_weight=0.0)
+        gt_depth = jnp.asarray(
+            np.where(RNG.random(R) > 0.5, RNG.random(R) * 3, 0.0),
+            jnp.float32)
+        _, parts = compute_losses(OUT, GT, t, gt_depth=gt_depth)
+        dm = np.asarray(gt_depth) > 0
+        ref = np.mean((np.asarray(OUT.coarse_raycolor)[dm]
+                       - np.asarray(GT)[dm]) ** 2)
+        np.testing.assert_allclose(
+            float(parts["ray_depth_masked_coarse_raycolor_loss"]), ref,
+            rtol=1e-5)
+        # gt_mask fallback path (blender: alpha>0 == depth valid)
+        _, parts2 = compute_losses(OUT, GT, t,
+                                   gt_mask=jnp.asarray(dm))
+        np.testing.assert_allclose(
+            float(parts2["ray_depth_masked_coarse_raycolor_loss"]), ref,
+            rtol=1e-5)
+
     def test_plain_mse(self):
         t = TrainConfig(color_loss_items=("coarse_raycolor",),
                         color_loss_weights=(2.0,), zero_one_loss_weight=0.0)

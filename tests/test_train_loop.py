@@ -96,6 +96,45 @@ def test_fit_with_pruning(teacher_scene, toy_dataset, tmp_path):
     assert np.isfinite(float(np.asarray(res.state.step)))
 
 
+def test_alter_step_alternates_optimizers(teacher_scene, toy_dataset):
+    """With alter_step=2: steps 1-2 (phase (step//2)%2) alternate which
+    group moves; the skipped group's params AND Adam moments stay put
+    (reference backward, neural_points_volumetric_model.py:204-211)."""
+    import jax.numpy as jnp
+    from pointnerf2studio_tpu.data.blender import PixelSampler
+    from pointnerf2studio_tpu.train.trainer import (
+        create_train_state, make_train_step)
+
+    s = teacher_scene
+    cfg = dataclasses.replace(
+        s.cfg, train=dataclasses.replace(
+            s.cfg.train, rays_per_batch=64, jitter=0.0, alter_step=1))
+    step_fn = make_train_step(cfg)
+    state = create_train_state(s.params, s.cloud, cfg)
+    sampler = PixelSampler(toy_dataset, 64, seed=0)
+
+    def l2diff(a, b):
+        return max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(
+            jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    for i in range(2):
+        prev = state
+        b = sampler.next_batch()
+        state, _ = step_fn(
+            state, s.grid, jnp.asarray(b["campos"]),
+            jnp.asarray(b["camrotc2w"]), jnp.asarray(b["raydirs"]),
+            jnp.asarray(b["gt_rgb"]), jnp.asarray(b["near"], jnp.float32),
+            jnp.asarray(b["far"], jnp.float32), jax.random.PRNGKey(i))
+        phase = int(np.asarray(prev.step)) % 2
+        d_fields = l2diff(state.params, prev.params)
+        d_points = l2diff(state.points.trainable(),
+                          prev.points.trainable())
+        if phase == 0:
+            assert d_fields > 0 and d_points == 0, (d_fields, d_points)
+        else:
+            assert d_points > 0 and d_fields == 0, (d_fields, d_points)
+
+
 def test_fit_resumes_from_checkpoint(tmp_path):
     """fit() restores the latest orbax checkpoint and continues from
     the saved step (reference auto-resume, train_ft.py:542-546)."""

@@ -34,10 +34,13 @@ def base_cfg(**qkw):
 
 
 def main():
-    cfg0 = base_cfg()
+    which = sys.argv[1] if len(sys.argv) > 1 else "b8"
+    tag, cfg_v, ab = VARIANTS[which]
+    cfg0 = cfg_v   # cache must match the variant (coarse_occ presence)
     t0 = time.time()
     scene = make_sphere_scene(n_points=558_000, cfg=cfg0)
-    cache, rmin, svs = make_fast_scene(cfg0, scene.cloud, scene.grid)
+    cache, rmin, svs = make_fast_scene(cfg0, scene.cloud, scene.grid,
+                                       near=scene.near, far=scene.far)
     jax.block_until_ready(cache.rows)
     print(f"setup {time.time()-t0:.0f}s", flush=True)
 
@@ -74,28 +77,48 @@ def main():
             print(f"{tag:28}: FAILED {type(e).__name__} {str(e)[:120]}",
                   flush=True)
 
-    # this backend reports phantom ~0ms times after a few distinct
-    # programs in one process — run ONE variant per process
-    variants = {
-        "b8": ("budget=8 ch=64k", base_cfg(), None),
-        "b6": ("budget=6 ch=64k", base_cfg(compact_budget=6), None),
-        "b5": ("budget=5 ch=64k", base_cfg(compact_budget=5), None),
-        "b6c96": ("budget=6 ch=96k",
-                  base_cfg(compact_budget=6, fast_chunk=98304), None),
-        "b6c33": ("budget=6 ch=33k",
-                  base_cfg(compact_budget=6, fast_chunk=32768), None),
-        "b6xs": ("budget=6 extract-skip", base_cfg(compact_budget=6),
-                 "extract"),
-        "b6ds": ("budget=6 decode-skip", base_cfg(compact_budget=6),
-                 "decode"),
-        "b6qs": ("budget=6 qslot-skip", base_cfg(compact_budget=6),
-                 "qslot"),
-        "b6ks": ("budget=6 knn-skip", base_cfg(compact_budget=6),
-                 "knn"),
-    }
-    which = sys.argv[1] if len(sys.argv) > 1 else "b8"
-    tag, cfg, ab = variants[which]
-    run(tag, cfg, ablate=ab)
+    run(tag, cfg_v, ablate=ab)
+
+
+# this backend reports phantom ~0ms times after a few distinct
+# programs in one process — run ONE variant per process
+VARIANTS = {
+    "b8": ("budget=8 ch=64k", base_cfg(), None),
+    "b6": ("budget=6 ch=64k", base_cfg(compact_budget=6), None),
+    "b5": ("budget=5 ch=64k", base_cfg(compact_budget=5), None),
+    "b6c96": ("budget=6 ch=96k",
+              base_cfg(compact_budget=6, fast_chunk=98304), None),
+    "b6c33": ("budget=6 ch=33k",
+              base_cfg(compact_budget=6, fast_chunk=32768), None),
+    "b6xs": ("budget=6 extract-skip", base_cfg(compact_budget=6),
+             "extract"),
+    "b6ds": ("budget=6 decode-skip", base_cfg(compact_budget=6),
+             "decode"),
+    "b6qs": ("budget=6 qslot-skip", base_cfg(compact_budget=6),
+             "qslot"),
+    "b6ks": ("budget=6 knn-skip", base_cfg(compact_budget=6),
+             "knn"),
+    # ---- round 2: the r1 best is budget=8 slot_budget=32 ch=4096 ----
+    "c4k": ("b8 ch=4096 (r1 best)", base_cfg(fast_chunk=4096), None),
+    "c2k": ("b8 ch=2048", base_cfg(fast_chunk=2048), None),
+    "c3k": ("b8 ch=3072", base_cfg(fast_chunk=3072), None),
+    "c6k": ("b8 ch=6144", base_cfg(fast_chunk=6144), None),
+    # qslot-stage ablation at the r1-best chunking: remaining headroom
+    "c4kqs": ("b8 ch=4096 qslot-skip", base_cfg(fast_chunk=4096),
+              "qslot"),
+    "c4kds": ("b8 ch=4096 decode-skip", base_cfg(fast_chunk=4096),
+              "decode"),
+    # two-level sample masking retry at small chunks
+    "co4": ("b8 ch=4096 coarse S=4",
+            base_cfg(fast_chunk=4096, coarse_step=4,
+                     coarse_win_budget=12, coarse_win_global=6), None),
+    "co6": ("b8 ch=4096 coarse S=6",
+            base_cfg(fast_chunk=4096, coarse_step=6,
+                     coarse_win_budget=10, coarse_win_global=5), None),
+    "co8": ("b8 ch=4096 coarse S=8",
+            base_cfg(fast_chunk=4096, coarse_step=8,
+                     coarse_win_budget=8, coarse_win_global=4), None),
+}
 
 
 if __name__ == "__main__":
