@@ -151,7 +151,8 @@ def cmd_gen_points(args):
     mvs_params = load_mvsnet_params(args.mvsnet_ckpt)
     fpn_params = load_fpn_params(args.fpn_ckpt)
     batches, alphas, aK, aE = build_view_batches(
-        ds, num_src=args.num_src, max_batches=args.max_batches)
+        ds, num_src=args.num_src, max_batches=args.max_batches,
+        pairing=args.pairing)
     pg = PointGenConfig(vox_res=args.vox_res, ranges=cfg.query.ranges)
     pc = generate_point_cloud(mvs_params, fpn_params, batches,
                               alphas=alphas, alpha_intrinsics=aK,
@@ -167,6 +168,87 @@ def cmd_gen_points(args):
     cio.export_torch_checkpoint(
         params, cloud, os.path.join(args.out, "0_net_ray_marching.pth"))
     print("wrote", os.path.join(args.out, "0_net_ray_marching.pth"))
+
+
+def cmd_train_joint(args):
+    """Joint MVS + render training (reference mode 0, learned depth):
+    regenerate the point cloud from the MVS nets every step and train
+    both stacks end-to-end (reference:
+    mvs_points_volumetric_model.py:38-45 + train_ft.py with --mode 0).
+    Seeds FeatureNet/premlp from --net-mvs when given
+    (mvs_points_model.py:79)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointnerf2studio_tpu.data.blender import load_blender
+    from pointnerf2studio_tpu.data.mvs_batches import build_view_batches
+    from pointnerf2studio_tpu.data.presets import get_preset
+    from pointnerf2studio_tpu.models.aggregator import init_aggregator_params
+    from pointnerf2studio_tpu.ops.grid import compute_grid_geometry
+    from pointnerf2studio_tpu.train.joint import (
+        MVSTrainBatch, create_joint_state, generate_points_diff,
+        load_pretrained_joint_params, make_joint_train_step)
+    from pointnerf2studio_tpu.utils import checkpoint_io as cio
+    from pointnerf2studio_tpu.utils.logger import Logger
+
+    cfg = get_preset(args.scene)
+    ds = load_blender(args.data, "train", factor=args.factor)
+    batches, _, _, _ = build_view_batches(ds, num_src=args.num_src)
+    key = jax.random.PRNGKey(0)
+    fields = cio.import_aggregator_params(
+        cio.load_torch_state_dict(args.init_mlp)) if args.init_mlp \
+        else init_aggregator_params(key, cfg.agg)
+    nv = args.num_src + 1
+    mvs = (load_pretrained_joint_params(key, args.net_mvs, num_views=nv)
+           if args.net_mvs else None)
+    state = create_joint_state(key, fields, cfg, num_views=nv,
+                               mvs_lr=args.mvs_lr, mvs=mvs)
+    r = cfg.query.ranges
+    rmin, dims = compute_grid_geometry(
+        np.asarray(r[:3]), np.asarray(r[3:]), cfg.query)
+    step_fn = make_joint_train_step(cfg, rmin, dims, mvs_lr=args.mvs_lr,
+                                    num_depth=args.num_depth)
+    os.makedirs(args.out, exist_ok=True)
+    logger = Logger(args.out)
+    rng = np.random.default_rng(0)
+    R = cfg.train.rays_per_batch
+    h, w = ds.hw
+    for step in range(1, args.steps + 1):
+        vi = int(rng.integers(len(batches)))
+        vb = batches[vi]
+        xs = rng.integers(0, w, R)
+        ys = rng.integers(0, h, R)
+        raydirs = ds.raydirs(vi, np.stack([xs, ys], -1))
+        batch = MVSTrainBatch(
+            images=jnp.asarray(vb.images),
+            intrinsics=jnp.asarray(vb.intrinsics),
+            w2cs=jnp.asarray(vb.w2cs), c2ws=jnp.asarray(vb.c2ws),
+            near_far=jnp.asarray(vb.near_far, jnp.float32),
+            campos=jnp.asarray(ds.campos(vi)),
+            camrotc2w=jnp.asarray(ds.camrotc2w(vi)),
+            raydirs=jnp.asarray(raydirs),
+            gt_rgb=jnp.asarray(ds.images[vi, ys, xs], jnp.float32))
+        state, aux = step_fn(state, batch, jax.random.PRNGKey(step))
+        logger.accumulate({k: v for k, v in aux.items()})
+        if step % args.print_freq == 0:
+            logger.flush(step)
+    # export the final generated cloud in the reference checkpoint
+    # format (the mode-0 handoff artifact, gen_pnts.py:36-160)
+    vb = batches[0]
+    gen = generate_points_diff(
+        state.mvs, jnp.asarray(vb.images), jnp.asarray(vb.intrinsics),
+        jnp.asarray(vb.w2cs), jnp.asarray(vb.c2ws),
+        jnp.asarray(vb.near_far, jnp.float32), num_depth=args.num_depth)
+    from pointnerf2studio_tpu.models import neural_points as npts
+    valid = np.asarray(gen["valid"])
+    cloud = npts.from_arrays(
+        np.asarray(gen["xyz"])[valid], np.asarray(gen["embedding"])[valid],
+        np.asarray(gen["conf"])[valid], np.asarray(gen["dir"])[valid],
+        np.asarray(gen["color"])[valid])
+    out_path = os.path.join(args.out, f"{args.steps}_net_ray_marching.pth")
+    cio.export_torch_checkpoint(state.fields, cloud, out_path)
+    print("wrote", out_path)
 
 
 def cmd_evaluate_images(args):
@@ -303,10 +385,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jitter loaded positions once at init, e.g. "
                         "pointgaussian_0.1 (reference --point_noise)")
     g.add_argument("--num-src", type=int, default=2)
+    g.add_argument("--pairing", default="nearest",
+                   choices=("nearest", "triangles"),
+                   help="MVS view-triple selection; 'triangles' = the "
+                        "reference's camera-rig BPA triangulation")
     g.add_argument("--max-batches", type=int, default=None)
     g.add_argument("--vox-res", type=int, default=320)
     g.add_argument("--capacity", type=int, default=None)
     g.set_defaults(fn=cmd_gen_points)
+
+    tj = sub.add_parser("train-joint",
+                        help="joint MVS+render training (reference "
+                             "mode 0, learned depth)")
+    common(tj)
+    tj.add_argument("--out", required=True)
+    tj.add_argument("--net-mvs", default=None,
+                    help="pretrained best_net_mvs.pth to seed "
+                         "FeatureNet/premlp")
+    tj.add_argument("--init-mlp", default=None)
+    tj.add_argument("--num-src", type=int, default=2)
+    tj.add_argument("--mvs-lr", type=float, default=5e-4)
+    tj.add_argument("--num-depth", type=int, default=128)
+    tj.add_argument("--steps", type=int, default=1000)
+    tj.add_argument("--print-freq", type=int, default=50)
+    tj.set_defaults(fn=cmd_train_joint)
 
     ev = sub.add_parser("evaluate-images",
                         help="metrics over rendered/GT PNG dirs")

@@ -134,6 +134,11 @@ class AggregatorConfig:
     # fusion already keeps this workload near its HBM bound — so it is
     # off by default and kept as a parity-tested experiment.
     fused_decode: bool = False
+    # Opt-in: the K-accumulating Pallas decode (ops/fused_decode.py
+    # fused_decode2) in the FAST render path: K-reduction inside the
+    # kernel (8x less output traffic than the r1 kernel), concat-free
+    # matmuls. Measured against the XLA decoder per scene before use.
+    fused_decode2: bool = False
     # Aggregation weight kernel (reference `agg_distance_kernel`,
     # point_aggregators.py:353-483): linear | numlinear | quadric |
     # numquadric | avg | trilinear | sh_intrp | gau_intrp.

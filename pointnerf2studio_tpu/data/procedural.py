@@ -1,0 +1,217 @@
+"""Procedural NeRF-Synthetic-format dataset generation (SDF chair).
+
+The validation plan calls for PSNR parity on the real NeRF-Synthetic
+chair; this machine has no datasets and no network egress (documented
+blocker — see VALIDATION.md). This module provides the strongest
+available stand-in: a ray-marched SDF chair with chair-like geometry
+(seat slab, four legs, backrest with slats — flat surfaces, thin
+structures, concavities) rendered to an EXACT NeRF-Synthetic directory
+layout (transforms_{train,test}.json + RGBA PNGs, blender camera
+conventions per nerf_synth360_ft_dataset.py:379-452), sized to the
+reference chair's crop ranges (dev_scripts/w_n360/chair_points.sh).
+
+Everything downstream — blender loading, MVSNet point generation with
+the shipped pretrained checkpoint, fine-tuning, fast-vs-legacy eval —
+then runs the same code path a real chair would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import numpy as np
+
+CAMERA_ANGLE_X = 0.6911112070083618          # blender synthetic default
+RADIUS = 4.0311289              # camera ring radius (blender synthetic)
+
+
+# ---------------------------------------------------------------- SDF --
+
+def _box(p, center, half):
+    import jax.numpy as jnp
+    q = jnp.abs(p - jnp.asarray(center)) - jnp.asarray(half)
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return outside + inside
+
+
+def _cylinder_z(p, cx, cy, r, z0, z1):
+    """Capped vertical cylinder."""
+    import jax.numpy as jnp
+    dxy = jnp.sqrt((p[..., 0] - cx) ** 2 + (p[..., 1] - cy) ** 2) - r
+    dz = jnp.maximum(z0 - p[..., 2], p[..., 2] - z1)
+    q = jnp.stack([dxy, dz], -1)
+    return (jnp.minimum(jnp.maximum(q[..., 0], q[..., 1]), 0.0)
+            + jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1))
+
+
+def chair_sdf(p) -> Tuple:
+    """(distance, part id) for the chair. Parts: 0 seat, 1 legs,
+    2 backrest frame, 3 slats. Sized to the reference chair crop
+    (x [-0.72, 0.66], y [-0.70, 0.71], z [-1.0, 1.05])."""
+    import jax.numpy as jnp
+    seat = _box(p, [0.0, 0.0, -0.05], [0.60, 0.60, 0.07])
+    legs = jnp.minimum(
+        jnp.minimum(_cylinder_z(p, -0.50, -0.50, 0.07, -1.0, -0.10),
+                    _cylinder_z(p, -0.50, 0.50, 0.07, -1.0, -0.10)),
+        jnp.minimum(_cylinder_z(p, 0.50, -0.50, 0.07, -1.0, -0.10),
+                    _cylinder_z(p, 0.50, 0.50, 0.07, -1.0, -0.10)))
+    # backrest: two stiles + top rail at the +y edge
+    stiles = jnp.minimum(
+        _cylinder_z(p, -0.50, 0.55, 0.06, 0.0, 1.00),
+        _cylinder_z(p, 0.50, 0.55, 0.06, 0.0, 1.00))
+    rail = _box(p, [0.0, 0.55, 0.95], [0.55, 0.055, 0.09])
+    frame = jnp.minimum(stiles, rail)
+    slats = jnp.minimum(
+        jnp.minimum(_box(p, [-0.30, 0.55, 0.45], [0.075, 0.03, 0.42]),
+                    _box(p, [0.0, 0.55, 0.45], [0.075, 0.03, 0.42])),
+        _box(p, [0.30, 0.55, 0.45], [0.075, 0.03, 0.42]))
+    stacked = jnp.stack([seat, legs, frame, slats], -1)
+    d = jnp.min(stacked, -1)
+    part = jnp.argmin(stacked, -1)
+    return d, part
+
+
+_PART_COLORS = np.array([
+    [0.62, 0.36, 0.18],     # seat: wood
+    [0.25, 0.22, 0.20],     # legs: dark
+    [0.55, 0.30, 0.15],     # frame
+    [0.70, 0.52, 0.28],     # slats: light wood
+], np.float32)
+
+
+def _albedo(p, part):
+    """Per-part base color + wood-grain-ish procedural stripes."""
+    import jax.numpy as jnp
+    base = jnp.asarray(_PART_COLORS)[part]
+    grain = 0.5 + 0.5 * jnp.sin(23.0 * p[..., 0] + 17.0 * p[..., 2]
+                                + 3.0 * jnp.sin(5.0 * p[..., 1]))
+    return jnp.clip(base * (0.85 + 0.3 * grain[..., None]), 0.0, 1.0)
+
+
+def _march_rays(origin, dirs, n_steps: int):
+    """Jitted sphere-tracing over all rays (runs on CPU; np funcs in
+    chair_sdf/_albedo are jnp-compatible)."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(_, carry):
+        t, hit = carry
+        p = origin + dirs * t[:, None]
+        d, _ = chair_sdf(p)
+        newly = (~hit) & (d < 1e-3) & (t < 6.5)
+        hit = hit | newly
+        alive = (~hit) & (t < 6.5)
+        t = jnp.where(alive, t + jnp.maximum(d, 1e-3) * 0.9, t)
+        return t, hit
+
+    t0 = jnp.full((dirs.shape[0],), 2.0, jnp.float32)
+    h0 = jnp.zeros((dirs.shape[0],), bool)
+    t, hit = jax.lax.fori_loop(0, n_steps, body, (t0, h0))
+
+    ph = origin + dirs * t[:, None]
+    d0, part = chair_sdf(ph)
+    eps = 2e-3
+    ex = jnp.array([eps, 0, 0])
+    ey = jnp.array([0, eps, 0])
+    ez = jnp.array([0, 0, eps])
+    n = jnp.stack([chair_sdf(ph + ex)[0] - chair_sdf(ph - ex)[0],
+                   chair_sdf(ph + ey)[0] - chair_sdf(ph - ey)[0],
+                   chair_sdf(ph + ez)[0] - chair_sdf(ph - ez)[0]], -1)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    l1 = jnp.array([0.5, -0.6, 0.62])
+    l1 = l1 / jnp.linalg.norm(l1)
+    l2 = jnp.array([-0.6, 0.4, 0.69])
+    l2 = l2 / jnp.linalg.norm(l2)
+    diff = (0.65 * jnp.maximum(n @ l1, 0.0)
+            + 0.35 * jnp.maximum(n @ l2, 0.0) + 0.25)
+    rgb = jnp.clip(_albedo(ph, part) * diff[:, None], 0.0, 1.0)
+    rgba = jnp.concatenate(
+        [rgb, jnp.ones_like(rgb[:, :1])], -1) * hit[:, None]
+    return rgba
+
+
+def render_view(c2w_gl: np.ndarray, hw: Tuple[int, int], focal: float,
+                n_steps: int = 128) -> np.ndarray:
+    """Ray-march one view -> RGBA [H, W, 4] float in [0, 1].
+
+    c2w_gl is the OpenGL-convention camera (blender transform_matrix):
+    camera looks along -Z, +Y up.
+    """
+    import jax
+
+    H, W = hw
+    i, j = np.meshgrid(np.arange(W), np.arange(H))
+    dirs_cam = np.stack(
+        [(i + 0.5 - W / 2) / focal, -(j + 0.5 - H / 2) / focal,
+         -np.ones_like(i, np.float32)], -1).astype(np.float32)
+    dirs = dirs_cam @ c2w_gl[:3, :3].T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origin = c2w_gl[:3, 3].astype(np.float32)
+    march = jax.jit(_march_rays, static_argnums=2)
+    rgba = np.asarray(march(origin, dirs.reshape(-1, 3).astype(np.float32),
+                            n_steps))
+    return rgba.reshape(H, W, 4)
+
+
+def spherical_c2w_gl(theta: float, phi: float,
+                     radius: float = RADIUS) -> np.ndarray:
+    """Blender-convention c2w looking at the origin (z-up world)."""
+    pos = radius * np.array([
+        np.cos(phi) * np.sin(theta), -np.cos(phi) * np.cos(theta),
+        np.sin(phi)], np.float32)
+    back = pos / np.linalg.norm(pos)              # +Z_cam (OpenGL)
+    up_w = np.array([0.0, 0.0, 1.0], np.float32)
+    right = np.cross(up_w, back)
+    right /= np.linalg.norm(right)
+    up = np.cross(back, right)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = right, up, back, pos
+    return m
+
+
+def generate_chair_dataset(out_dir: str, n_train: int = 32,
+                           n_test: int = 8, hw: Tuple[int, int] = (400, 400),
+                           seed: int = 0) -> str:
+    """Write a NeRF-Synthetic-format chair dataset; returns out_dir."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    H, W = hw
+    focal = 0.5 * W / np.tan(0.5 * CAMERA_ANGLE_X)
+
+    for split, n in (("train", n_train), ("test", n_test)):
+        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
+        frames = []
+        for k in range(n):
+            if split == "train":
+                theta = float(rng.uniform(-np.pi, np.pi))
+                phi = float(rng.uniform(np.deg2rad(5), np.deg2rad(55)))
+            else:
+                theta = -np.pi + 2 * np.pi * k / n
+                phi = np.deg2rad(30.0)
+            c2w = spherical_c2w_gl(theta, phi)
+            rgba = render_view(c2w, hw, focal)
+            img8 = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
+            name = f"./{split}/r_{k}"
+            Image.fromarray(img8, "RGBA").save(
+                os.path.join(out_dir, f"{name[2:]}.png"))
+            frames.append({"file_path": name,
+                           "rotation": 0.0,
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(out_dir, f"transforms_{split}.json"),
+                  "w") as f:
+            json.dump({"camera_angle_x": CAMERA_ANGLE_X,
+                       "frames": frames}, f)
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/proc_chair"
+    n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    res = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    generate_chair_dataset(out, n_train=n_train, hw=(res, res))
+    print("wrote", out)

@@ -257,6 +257,11 @@ def fast_render_rays(
     step_t = (far - near) / D
     qslot_flat = cache.coor_2_qslot.reshape(-1)
 
+    from pointnerf2studio_tpu.ops.fused_decode import fused_decode_eligible
+    use_fused2 = (cfg.agg.fused_decode2
+                  and fused_decode_eligible(cfg.agg, False, K)
+                  and jax.default_backend() == "tpu")
+
     def _voxelize(pos):
         gc = jnp.floor((pos - ranges_min) / scaled_vsize).astype(jnp.int32)
         inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
@@ -440,8 +445,28 @@ def fast_render_rays(
             weight = weight * conf
         vd = jnp.sum(rd_sel[..., :, None] * Rw2c, axis=-2)
         if debug_ablate == "decode":
-            sig_c = jnp.sum(weight * pnt_mask, -1) * 100.0
-            rgb_c = ncol.mean(-2)
+            sig_c = (jnp.sum(weight * pnt_mask, -1) * 100.0
+                     ).astype(jnp.float32)
+            rgb_c = ncol.mean(-2).astype(jnp.float32)
+        elif use_fused2:
+            from pointnerf2studio_tpu.ops.encoding import (
+                positional_encoding)
+            from pointnerf2studio_tpu.ops.fused_decode import fused_decode2
+            dists_rot = jnp.concatenate(
+                [dists[..., :3] @ Rw2c, dists[..., 3:]], axis=-1)
+            dir_enc = positional_encoding(
+                vd, cfg.agg.num_viewdir_freqs, ori=True)
+            ov, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]
+            ndir_r = ndir.astype(jnp.float32) @ Rw2c
+            dirdot = jnp.concatenate(
+                [ndir_r - ov[:, None, :],
+                 jnp.sum(ndir_r * ov[:, None, :], -1, keepdims=True)], -1)
+            wk = weight * pnt_mask.astype(weight.dtype)
+            sig_c, rgb_c = fused_decode2(
+                params, emb2.astype(jnp.bfloat16), dists_rot,
+                ncol.astype(jnp.bfloat16), dirdot, wk, dir_pe, K=K,
+                num_feat_freqs=cfg.agg.num_feat_freqs,
+                num_dist_freqs=cfg.agg.num_dist_freqs)
         else:
             sig_c, rgb_c = decode_radiance(
                 params, cfg.agg, neigh_emb=emb2, neigh_color=ncol,

@@ -90,6 +90,27 @@ def init_joint_params(key, num_views: int = 3,
     )
 
 
+def load_pretrained_joint_params(key, best_net_mvs_path: str,
+                                 num_views: int = 3) -> MvsParams:
+    """Joint stack seeded from the shipped `best_net_mvs.pth` — how the
+    reference actually fine-tunes mode 0 (train_ft.py resumes net_mvs;
+    mvs_points_model.py:79). The checkpoint carries FeatureNet + premlp
+    only; CostRegNet/ProbNet (the learned-depth stack, used only when
+    manual_depth_view == -1) start fresh, exactly as in the reference
+    where those weights don't exist in the DTU init."""
+    from pointnerf2studio_tpu.models.mvsnet.featurenet import (
+        load_fpn_params)
+
+    p = load_fpn_params(best_net_mvs_path)
+    premlp = p.pop("premlp", None)
+    fresh = init_joint_params(key, num_views=num_views)
+    return MvsParams(
+        fpn=p,
+        premlp=premlp if premlp is not None else fresh.premlp,
+        costvol=fresh.costvol,
+    )
+
+
 def _premlp_apply(layers, x):
     for i, l in enumerate(layers):
         x = x @ l["kernel"] + l["bias"]
@@ -286,8 +307,10 @@ def make_joint_train_step(
 
 def create_joint_state(key, fields: AggregatorParams,
                        cfg: PointNerfConfig, num_views: int = 3,
-                       mvs_lr: float = 5e-4) -> JointState:
-    mvs = init_joint_params(key, num_views=num_views)
+                       mvs_lr: float = 5e-4,
+                       mvs: Optional[MvsParams] = None) -> JointState:
+    if mvs is None:
+        mvs = init_joint_params(key, num_views=num_views)
     t = cfg.train
     tx_mvs = optax.adam(mvs_lr)
     tx_fields = optax.adam(optax.exponential_decay(

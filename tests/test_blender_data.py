@@ -103,3 +103,48 @@ class TestSampler:
         is_red = np.all(b["gt_rgb"] == [1, 0, 0], -1)
         assert np.all(is_white | is_red)
         assert is_red.any() and is_white.any()
+
+    def test_patch_mode_contiguous(self, blender_root):
+        """patch mode = one contiguous square (reference --random_sample
+        patch, nerf_synth360_ft_dataset.py:590-596)."""
+        ds = load_blender(blender_root, "train")
+        sampler = PixelSampler(ds, rays_per_batch=16, seed=3,
+                               mode="patch")
+        b = sampler.next_batch()
+        xy = b["pixel_xy"]
+        xs, ys = np.unique(xy[:, 0]), np.unique(xy[:, 1])
+        assert len(xs) == 4 and len(ys) == 4
+        assert xs.max() - xs.min() == 3 and ys.max() - ys.min() == 3
+
+    def test_random2_mode_floats(self, blender_root):
+        """random2 = continuous coords; gt indexed by floor
+        (reference :600-608)."""
+        ds = load_blender(blender_root, "train")
+        sampler = PixelSampler(ds, rays_per_batch=64, seed=4,
+                               mode="random2")
+        b = sampler.next_batch()
+        h, w = ds.hw
+        xy = b["pixel_xy"]
+        assert (xy[:, 0] < w).all() and (xy[:, 1] < h).all()
+        np.testing.assert_array_equal(
+            b["gt_rgb"], ds.images[b["view"], xy[:, 1], xy[:, 0]])
+
+    def test_no_crop_full_grid(self, blender_root):
+        ds = load_blender(blender_root, "train")
+        sampler = PixelSampler(ds, rays_per_batch=0, seed=5,
+                               mode="no_crop")
+        b = sampler.next_batch()
+        h, w = ds.hw
+        assert b["raydirs"].shape == (h * w, 3)
+
+
+class TestCameraTriangles:
+    def test_sphere_rig_triangulated(self):
+        from pointnerf2studio_tpu.data.mvs_batches import camera_triangles
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(20, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        t = camera_triangles(v * 4.0)
+        # closed surface triangulation of V points: 2V - 4 triangles
+        assert t.shape == (36, 3)
+        assert set(np.unique(t)) == set(range(20))

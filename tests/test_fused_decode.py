@@ -65,6 +65,41 @@ def test_fused_matches_xla_decoder():
                                rtol=3e-2, atol=2e-2)
 
 
+def test_fused2_matches_xla_decoder():
+    """K-accumulating variant (fused_decode2): same math, K-reduction
+    inside the kernel via resident-block accumulation."""
+    from pointnerf2studio_tpu.ops.fused_decode import fused_decode2
+
+    cfg = AggregatorConfig(compute_dtype="bfloat16")
+    params = init_aggregator_params(jax.random.PRNGKey(0), cfg)
+    emb, color, ndir, dists, pm, w, vd = make_inputs()
+    rw2c = jnp.eye(3)
+
+    sigma_ref, rgb_ref = decode_radiance(
+        params, cfg, jnp.asarray(emb), jnp.asarray(color),
+        jnp.asarray(ndir), jnp.asarray(dists), jnp.asarray(w),
+        jnp.asarray(pm), jnp.asarray(vd), rw2c)
+
+    dir_enc = positional_encoding(jnp.asarray(vd), cfg.num_viewdir_freqs,
+                                  ori=True)
+    ov, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]
+    dirdot = jnp.concatenate(
+        [jnp.asarray(ndir) - ov[:, None, :],
+         jnp.sum(jnp.asarray(ndir) * ov[:, None, :], -1, keepdims=True)], -1)
+    wk = jnp.asarray(w * pm)
+
+    sigma, rgb = fused_decode2(
+        params, jnp.asarray(emb), jnp.asarray(dists), jnp.asarray(color),
+        dirdot, wk, dir_pe, K=K,
+        num_feat_freqs=cfg.num_feat_freqs,
+        num_dist_freqs=cfg.num_dist_freqs, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               rtol=3e-2, atol=2e-2)
+
+
 def test_eligibility_gates():
     cfg = AggregatorConfig()
     assert not fused_decode_eligible(

@@ -25,7 +25,8 @@ from pointnerf2studio_tpu.models.mvsnet.costvol import (
 from pointnerf2studio_tpu.ops.grid import compute_grid_geometry
 from pointnerf2studio_tpu.train.joint import (
     MVSTrainBatch, create_joint_state, generate_points_diff,
-    init_joint_params, make_joint_loss_fn, make_joint_train_step)
+    init_joint_params, load_pretrained_joint_params, make_joint_loss_fn,
+    make_joint_train_step)
 
 
 H = W = 32          # full-res images; feature res 8x8 -> 64 points
@@ -161,6 +162,41 @@ def test_joint_step_updates_everything(batch, mvs_params):
     assert losses[-1] <= losses[0] * 3.0 + 1e-3, losses
 
 
+FPN_CKPT = ("/root/reference/pointnerf/mvsnet_checkpoints/init/"
+            "dtu_dgt_d012_img0123_conf_agg2_32_dirclr20/best_net_mvs.pth")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(FPN_CKPT),
+                    reason="pretrained net_mvs ckpt absent")
+def test_pretrained_joint_init(batch):
+    """Joint mode seeded from best_net_mvs.pth (the reference resumes
+    net_mvs when fine-tuning, mvs_points_model.py:79): FPN + premlp
+    come from the checkpoint, the learned-depth stack starts fresh, and
+    point generation runs finite through the pretrained weights."""
+    import torch
+    mvs = load_pretrained_joint_params(jax.random.PRNGKey(0), FPN_CKPT,
+                                       num_views=V)
+    sd = torch.load(FPN_CKPT, map_location="cpu", weights_only=False)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    # checkpoint weights actually landed (conv kernel is torch OIHW ->
+    # HWIO transposed)
+    np.testing.assert_allclose(
+        np.asarray(mvs.fpn["conv0"][0]["w"]),
+        sd["FeatureNet.conv0.0.conv.weight"].transpose(2, 3, 1, 0),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mvs.premlp[0]["kernel"]),
+        sd["premlp.0.weight"].T, rtol=1e-6)
+    assert "probnet" in mvs.costvol    # fresh learned-depth stack
+
+    gen = generate_points_diff(
+        mvs, batch.images, batch.intrinsics, batch.w2cs, batch.c2ws,
+        batch.near_far, num_depth=16, dprob_thresh=0.05)
+    assert np.isfinite(np.asarray(gen["xyz"])).all()
+    assert np.isfinite(np.asarray(gen["embedding"])).all()
+    assert int(gen["valid"].sum()) > 0
+
+
 def _tree_l2(t):
     return float(jnp.sqrt(sum(
         jnp.sum(jnp.square(l)) for l in jax.tree.leaves(t))))
@@ -171,13 +207,27 @@ def test_probnet_gradient_flows(batch, mvs_params):
     xyz -> aggregation distances; stop_gradient on xyz would sever it,
     leaving rounding-noise grads.  Assert the ProbNet gradient norm is
     materially nonzero relative to the FPN's (which has a direct path
-    through feature warps)."""
+    through feature warps).
+
+    dprob_thresh=0 keeps the validity gate wide open: with an untrained
+    ProbNet the per-bin prob sits near 1/num_depth, and a borderline
+    threshold flaked under host load (XLA CPU reduction-order jitter
+    flipping the gate -> zero valid points -> all-zero grads)."""
     cfg = tiny_cfg()
     fields = init_aggregator_params(jax.random.PRNGKey(2), cfg.agg)
     rmin, dims = compute_grid_geometry(
         np.array([-2.0, -2.0, 0.0]), np.array([2.0, 2.0, 4.0]), cfg.query)
     loss_fn = make_joint_loss_fn(cfg, rmin, dims, num_depth=16,
-                                 dprob_thresh=0.05)
+                                 dprob_thresh=0.0)
+
+    # stage diagnostics: the gradient is zero iff no generated point is
+    # valid or no supervision ray hits the cloud — pinpoint that first
+    gen = generate_points_diff(
+        mvs_params, batch.images, batch.intrinsics, batch.w2cs,
+        batch.c2ws, batch.near_far, key=jax.random.PRNGKey(7),
+        num_depth=16, dprob_thresh=0.0)
+    n_valid = int(gen["valid"].sum())
+    assert n_valid > 0, "no valid generated points (gate closed)"
 
     def scalar_loss(mvs):
         total, _ = loss_fn(mvs, fields, batch,
@@ -190,7 +240,9 @@ def test_probnet_gradient_flows(batch, mvs_params):
                        if k != "probnet"})
     g_fpn = _tree_l2(g.fpn)
     assert np.isfinite([g_prob, g_cost, g_fpn]).all()
-    assert g_fpn > 0
+    assert g_fpn > 0, (
+        f"zero FPN grad: n_valid={n_valid} — supervision rays likely "
+        f"missed the generated cloud entirely")
     # materially nonzero, not numerical noise
     assert g_prob > 1e-6 * g_fpn, (g_prob, g_fpn)
     assert g_cost > 1e-6 * g_fpn, (g_cost, g_fpn)

@@ -1,0 +1,66 @@
+"""Correctness check of a fast-path config variant vs the r1-best
+baseline at bench scale on the real chip (timings here are NOT trusted
+— only outputs). Usage: python tools/check_variant_exact.py <variant>
+(a key of probe_bench_variants.VARIANTS)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointnerf2studio_tpu.data.synthetic import camera_rays, make_sphere_scene
+from pointnerf2studio_tpu.models.fast_render import (
+    fast_render_rays, make_fast_scene)
+from tools.probe_bench_variants import VARIANTS, base_cfg
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "co8"
+    tag, cfg_v, ab = VARIANTS[which]
+    assert ab is None, "cannot exactness-check an ablated variant"
+    cfg0 = base_cfg(fast_chunk=4096)
+
+    t0 = time.time()
+    scene = make_sphere_scene(n_points=558_000, cfg=cfg0)
+    print(f"scene {time.time()-t0:.0f}s", flush=True)
+
+    R = 65536
+    rd = camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0)
+    raydirs = jnp.concatenate([rd] * (R // rd.shape[0] + 1))[:R]
+    near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
+
+    def render(cfg):
+        cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
+                                           near=scene.near, far=scene.far)
+
+        @jax.jit
+        def f(raydirs):
+            return fast_render_rays(
+                scene.params, scene.cloud.Rw2c, cache, scene.campos,
+                scene.camrotc2w, raydirs, near, far, cfg, rmin, svs)
+        out = f(raydirs)
+        return (np.asarray(out.ray_mask), np.asarray(out.coarse_raycolor),
+                np.asarray(out.acc))
+
+    m0, c0, a0 = render(cfg0)
+    m1, c1, a1 = render(cfg_v)
+    agree = (m0 == m1).mean()
+    both = m0 & m1
+    cd = np.abs(c0 - c1)[both]
+    ad = np.abs(a0 - a1)[both]
+    print(f"{tag}: mask agreement {agree:.6f} "
+          f"({int((m0 != m1).sum())} rays differ)")
+    if both.any():
+        print(f"color diff mean {cd.mean():.6f} max {cd.max():.6f}; "
+              f"acc diff max {ad.max():.6f}")
+    ok = agree == 1.0 and (not both.any() or cd.max() < 1e-3)
+    print("EXACT" if ok else "DIFFERS")
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,34 @@ VARIANTS = {
               "qslot"),
     "c4kds": ("b8 ch=4096 decode-skip", base_cfg(fast_chunk=4096),
               "decode"),
+    # K-accumulating Pallas decode (fused_decode2) at the r1-best chunking
+    "f2": ("b8 ch=4096 fused2",
+           PointNerfConfig(
+               query=QueryConfig(
+                   vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
+                   SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
+                   compact_budget=8, ray_slot_budget=32, use_cache=False,
+                   fast_chunk=4096),
+               agg=AggregatorConfig(compute_dtype="bfloat16",
+                                    fused_decode2=True)), None),
+    "f2c8": ("b8 ch=8192 fused2",
+             PointNerfConfig(
+                 query=QueryConfig(
+                     vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
+                     SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
+                     compact_budget=8, ray_slot_budget=32, use_cache=False,
+                     fast_chunk=8192),
+                 agg=AggregatorConfig(compute_dtype="bfloat16",
+                                      fused_decode2=True)), None),
+    "f2c16": ("b8 ch=16384 fused2",
+              PointNerfConfig(
+                  query=QueryConfig(
+                      vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
+                      SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
+                      compact_budget=8, ray_slot_budget=32,
+                      use_cache=False, fast_chunk=16384),
+                  agg=AggregatorConfig(compute_dtype="bfloat16",
+                                       fused_decode2=True)), None),
     # two-level sample masking retry at small chunks
     "co4": ("b8 ch=4096 coarse S=4",
             base_cfg(fast_chunk=4096, coarse_step=4,
@@ -118,6 +146,22 @@ VARIANTS = {
     "co8": ("b8 ch=4096 coarse S=8",
             base_cfg(fast_chunk=4096, coarse_step=8,
                      coarse_win_budget=8, coarse_win_global=4), None),
+    "co12": ("b8 ch=4096 coarse S=12",
+             base_cfg(fast_chunk=4096, coarse_step=12,
+                      coarse_win_budget=7, coarse_win_global=4), None),
+    "co16": ("b8 ch=4096 coarse S=16",
+             base_cfg(fast_chunk=4096, coarse_step=16,
+                      coarse_win_budget=6, coarse_win_global=3), None),
+    "co8f2": ("b8 ch=4096 coarse S=8 + fused2",
+              PointNerfConfig(
+                  query=QueryConfig(
+                      vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
+                      SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
+                      compact_budget=8, ray_slot_budget=32,
+                      use_cache=False, fast_chunk=4096, coarse_step=8,
+                      coarse_win_budget=8, coarse_win_global=4),
+                  agg=AggregatorConfig(compute_dtype="bfloat16",
+                                       fused_decode2=True)), None),
 }
 
 

@@ -1,0 +1,162 @@
+"""End-to-end validation on the procedural chair (plan-B for the real
+NeRF-Synthetic track — no datasets / no egress on this machine, see
+VALIDATION.md).
+
+Pipeline (all the same code a real chair would run):
+  1. MVSNet point generation with the SHIPPED pretrained checkpoint
+     (model_000014.ckpt) + FPN embedding (best_net_mvs.pth),
+  2. fine-tune the cloud + MLPs for --steps,
+  3. evaluate test views through BOTH render paths: legacy (f32
+     attrs) and fast (fat cache, bf16 attrs, ray_slot_budget) —
+     reporting PSNR/SSIM, per-ray mask agreement, and the color delta
+     attributable to the fast path's bf16 packing.
+
+Usage:  python tools/validate_chair.py <data_dir> <out_dir>
+             [--steps N] [--factor F]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MVS_CKPT = "/root/reference/pointnerf/mvsnet_checkpoints/MVSNet/model_000014.ckpt"
+FPN_CKPT = ("/root/reference/pointnerf/mvsnet_checkpoints/init/"
+            "dtu_dgt_d012_img0123_conf_agg2_32_dirclr20/best_net_mvs.pth")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("data")
+    ap.add_argument("out")
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--factor", type=int, default=1)
+    ap.add_argument("--eval-views", type=int, default=4)
+    ap.add_argument("--vox-res", type=int, default=320)
+    ap.add_argument("--d", type=int, default=400)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointnerf2studio_tpu.data.blender import load_blender
+    from pointnerf2studio_tpu.data.mvs_batches import build_view_batches
+    from pointnerf2studio_tpu.data.presets import nerf_synth_config
+    from pointnerf2studio_tpu.models import neural_points as npts
+    from pointnerf2studio_tpu.models.aggregator import init_aggregator_params
+    from pointnerf2studio_tpu.models.mvsnet import (
+        load_fpn_params, load_mvsnet_params)
+    from pointnerf2studio_tpu.models.mvsnet.pointgen import (
+        PointGenConfig, generate_point_cloud)
+    from pointnerf2studio_tpu.ops.grid import build_grid_from_points
+    from pointnerf2studio_tpu.train.evaluator import evaluate_dataset
+    from pointnerf2studio_tpu.train.loop import fit
+
+    os.makedirs(args.out, exist_ok=True)
+    report = {}
+
+    cfg = nerf_synth_config("chair")
+    cfg = dataclasses.replace(
+        cfg,
+        query=dataclasses.replace(cfg.query, z_depth_dim=args.d,
+                                  ray_slot_budget=32, fast_chunk=4096),
+        agg=dataclasses.replace(cfg.agg, compute_dtype="bfloat16"),
+        train=dataclasses.replace(cfg.train, prob_freq=0, prune_iter=0))
+
+    t0 = time.time()
+    train_ds = load_blender(args.data, "train", factor=args.factor)
+    test_ds = load_blender(args.data, "test", factor=args.factor)
+    print(f"data: {train_ds.num_views} train / {test_ds.num_views} test "
+          f"views @ {train_ds.hw}", flush=True)
+
+    # ---- 1. MVS point generation (pretrained) ----
+    mvs_params = load_mvsnet_params(MVS_CKPT)
+    fpn_params = load_fpn_params(FPN_CKPT)
+    batches, alphas, aK, aE = build_view_batches(train_ds, num_src=2)
+    pg = PointGenConfig(vox_res=args.vox_res, ranges=cfg.query.ranges)
+    pc = generate_point_cloud(mvs_params, fpn_params, batches,
+                              alphas=alphas, alpha_intrinsics=aK,
+                              alpha_w2cs=aE, cfg=pg)
+    n_pts = pc["xyz"].shape[0]
+    print(f"generated {n_pts} points (+{time.time()-t0:.0f}s)", flush=True)
+    report["n_points"] = int(n_pts)
+
+    cap = -(-int(n_pts * 1.3) // 4096) * 4096
+    cloud = npts.from_arrays(pc["xyz"], pc["embedding"], pc["conf"],
+                             pc["dir"], pc["color"], capacity=cap)
+    params = init_aggregator_params(jax.random.PRNGKey(0), cfg.agg)
+
+    # ---- 2. fine-tune ----
+    res = fit(cfg, train_ds, params, cloud, os.path.join(args.out, "run"),
+              max_steps=args.steps, print_freq=500,
+              save_freq=max(args.steps // 2, 1))
+    state = res.state
+    print(f"trained {args.steps} steps (+{time.time()-t0:.0f}s)",
+          flush=True)
+
+    # ---- 3. eval both paths ----
+    grid = build_grid_from_points(state.points.xyz, state.points.alive,
+                                  cfg.query)
+    views = list(range(min(args.eval_views, test_ds.num_views)))
+    m_legacy = evaluate_dataset(
+        cfg, state.params, state.points, grid, test_ds, views=views,
+        chunk=16384, out_dir=os.path.join(args.out, "eval_legacy"),
+        save_images=True)
+    print("legacy:", m_legacy, flush=True)
+    m_fast = evaluate_dataset(
+        cfg, state.params, state.points, grid, test_ds, views=views,
+        chunk=16384, fast=True,
+        out_dir=os.path.join(args.out, "eval_fast"), save_images=True)
+    print("fast:  ", m_fast, flush=True)
+    report["legacy"] = m_legacy
+    report["fast"] = m_fast
+
+    # ---- 4. fast-vs-legacy agreement on one view (bf16 sensitivity +
+    #         ray_slot_budget tail-drop, measured on REAL-geometry
+    #         point distribution) ----
+    from pointnerf2studio_tpu.models.fast_render import (
+        fast_render_rays_jit, make_fast_scene)
+    from pointnerf2studio_tpu.models.render import render_rays_jit
+    v = views[0]
+    rays = jnp.asarray(test_ds.full_image_rays(v)[:65536])
+    ref = render_rays_jit(state.params, state.points, grid,
+                          jnp.asarray(test_ds.campos(v)),
+                          jnp.asarray(test_ds.camrotc2w(v)), rays,
+                          jnp.asarray(test_ds.near),
+                          jnp.asarray(test_ds.far), cfg)
+    cache, rmin, svs = make_fast_scene(cfg, state.points, grid,
+                                       near=test_ds.near, far=test_ds.far)
+    out = fast_render_rays_jit(
+        state.params, state.points.Rw2c, cache,
+        jnp.asarray(test_ds.campos(v)),
+        jnp.asarray(test_ds.camrotc2w(v)), rays,
+        jnp.asarray(test_ds.near), jnp.asarray(test_ds.far), cfg,
+        rmin, svs)
+    mref = np.asarray(ref.ray_mask)
+    mfast = np.asarray(out.ray_mask)
+    agree = float((mref == mfast).mean())
+    both = mref & mfast
+    diff = np.abs(np.asarray(out.coarse_raycolor)
+                  - np.asarray(ref.coarse_raycolor))[both]
+    report["mask_agreement"] = agree
+    report["color_diff_mean"] = float(diff.mean()) if both.any() else 0.0
+    report["color_diff_p99"] = (float(np.percentile(diff, 99))
+                                if both.any() else 0.0)
+    print(f"mask agreement {agree:.6f}  color diff mean "
+          f"{report['color_diff_mean']:.5f} p99 "
+          f"{report['color_diff_p99']:.5f}", flush=True)
+
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
