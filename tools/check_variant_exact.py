@@ -38,12 +38,14 @@ def main():
         cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
                                            near=scene.near, far=scene.far)
 
+        # big arrays passed as ARGUMENTS (closures become constants
+        # shipped to the remote compiler -> HTTP 413, STATUS.md rule 4)
         @jax.jit
-        def f(raydirs):
+        def f(params, Rw2c, cache, raydirs):
             return fast_render_rays(
-                scene.params, scene.cloud.Rw2c, cache, scene.campos,
+                params, Rw2c, cache, scene.campos,
                 scene.camrotc2w, raydirs, near, far, cfg, rmin, svs)
-        out = f(raydirs)
+        out = f(scene.params, scene.cloud.Rw2c, cache, raydirs)
         return (np.asarray(out.ray_mask), np.asarray(out.coarse_raycolor),
                 np.asarray(out.acc))
 

@@ -77,12 +77,31 @@ def main():
             print(f"{tag:28}: FAILED {type(e).__name__} {str(e)[:120]}",
                   flush=True)
 
+    if which == "null":
+        # dispatch-overhead calibration: a trivial program timed with
+        # the same 8-call block-at-end pattern. If this is large, the
+        # per-call RPC cost of the remote backend inflates every
+        # variant equally and real device time is lower.
+        @jax.jit
+        def g(r):
+            return r.sum()
+
+        out = jax.block_until_ready(g(ray_vars[0]))
+        t0 = time.perf_counter()
+        for i in range(8):
+            out = g(ray_vars[i % 4])
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 8
+        print(f"null dispatch              : {dt*1e3:7.1f} ms",
+              flush=True)
+        return
     run(tag, cfg_v, ablate=ab)
 
 
 # this backend reports phantom ~0ms times after a few distinct
 # programs in one process — run ONE variant per process
 VARIANTS = {
+    "null": ("null dispatch", base_cfg(fast_chunk=4096), None),
     "b8": ("budget=8 ch=64k", base_cfg(), None),
     "b6": ("budget=6 ch=64k", base_cfg(compact_budget=6), None),
     "b5": ("budget=5 ch=64k", base_cfg(compact_budget=5), None),
@@ -146,12 +165,39 @@ VARIANTS = {
     "co8": ("b8 ch=4096 coarse S=8",
             base_cfg(fast_chunk=4096, coarse_step=8,
                      coarse_win_budget=8, coarse_win_global=4), None),
+    "co4w": ("b8 ch=4096 coarse S=4 w16/8",
+             base_cfg(fast_chunk=4096, coarse_step=4,
+                      coarse_win_budget=16, coarse_win_global=8), None),
+    "co8w": ("b8 ch=4096 coarse S=8 w16/8",
+             base_cfg(fast_chunk=4096, coarse_step=8,
+                      coarse_win_budget=16, coarse_win_global=8), None),
+    "co8w12": ("b8 ch=4096 coarse S=8 w12/6",
+               base_cfg(fast_chunk=4096, coarse_step=8,
+                        coarse_win_budget=12, coarse_win_global=6), None),
+    "co8wcc32": ("b8 ch=4096 coarse S=8 w16/8 cand=32",
+                 base_cfg(fast_chunk=4096, coarse_step=8,
+                          coarse_win_budget=16, coarse_win_global=8,
+                          cand_cap=32), None),
     "co12": ("b8 ch=4096 coarse S=12",
              base_cfg(fast_chunk=4096, coarse_step=12,
                       coarse_win_budget=7, coarse_win_global=4), None),
     "co16": ("b8 ch=4096 coarse S=16",
              base_cfg(fast_chunk=4096, coarse_step=16,
                       coarse_win_budget=6, coarse_win_global=3), None),
+    # stage ablations at the r1-best chunking (c4kqs/c4kds above)
+    "c4kks": ("b8 ch=4096 knn-skip", base_cfg(fast_chunk=4096), "knn"),
+    "c4kxs": ("b8 ch=4096 extract-skip", base_cfg(fast_chunk=4096),
+              "extract"),
+    # thinner fat-cache rows: halves gather bytes + knn/extract work;
+    # approximation only when a neighborhood exceeds cand_cap
+    "cc32": ("b8 ch=4096 cand=32",
+             base_cfg(fast_chunk=4096, cand_cap=32), None),
+    "cc48": ("b8 ch=4096 cand=48",
+             base_cfg(fast_chunk=4096, cand_cap=48), None),
+    "co8cc32": ("b8 ch=4096 coarse S=8 cand=32",
+                base_cfg(fast_chunk=4096, coarse_step=8,
+                         coarse_win_budget=8, coarse_win_global=4,
+                         cand_cap=32), None),
     "co8f2": ("b8 ch=4096 coarse S=8 + fused2",
               PointNerfConfig(
                   query=QueryConfig(

@@ -62,6 +62,9 @@ def main():
         print(f"{tag:24}: {dt*1e3:7.1f} ms -> {1/dt:6.1f} it/s",
               flush=True)
 
+    # NOTE: state/points/grid must be ARGUMENTS of the jitted fns —
+    # closures become constants shipped to the remote compiler
+    # (multi-GB captures -> HTTP 413 / hangs; STATUS.md rule 4).
     if which == "full":
         step_fn = make_train_step(cfg)
         st = [state]
@@ -73,63 +76,78 @@ def main():
         timeit(f"full step b{budget}", f)
     elif which == "fwd":
         @jax.jit
-        def f(rays, key):
-            out = render_rays(state.params, state.points, scene.grid,
+        def fj(params, points, grid, rays, key):
+            out = render_rays(params, points, grid,
                               scene.campos, scene.camrotc2w, rays, near,
                               far, cfg, key=key, training=True)
             return compute_losses(out, gt, cfg.train)[0]
+
+        def f(rays, key):
+            return fj(state.params, state.points, scene.grid, rays, key)
         timeit(f"forward loss b{budget}", f)
     elif which == "fwdnj":
         @jax.jit
-        def f(rays, key):
-            out = render_rays(state.params, state.points, scene.grid,
+        def fj(params, points, grid, rays):
+            out = render_rays(params, points, grid,
                               scene.campos, scene.camrotc2w, rays, near,
                               far, cfg, training=False)
             return compute_losses(out, gt, cfg.train)[0]
-        timeit(f"fwd nojit(ter) b{budget}", f)
+
+        def f(rays, key):
+            return fj(state.params, state.points, scene.grid, rays)
+        timeit(f"fwd nojitter b{budget}", f)
     elif which == "gradf":
         @jax.jit
-        def f(rays, key):
+        def fj(params, points, grid, rays, key):
             def loss(params):
-                out = render_rays(params, state.points, scene.grid,
+                out = render_rays(params, points, grid,
                                   scene.campos, scene.camrotc2w, rays,
                                   near, far, cfg, key=key, training=True)
                 return compute_losses(out, gt, cfg.train)[0]
-            return jax.grad(loss)(state.params)
+            return jax.grad(loss)(params)
+
+        def f(rays, key):
+            return fj(state.params, state.points, scene.grid, rays, key)
         timeit(f"grad fields b{budget}", f)
     elif which == "gradp":
         @jax.jit
-        def f(rays, key):
+        def fj(params, points, grid, rays, key):
             def loss(pt):
-                points = state.points.with_trainable(pt)
-                out = render_rays(state.params, points, scene.grid,
+                pts = points.with_trainable(pt)
+                out = render_rays(params, pts, grid,
                                   scene.campos, scene.camrotc2w, rays,
                                   near, far, cfg, key=key, training=True)
                 return compute_losses(out, gt, cfg.train)[0]
-            return jax.grad(loss)(state.points.trainable())
+            return jax.grad(loss)(points.trainable())
+
+        def f(rays, key):
+            return fj(state.params, state.points, scene.grid, rays, key)
         timeit(f"grad points b{budget}", f)
     elif which == "gradboth":
         @jax.jit
-        def f(rays, key):
+        def fj(params, points, grid, rays, key):
             def loss(params, pt):
-                points = state.points.with_trainable(pt)
-                out = render_rays(params, points, scene.grid,
+                pts = points.with_trainable(pt)
+                out = render_rays(params, pts, grid,
                                   scene.campos, scene.camrotc2w, rays,
                                   near, far, cfg, key=key, training=True)
                 return compute_losses(out, gt, cfg.train)[0]
-            return jax.grad(loss, argnums=(0, 1))(
-                state.params, state.points.trainable())
+            return jax.grad(loss, argnums=(0, 1))(params,
+                                                  points.trainable())
+
+        def f(rays, key):
+            return fj(state.params, state.points, scene.grid, rays, key)
         timeit(f"grad both b{budget}", f)
     elif which == "opt":
         # optimizer-only: apply fixed zero grads
         from pointnerf2studio_tpu.train.trainer import make_optimizers
         import optax
         tx_f, tx_p = make_optimizers(cfg)
-        zf = jax.tree.map(jnp.zeros_like, state.params)
-        zp = jax.tree.map(jnp.zeros_like, state.points.trainable())
 
         @jax.jit
-        def f(rays, key):
+        def fj(state, rays):
+            zf = jax.tree.map(jnp.zeros_like, state.params)
+            zp = jax.tree.map(jnp.zeros_like, state.points.trainable())
             uf, of = tx_f.update(zf, state.opt_state_fields, state.params)
             p2 = optax.apply_updates(state.params, uf)
             up, op = tx_p.update(zp, state.opt_state_points,
@@ -137,6 +155,9 @@ def main():
             t2 = optax.apply_updates(state.points.trainable(), up)
             return (jax.tree.leaves(p2)[0].sum()
                     + jax.tree.leaves(t2)[0].sum() + rays.sum())
+
+        def f(rays, key):
+            return fj(state, rays)
         timeit("optimizer only", f)
     else:
         raise SystemExit(f"unknown variant {which}")
