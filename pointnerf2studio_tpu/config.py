@@ -83,6 +83,16 @@ class QueryConfig:
     coarse_win_budget: int = 12
     # Global average positive windows per ray (level-2 compaction).
     coarse_win_global: int = 4
+    # Fast-path slot-compaction mechanism:
+    #   "onehot" — per-ray one-hot MXU einsums + four scalar scatters
+    #              (the r1 design);
+    #   "topk"   — lax.top_k over sample columns + ONE scatter of a
+    #              combined (ray*Dax + col) id, with [M]-row gathers
+    #              recovering qslot/d/slot. Same selection semantics
+    #              (first min(SR, BP) valid samples per ray).
+    # The compact-skip ablation showed the compaction machinery at
+    # ~129ms of the 209ms bench step — this is the main lever.
+    compact_mode: str = "onehot"
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on
@@ -187,6 +197,12 @@ class TrainConfig:
     alter_step: int = 0
     max_iterations: int = 200_000
     rays_per_batch: int = 4096
+    # Train through the fast differentiable path (models/fast_train.py:
+    # geometry cache + one-hot compaction + chunk skipping; ~2x the
+    # legacy step on v5e). Loss trajectory matches the legacy path on a
+    # fixed seed (tests/test_fast_train.py); prob-mode probing and
+    # per-point-Rw2c scenes still use the legacy path.
+    fast_path: bool = False
     # Pixel-sampling mode (reference --random_sample,
     # nerf_synth360_ft_dataset.py:589-618): "random" (integer pixels),
     # "random2" (continuous uniform coords; gt indexed by floor),

@@ -218,6 +218,11 @@ class FastRenderOutput:
     ray_mask: jnp.ndarray           # [R]
     acc: jnp.ndarray                # [R]
     depth: jnp.ndarray              # [R]
+    # coarse_step only: number of TRUE positive windows dropped by the
+    # coarse_win_budget / coarse_win_global layout caps this batch.
+    # Nonzero means the two-level masking was NOT exact (samples were
+    # lost) — raise the budgets. None when coarse masking is off.
+    win_overflow: Optional[jnp.ndarray] = None
 
 
 def fast_render_rays(
@@ -290,6 +295,10 @@ def fast_render_rays(
         cocc = coarse_flat[cfid]                                # [R, DS]
         wrank = jnp.cumsum(cocc.astype(jnp.int32), axis=-1)
         wkeep = cocc & (wrank <= BW)
+        # overflow accounting: positive windows beyond the per-ray cap,
+        # plus kept windows beyond the global cap (counted below)
+        n_pos = jnp.sum(cocc.astype(jnp.int32))
+        over_ray = n_pos - jnp.sum(wkeep.astype(jnp.int32))
         ohw = wkeep[:, :, None] & (wrank[:, :, None]
                                    == jnp.arange(1, BW + 1))
         w_dSel = jnp.einsum(
@@ -309,6 +318,7 @@ def fast_render_rays(
             wsloti, mode="drop")
         wtotal = jnp.minimum(jnp.sum(wcnt), WG)
         wmask = jnp.arange(WG, dtype=jnp.int32) < wtotal
+        win_overflow = over_ray + (jnp.sum(wcnt) - wtotal)
 
         # fine pass on compacted windows only
         d_f = win_dS[:, None] * S + jnp.arange(S)               # [WG, S]
@@ -341,26 +351,72 @@ def fast_render_rays(
             qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
         d_true = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), (R, D))
         Dax = D
+        win_overflow = None
 
-    mask = qs >= 0
-    ray_hit = jnp.any(mask, axis=-1)
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)          # 1-based
-    keep = mask & (rank <= min(SR, BP))
-    q_sel, d_sel = onehot_select_qd(keep, rank, qs, d_true, BP)
-    cnt = jnp.sum(keep.astype(jnp.int32), axis=-1)              # [R]
+    if debug_ablate == "compact":
+        # fabricate the compaction outputs (WRONG results, real
+        # timing): measures the whole [R, Dax]-domain mask/rank/
+        # one-hot/scatter machinery by removing it. Valid-slot count
+        # mimics the bench scene (~3.4/ray) so chunk skipping and
+        # decode work stay comparable.
+        mi = jnp.arange(M, dtype=jnp.int32)
+        sel_ray = jnp.minimum(mi // max(M // R, 1), R - 1)
+        sel_d = (mi % max(M // R, 1)) * (D // max(M // R, 1))
+        sel_slot = mi % BP
+        qslot_c = (mi * 37) % jnp.maximum(cache.n_q, 1)
+        mask_c = mi < (R * 34) // 10
+        ray_hit = jnp.ones((R,), bool)
+    elif q.compact_mode == "topk":
+        # ---- top-k compaction: ONE scatter + [M]-row gathers ----
+        # The one-hot design materializes [R, Dax, BP] one-hots and
+        # runs FOUR [R*BP]-row scatters; the compact-skip ablation put
+        # that machinery at ~129ms of the 209ms step. Here the first
+        # min(SR, BP) valid sample COLUMNS per ray come from
+        # lax.top_k (smallest column ids), one scatter packs the
+        # combined (ray * Dax + col) id, and cheap [M]-row gathers
+        # recover qslot / true d / slot. Selection is IDENTICAL.
+        mask = qs >= 0
+        ray_hit = jnp.any(mask, axis=-1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, Dax), 1)
+        neg = jax.lax.top_k(jnp.where(mask, -col, -(Dax + 1)), BP)[0]
+        col_sel = -neg                                          # [R, BP]
+        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32), -1),
+                          min(SR, BP))
+        off = jnp.cumsum(cnt) - cnt
+        sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
+        dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
+        rayi = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 0)
+        sel = jnp.zeros((M,), jnp.int32).at[dest].set(
+            rayi * Dax + jnp.minimum(col_sel, Dax - 1), mode="drop")
+        sel_ray = sel // Dax
+        qslot_c = jnp.maximum(qs.reshape(-1)[sel], 0)
+        sel_d = d_true.reshape(-1)[sel]
+        sel_slot = jnp.arange(M, dtype=jnp.int32) - off[sel_ray]
+        total = jnp.minimum(jnp.sum(cnt), M)
+        mask_c = jnp.arange(M, dtype=jnp.int32) < total
+    else:
+        mask = qs >= 0
+        ray_hit = jnp.any(mask, axis=-1)
+        rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)      # 1-based
+        keep = mask & (rank <= min(SR, BP))
+        q_sel, d_sel = onehot_select_qd(keep, rank, qs, d_true, BP)
+        cnt = jnp.sum(keep.astype(jnp.int32), axis=-1)          # [R]
 
-    # ---- level-2 global compaction to the M budget ----
-    off = jnp.cumsum(cnt) - cnt
-    sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
-    dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
-    rayi = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 0)
-    sel_ray = jnp.zeros((M,), jnp.int32).at[dest].set(rayi, mode="drop")
-    sel_d = jnp.zeros((M,), jnp.int32).at[dest].set(d_sel, mode="drop")
-    sel_slot = jnp.zeros((M,), jnp.int32).at[dest].set(sloti, mode="drop")
-    qslot_c = jnp.zeros((M,), jnp.int32).at[dest].set(
-        jnp.maximum(q_sel, 0), mode="drop")
-    total = jnp.minimum(jnp.sum(cnt), M)
-    mask_c = jnp.arange(M, dtype=jnp.int32) < total
+        # ---- level-2 global compaction to the M budget ----
+        # (separate scalar-row scatters: a packed 4-lane variant
+        # measured SLOWER on v5e — 248 vs 209 ms end-to-end)
+        off = jnp.cumsum(cnt) - cnt
+        sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
+        dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
+        rayi = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 0)
+        sel_ray = jnp.zeros((M,), jnp.int32).at[dest].set(rayi, mode="drop")
+        sel_d = jnp.zeros((M,), jnp.int32).at[dest].set(d_sel, mode="drop")
+        sel_slot = jnp.zeros((M,), jnp.int32).at[dest].set(sloti,
+                                                           mode="drop")
+        qslot_c = jnp.zeros((M,), jnp.int32).at[dest].set(
+            jnp.maximum(q_sel, 0), mode="drop")
+        total = jnp.minimum(jnp.sum(cnt), M)
+        mask_c = jnp.arange(M, dtype=jnp.int32) < total
 
     # ---- fat gather + K-NN + extract + decode, chunked over slots ----
     # One lax.map body does gather -> top_k -> one-hot extract ->
@@ -539,7 +595,8 @@ def fast_render_rays(
     ray_mask = ray_hit & ray_found
     color = jnp.where(ray_mask[:, None], color, bg)
     return FastRenderOutput(
-        coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth)
+        coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
+        win_overflow=win_overflow)
 
 
 def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,

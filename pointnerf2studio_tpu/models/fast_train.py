@@ -1,0 +1,437 @@
+"""Differentiable fast TRAIN path: the eval fast-path structure with
+gradients flowing into point attributes and the MLP tower.
+
+The r1 fast path (models/fast_render.py) is eval-only: its fat cache
+bakes bf16 point attributes into candidate rows, severing gradients.
+Here the cache carries GEOMETRY ONLY — packed candidate ids + f32
+offsets — and attributes are gathered differentiably from the cloud
+AFTER K-NN selection ([M, K] packed row gathers whose backward is a
+scatter-add into the attribute arrays). Selection (qslot lookup,
+validity compaction, top-K) consists of integer comparisons and
+argmax indices — non-differentiable by construction, so no
+stop_gradient is needed and the autodiff graph stays thin.
+
+Pipeline (identical selection semantics to models/render.py, which is
+itself parity-tested against the reference):
+  jittered raygen -> [R, D] qslot lookup -> per-ray one-hot slot
+  compaction (cap SR) -> level-2 packed compaction to R*budget slots
+  -> lax.map chunks (prefix-validity skip) of:
+       geo-row gather -> layered K-NN top_k -> differentiable attr
+       gather -> weights -> MLP decode
+  -> packed scatter to [R, BP] slots -> compositing -> bg fill.
+
+Reference counterpart: the same train forward as studio_model
+get_outputs (pointnerf/nerfstudio/studio_model.py:263-399), trained by
+Trainer.backward — reorganized for the TPU memory system.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pointnerf2studio_tpu.config import PointNerfConfig
+from pointnerf2studio_tpu.models.aggregator import (
+    aggregation_weight, conf_gradient_clamp, decode_radiance)
+from pointnerf2studio_tpu.models.fast_render import onehot_select_qd
+from pointnerf2studio_tpu.models.neural_points import NeuralPointCloud
+from pointnerf2studio_tpu.models.render import RenderOutput
+from pointnerf2studio_tpu.ops.camera import w2pers
+from pointnerf2studio_tpu.ops.compositing import (
+    BLEND_FUNCTIONS, TONE_MAPS, ray_dist_from_sample_z)
+from pointnerf2studio_tpu.ops.grid import PointGrid
+from pointnerf2studio_tpu.ops.query import neighbor_offsets
+from pointnerf2studio_tpu.ops.raygen import (
+    near_far_disparity_linear_ray_generation,
+    near_far_linear_ray_generation)
+
+GEOW = 4      # f32 words per candidate: bitcast(meta), xyz_rel f32 x3
+
+
+@struct.dataclass
+class GeoCache:
+    """Geometry-only candidate rows (see FatCache for the eval twin)."""
+    coor_2_qslot: jnp.ndarray      # [gx, gy, gz] int32, -1 = not query
+    rows: jnp.ndarray              # [max_q, C*GEOW] f32
+    n_q: jnp.ndarray               # [] int32
+
+    @property
+    def cand(self) -> int:
+        return self.rows.shape[1] // GEOW
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "max_q", "cand_cap", "chunk"))
+def build_geo_cache(
+    grid: PointGrid,
+    xyz: jnp.ndarray,
+    kernel_size: Tuple[int, int, int],
+    max_q: int,
+    cand_cap: int = 64,
+    chunk: int = 32768,
+) -> GeoCache:
+    """Per-query-voxel candidate geometry (rebuild on point moves)."""
+    offs_np, shells_np = neighbor_offsets(kernel_size)
+    offsets = jnp.asarray(offs_np)
+    shells = jnp.asarray(shells_np)
+    V = offsets.shape[0]
+    P = grid.occ_2_pnts.shape[1]
+    C = min(cand_cap, V * P)
+    gx, gy, gz = grid.dims
+    nvox = gx * gy * gz
+    dims_arr = jnp.array(grid.dims, jnp.int32)
+    N = xyz.shape[0]
+
+    occ_flat = grid.coor_occ.reshape(-1)
+    qslot = jnp.cumsum(occ_flat.astype(jnp.int32)) - 1
+    n_q = jnp.sum(occ_flat.astype(jnp.int32))
+    valid_q = occ_flat & (qslot < max_q)
+    coor_2_qslot = jnp.where(valid_q, qslot, -1).reshape(grid.dims)
+    q_flat = jnp.full((max_q,), nvox, jnp.int32).at[
+        jnp.where(valid_q, qslot, max_q)
+    ].set(jnp.arange(nvox, dtype=jnp.int32), mode="drop")
+    q_coor = jnp.stack([q_flat // (gy * gz), (q_flat // gz) % gy,
+                        q_flat % gz], -1)
+    q_live = q_flat < nvox
+    center_w = (grid.ranges_min
+                + (q_coor.astype(jnp.float32) + 0.5) * grid.scaled_vsize)
+
+    def one_chunk(args):
+        qc, cw, live = args
+        B = qc.shape[0]
+        nb = qc[:, None, :] + offsets[None]
+        inb = jnp.all((nb >= 0) & (nb < dims_arr), -1) & live[:, None]
+        nbc = jnp.clip(nb, 0, dims_arr - 1)
+        slot = grid.coor_2_occ[nbc[..., 0], nbc[..., 1], nbc[..., 2]]
+        slot_ok = inb & (slot >= 0)
+        cand = grid.occ_2_pnts[jnp.where(slot_ok, slot, 0)]      # [B, V, P]
+        ok = slot_ok[..., None] & (cand >= 0)
+        cxyz = xyz[jnp.clip(cand, 0, N - 1)]
+        d2c = jnp.sum((cxyz - cw[:, None, None, :]) ** 2, -1)
+        sh = jnp.broadcast_to(shells[None, :, None], cand.shape)
+        okf = ok.reshape(B, V * P)
+        key = (sh.reshape(B, V * P).astype(jnp.float32) * 1e12
+               + jnp.minimum(d2c.reshape(B, V * P), 1e9))
+        key = jnp.where(okf, key, jnp.inf)
+        _, top = jax.lax.top_k(-key, C)
+        sel_ok = jnp.take_along_axis(okf, top, -1)
+        sel_pidx = jnp.take_along_axis(cand.reshape(B, V * P), top, -1)
+        sel_sh = jnp.take_along_axis(sh.reshape(B, V * P), top, -1)
+        meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
+        sel_xyz = jnp.take_along_axis(
+            cxyz.reshape(B, V * P, 3), top[..., None], 1)
+        rel = sel_xyz - cw[:, None, :]                           # f32
+        pack = jnp.concatenate([
+            jax.lax.bitcast_convert_type(meta, jnp.float32)[..., None],
+            rel,
+        ], -1)
+        return pack.reshape(B, C * GEOW)
+
+    padded = (max_q + chunk - 1) // chunk * chunk
+    pad = padded - max_q
+    rows = jax.lax.map(one_chunk, (
+        jnp.pad(q_coor, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
+        jnp.pad(center_w, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
+        jnp.pad(q_live, (0, pad)).reshape(-1, chunk)))
+
+    return GeoCache(
+        coor_2_qslot=coor_2_qslot,
+        rows=rows.reshape(padded, C * GEOW)[:max_q],
+        n_q=n_q)
+
+
+def fast_train_render(
+    params,
+    points: NeuralPointCloud,
+    geo: GeoCache,
+    campos: jnp.ndarray,
+    camrotc2w: jnp.ndarray,
+    raydirs: jnp.ndarray,           # [R, 3]
+    near,
+    far,
+    cfg: PointNerfConfig,
+    ranges_min: jnp.ndarray,
+    scaled_vsize: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    training: bool = True,
+    bg_ray_colors: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    q = cfg.query
+    R = raydirs.shape[0]
+    D = q.z_depth_dim
+    SR, K = q.SR, q.K
+    BP = min(q.ray_slot_budget or SR, SR)
+    budget = q.compact_budget if q.compact_budget > 0 else SR
+    M = min(R * budget, R * D)
+    radius2 = q.radius_limit ** 2
+    CAND = geo.cand
+    dims = geo.coor_2_qslot.shape
+    gy, gz = dims[1], dims[2]
+    dims_arr = jnp.array(dims, jnp.int32)
+    num_shells = (q.kernel_size[0] + 1) // 2
+
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    qslot_flat = geo.coor_2_qslot.reshape(-1)
+
+    raygen = (near_far_disparity_linear_ray_generation if cfg.inverse
+              else near_far_linear_ray_generation)
+    raypos, _, _ = raygen(
+        campos, raydirs, D, near=near, far=far,
+        jitter=cfg.train.jitter if training else 0.0, key=key)  # [R, D, 3]
+
+    gc = jnp.floor((raypos - ranges_min) / scaled_vsize).astype(jnp.int32)
+    inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
+    gcc = jnp.clip(gc, 0, dims_arr - 1)
+    fidx = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
+    qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
+
+    mask = qs >= 0
+    ray_hit = jnp.any(mask, axis=-1)
+    if q.compact_mode == "topk":
+        # top-k compaction: ONE scatter + [M]-row gathers (see
+        # fast_render.py — the one-hot machinery measured ~129ms of
+        # the bench step)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
+        neg = jax.lax.top_k(jnp.where(mask, -col, -(D + 1)), BP)[0]
+        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32), -1),
+                          min(SR, BP))
+        off = jnp.cumsum(cnt) - cnt
+        sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
+        dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
+        rayi = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 0)
+        sel = jnp.zeros((M,), jnp.int32).at[dest].set(
+            rayi * D + jnp.minimum(-neg, D - 1), mode="drop")
+        sel_ray = sel // D
+        sel_d = sel % D
+        qslot_c = jnp.maximum(qs.reshape(-1)[sel], 0)
+        sel_slot = jnp.arange(M, dtype=jnp.int32) - off[sel_ray]
+        total = jnp.minimum(jnp.sum(cnt), M)
+        mask_c = jnp.arange(M, dtype=jnp.int32) < total
+    else:
+        rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+        keep = mask & (rank <= min(SR, BP))
+        d_true = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), (R, D))
+        q_sel, d_sel = onehot_select_qd(keep, rank, qs, d_true, BP)
+        cnt = jnp.sum(keep.astype(jnp.int32), axis=-1)
+
+        off = jnp.cumsum(cnt) - cnt
+        sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
+        dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
+        rayi = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 0)
+        sel_ray = jnp.zeros((M,), jnp.int32).at[dest].set(rayi,
+                                                          mode="drop")
+        sel_d = jnp.zeros((M,), jnp.int32).at[dest].set(d_sel,
+                                                        mode="drop")
+        sel_slot = jnp.zeros((M,), jnp.int32).at[dest].set(sloti,
+                                                           mode="drop")
+        qslot_c = jnp.zeros((M,), jnp.int32).at[dest].set(
+            jnp.maximum(q_sel, 0), mode="drop")
+        total = jnp.minimum(jnp.sum(cnt), M)
+        mask_c = jnp.arange(M, dtype=jnp.int32) < total
+
+    # jittered sample positions for the compacted slots (gather, not
+    # recompute: t is per-(ray, d) random)
+    locs_flat = raypos.reshape(R * D, 3)
+    sel_rd = jnp.minimum(sel_ray * D + sel_d, R * D - 1)
+
+    attrs = jnp.concatenate(
+        [points.points_embeding, points.points_conf, points.points_dir,
+         points.points_color], -1)                              # [N, 39]
+    CA = points.points_embeding.shape[-1]
+    N = attrs.shape[0]
+
+    CH = max(min(q.fast_chunk or 8192, M), min(2048, M))
+
+    def chunk_body(args):
+        qslot_cc, sel_ray_c, sel_rd_c, mask_cc = args
+        Mc = qslot_cc.shape[0]
+        rows3 = geo.rows[qslot_cc].reshape(Mc, CAND, GEOW)
+        meta = jax.lax.bitcast_convert_type(rows3[..., 0], jnp.int32)
+        shell = (meta & 3).astype(jnp.int32)
+        rel = rows3[..., 1:]                                    # [Mc,C,3]
+
+        locs = locs_flat[sel_rd_c]                              # [Mc, 3]
+        vox = jnp.floor((locs - ranges_min) / scaled_vsize)
+        center = ranges_min + (vox + 0.5) * scaled_vsize
+        cdelta = rel + (center - locs)[:, None, :]
+        d2 = jnp.sum(cdelta ** 2, -1)
+        ok = (meta >= 0) & mask_cc[:, None]
+        if radius2 > 0:
+            ok = ok & (d2 <= radius2)
+        if q.layered_search and num_shells > 1:
+            eligible = shell == 0
+            before = jnp.zeros((Mc, 1), jnp.int32)
+            for s in range(1, num_shells):
+                before = before + jnp.sum(
+                    (ok & (shell == s - 1)).astype(jnp.int32), -1,
+                    keepdims=True)
+                eligible = eligible | ((shell == s) & (before < K))
+            ok = ok & eligible
+
+        kkey = jnp.where(ok, d2, jnp.inf)
+        neg_top, top_idx = jax.lax.top_k(-kkey, K)              # [Mc, K]
+        pnt_mask = neg_top > -jnp.inf
+        pidx = jnp.take_along_axis(meta >> 2, top_idx, -1)      # [Mc, K]
+        nxyz = (jnp.take_along_axis(rel, top_idx[..., None], 1)
+                + center[:, None, :])                           # [Mc,K,3]
+
+        # differentiable attribute gather (backward = scatter-add)
+        vals = attrs[jnp.clip(pidx, 0, N - 1)]                  # [Mc,K,39]
+        emb = vals[..., :CA]
+        conf = vals[..., CA]
+        ndir = vals[..., CA + 1:CA + 4]
+        ncol = vals[..., CA + 4:CA + 7]
+
+        rd_sel = raydirs[sel_ray_c]
+        nei_pers = w2pers(nxyz, camrotc2w, campos)
+        lp = w2pers(locs, camrotc2w, campos)[..., None, :]
+        pdist = jnp.stack(
+            [nei_pers[..., 0] * nei_pers[..., 2] - lp[..., 0] * lp[..., 2],
+             nei_pers[..., 1] * nei_pers[..., 2] - lp[..., 1] * lp[..., 2],
+             nei_pers[..., 2] - lp[..., 2]], -1)
+        dists = jnp.concatenate([nxyz - locs[:, None, :], pdist], -1)
+        weight, emb2 = aggregation_weight(
+            cfg.agg, emb, dists, pnt_mask, max(q.scaled_vsize))
+        conf_c = conf_gradient_clamp(conf) if training else conf
+        if cfg.agg.conf_in_weight:
+            weight = weight * conf_c
+
+        if points.Rw2c.ndim == 3:
+            raise NotImplementedError(
+                "per-point Rw2c (edited scenes) uses the legacy path")
+        vd = jnp.sum(rd_sel[..., :, None] * points.Rw2c, axis=-2)
+        sig_c, rgb_c = decode_radiance(
+            params, cfg.agg, neigh_emb=emb2, neigh_color=ncol,
+            neigh_dir=ndir, dists=dists, weight=weight,
+            pnt_mask=pnt_mask, viewdirs=vd, Rw2c=points.Rw2c)
+        return (sig_c, rgb_c, jnp.any(pnt_mask, -1), conf_c,
+                pnt_mask, weight)
+
+    def chunk_or_skip(args):
+        CHc = args[0].shape[0]
+
+        def skip(_):
+            return (jnp.zeros((CHc,), jnp.float32),
+                    jnp.zeros((CHc, 3), jnp.float32),
+                    jnp.zeros((CHc,), jnp.bool_),
+                    jnp.zeros((CHc, K), jnp.float32),
+                    jnp.zeros((CHc, K), jnp.bool_),
+                    jnp.zeros((CHc, K), jnp.float32))
+
+        return jax.lax.cond(args[3][0], chunk_body, skip, args)
+
+    if M > CH:
+        n = (M + CH - 1) // CH
+        pad = n * CH - M
+
+        def cpad(x):
+            return jnp.pad(x, ((0, pad),)).reshape((n, CH))
+
+        sig, rgb, found, conf_k, pm_k, w_k = jax.lax.map(
+            chunk_or_skip, (cpad(qslot_c), cpad(sel_ray), cpad(sel_rd),
+                            cpad(mask_c)))
+        sig = sig.reshape(n * CH)[:M]
+        rgb = rgb.reshape(n * CH, 3)[:M]
+        found = found.reshape(n * CH)[:M]
+        conf_k = conf_k.reshape(n * CH, K)[:M]
+        pm_k = pm_k.reshape(n * CH, K)[:M]
+        w_k = w_k.reshape(n * CH, K)[:M]
+    else:
+        sig, rgb, found, conf_k, pm_k, w_k = chunk_or_skip(
+            (qslot_c, sel_ray, sel_rd, mask_c))
+
+    # ---- scatter to [R, BP] slots + composite ----
+    slot_ok = mask_c & found
+    sig = sig * slot_ok.astype(sig.dtype)
+    dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
+    z_sel = w2pers(locs_flat[sel_rd], camrotc2w, campos)[..., 2]
+    sig_rb = jnp.zeros((R * BP,), sig.dtype).at[dest2].set(
+        sig, mode="drop").reshape(R, BP)
+    rgb_rb = jnp.zeros((R * BP, 3), rgb.dtype).at[dest2].set(
+        rgb, mode="drop").reshape(R, BP, 3)
+    valid_rb = jnp.zeros((R * BP,), jnp.bool_).at[dest2].set(
+        slot_ok, mode="drop").reshape(R, BP)
+    z_rb = jnp.zeros((R * BP,), jnp.float32).at[dest2].set(
+        z_sel, mode="drop").reshape(R, BP)
+
+    z_masked = jnp.where(valid_rb, z_rb, -1e9)
+    dist = ray_dist_from_sample_z(z_masked, valid_rb, q.vsize[2])
+    opacity = 1.0 - jnp.exp(-sig_rb * dist)
+    trans = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones((R, 1), trans.dtype), trans[:, :-1]], -1)
+    blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
+    bg = (bg_ray_colors if bg_ray_colors is not None
+          else jnp.asarray(cfg.bg_color, jnp.float32))
+    acc = jnp.sum(blend, -1)
+    color = jnp.sum(blend[..., None] * rgb_rb, -2) + (1 - acc)[..., None] * bg
+    color = TONE_MAPS[cfg.tonemap_func](color)
+    depth = jnp.sum(blend * z_rb, -1)
+
+    ray_found = jnp.any(valid_rb, -1)
+    ray_mask = ray_hit & ray_found
+    color = jnp.where(ray_mask[:, None], color, bg)
+    return RenderOutput(
+        coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
+        conf_coefficient=conf_k, pnt_mask=pm_k & mask_c[:, None],
+        weight=w_k)
+
+
+def make_geo_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
+                   grid: PointGrid, max_q: Optional[int] = None):
+    """Build the geometry cache (rebuild on prune/grow/jitter)."""
+    if max_q is None:
+        nq = int(jax.device_get(jnp.sum(
+            grid.coor_occ.reshape(-1).astype(jnp.int32))))
+        max_q = (nq + 32767) // 32768 * 32768
+    geo = build_geo_cache(grid, cloud.xyz, cfg.query.kernel_size, max_q,
+                          cfg.query.cand_cap)
+    return geo, grid.ranges_min, grid.scaled_vsize
+
+
+def make_fast_train_step(cfg: PointNerfConfig):
+    """Jitted train step through the fast differentiable path.
+
+    Signature matches trainer.make_train_step with the grid argument
+    replaced by (geo, ranges_min, scaled_vsize)."""
+    import optax
+
+    from pointnerf2studio_tpu.train.loss import compute_losses
+    from pointnerf2studio_tpu.train.trainer import make_optimizers
+
+    tx_f, tx_p = make_optimizers(cfg)
+
+    @jax.jit
+    def train_step(state, geo, ranges_min, scaled_vsize, campos,
+                   camrotc2w, raydirs, gt_rgb, near, far, key,
+                   bg_rgb=None, gt_mask=None):
+        def loss_fn(params, point_trainables):
+            points = state.points.with_trainable(point_trainables)
+            out = fast_train_render(
+                params, points, geo, campos, camrotc2w, raydirs,
+                near, far, cfg, ranges_min, scaled_vsize, key=key,
+                training=True, bg_ray_colors=bg_rgb)
+            total, aux = compute_losses(out, gt_rgb, cfg.train,
+                                        gt_mask=gt_mask)
+            return total, aux
+
+        (_, aux), (g_params, g_points) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.points.trainable())
+        upd_f, opt_f = tx_f.update(g_params, state.opt_state_fields,
+                                   state.params)
+        params = optax.apply_updates(state.params, upd_f)
+        pt = state.points.trainable()
+        upd_p, opt_p = tx_p.update(g_points, state.opt_state_points, pt)
+        points = state.points.with_trainable(optax.apply_updates(pt, upd_p))
+        return state.replace(
+            params=params, points=points,
+            opt_state_fields=opt_f, opt_state_points=opt_p,
+            step=state.step + 1), aux
+
+    return train_step

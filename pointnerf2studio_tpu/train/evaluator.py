@@ -47,14 +47,28 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
     cache, rmin, svs = make_fast_scene(cfg, points, grid,
                                        near=near, far=far)
     Rw2c = points.Rw2c
+    checked: List[int] = []
 
     @jax.jit
-    def fn(params, _points, _grid, campos, camrotc2w, raydirs, near, far,
-           bg_rgb=None):
+    def jfn(params, _points, _grid, campos, camrotc2w, raydirs, near, far,
+            bg_rgb=None):
         out = fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
                                raydirs, near, far, cfg, rmin, svs,
                                bg_ray_colors=bg_rgb)
-        return out.coarse_raycolor, out.ray_mask, out.depth, out.acc
+        return (out.coarse_raycolor, out.ray_mask, out.depth, out.acc,
+                out.win_overflow)
+
+    def fn(*args, **kw):
+        c, m, d, a, ov = jfn(*args, **kw)
+        if ov is not None and not checked:
+            checked.append(1)
+            n = int(jax.device_get(ov))
+            if n > 0:
+                print(f"WARNING: coarse_step dropped {n} positive "
+                      f"windows on the first chunk — results are NOT "
+                      f"exact; raise coarse_win_budget/"
+                      f"coarse_win_global")
+        return c, m, d, a
 
     return fn
 

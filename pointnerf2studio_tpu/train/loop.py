@@ -91,11 +91,25 @@ def fit(
             cfg, dataset,
             points_xyz=jnp.asarray(np.asarray(state.points.xyz)[alive]))
 
+    use_fast = cfg.train.fast_path and mesh is None
+    geo_state = {}
     if mesh is not None:
         from pointnerf2studio_tpu.parallel.sharding import (
             make_sharded_train_step)
         step_fn = make_sharded_train_step(
             cfg, mesh, with_bg_ray=bg_maps is not None)
+    elif use_fast:
+        from pointnerf2studio_tpu.models.fast_train import (
+            make_fast_train_step, make_geo_scene)
+        fast_step = make_fast_train_step(cfg)
+        geo_state["geo"] = make_geo_scene(cfg, state.points, grid)
+
+        def step_fn(st, _grid, campos, camrot, rays, gt, near, far, key,
+                    *bg, **kw):
+            geo, rmin, svs = geo_state["geo"]
+            bg_rgb = bg[0] if bg else None
+            return fast_step(st, geo, rmin, svs, campos, camrot, rays,
+                             gt, near, far, key, bg_rgb=bg_rgb, **kw)
     else:
         step_fn = make_train_step(cfg)
 
@@ -144,6 +158,10 @@ def fit(
             state = state.replace(points=pruned)
             grid = build_grid_from_points(
                 pruned.xyz, pruned.alive, cfg.query)
+            if use_fast:
+                from pointnerf2studio_tpu.models.fast_train import (
+                    make_geo_scene)
+                geo_state["geo"] = make_geo_scene(cfg, state.points, grid)
 
         # Probe holes + grow points (reference: train_ft.py:844-923).
         if t.prob_freq > 0 and step % t.prob_freq == 0:
@@ -164,6 +182,10 @@ def fit(
                 cfg, state, grid, dataset, views=probe_views,
                 chunk=eval_chunk, opacity_thresh=t.prob_thresh,
                 prob_mul=t.prob_mul)
+            if use_fast and n_new:
+                from pointnerf2studio_tpu.models.fast_train import (
+                    make_geo_scene)
+                geo_state["geo"] = make_geo_scene(cfg, state.points, grid)
             logger.flush(step, extra={"grown_points": n_new})
 
         if save_freq and step % save_freq == 0:

@@ -111,6 +111,60 @@ def test_fast_coarse_masking_matches(scene):
         np.asarray(base.coarse_raycolor), atol=1e-5)
 
 
+def test_topk_compaction_matches_onehot(scene):
+    """compact_mode='topk' must select EXACTLY the same shading slots
+    as the one-hot design (first min(SR, BP) valid samples per ray)."""
+    s = scene
+    rays = _rays(s)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+    cfg_tk = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query,
+                                         compact_mode="topk"))
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg_tk, rmin, svs)
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(base.ray_mask))
+    np.testing.assert_allclose(np.asarray(out.coarse_raycolor),
+                               np.asarray(base.coarse_raycolor),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.acc),
+                               np.asarray(base.acc), atol=1e-5)
+
+
+def test_coarse_overflow_reported(scene):
+    """Starving the window budgets must be VISIBLE: win_overflow
+    counts the true positive windows the layout caps dropped."""
+    s = scene
+    rays = _rays(s)
+    cfg_tight = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, coarse_step=5, coarse_win_budget=1,
+            coarse_win_global=1))
+    cache, rmin, svs = make_fast_scene(cfg_tight, s.cloud, s.grid,
+                                       near=s.near, far=s.far)
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg_tight, rmin, svs)
+    assert out.win_overflow is not None
+    assert int(out.win_overflow) > 0
+
+    # generous budgets: no overflow, exact output
+    cfg_ok = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, coarse_step=5, coarse_win_budget=12,
+            coarse_win_global=8))
+    cache2, rmin2, svs2 = make_fast_scene(cfg_ok, s.cloud, s.grid,
+                                          near=s.near, far=s.far)
+    out2 = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache2, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg_ok, rmin2, svs2)
+    assert int(out2.win_overflow) == 0
+
+
 def test_fast_sharded_matches_single(scene):
     from pointnerf2studio_tpu.parallel.sharding import (
         make_mesh, make_sharded_fast_render)

@@ -1,0 +1,108 @@
+"""Differentiable fast train path vs the legacy train path: matching
+forward output and matching loss TRAJECTORY over real optimization
+steps on a fixed seed (VERDICT r2 acceptance for the train-path port).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnerf2studio_tpu.data.synthetic import (
+    camera_rays, make_sphere_scene, sphere_config)
+from pointnerf2studio_tpu.models.fast_train import (
+    fast_train_render, make_fast_train_step, make_geo_scene)
+from pointnerf2studio_tpu.models.render import render_rays_jit
+from pointnerf2studio_tpu.train.trainer import (
+    create_train_state, make_train_step)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = sphere_config(sr=16, d=48)
+    cfg = dataclasses.replace(
+        cfg, query=dataclasses.replace(cfg.query, ray_slot_budget=16,
+                                       compact_budget=8))
+    return make_sphere_scene(n_points=4000, cfg=cfg)
+
+
+def test_forward_matches_legacy(scene):
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 24, 24, 18.0)
+    ref = render_rays_jit(s.params, s.cloud, s.grid, s.campos,
+                          s.camrotc2w, rays, s.near, s.far, s.cfg)
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)
+    out = fast_train_render(s.params, s.cloud, geo, s.campos,
+                            s.camrotc2w, rays, s.near, s.far, s.cfg,
+                            rmin, svs, training=False)
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(ref.ray_mask))
+    both = np.asarray(ref.ray_mask)
+    diff = np.abs(np.asarray(out.coarse_raycolor)
+                  - np.asarray(ref.coarse_raycolor))[both]
+    assert diff.max() < 2e-3, diff.max()
+    np.testing.assert_allclose(np.asarray(out.acc)[both],
+                               np.asarray(ref.acc)[both], atol=2e-3)
+
+
+def test_loss_trajectory_matches_legacy(scene):
+    """Same seed, same batches: the fast path's loss curve and the
+    legacy path's must coincide (same jitter keys -> same samples; the
+    only differences are f32 rounding in the geometry cache)."""
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
+    gt = jnp.asarray(
+        np.random.default_rng(0).random((rays.shape[0], 3)), jnp.float32)
+
+    legacy = make_train_step(s.cfg)
+    st_l = create_train_state(s.params, s.cloud, s.cfg)
+    fast = make_fast_train_step(s.cfg)
+    st_f = create_train_state(s.params, s.cloud, s.cfg)
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)
+
+    losses_l, losses_f = [], []
+    for i in range(8):
+        k = jax.random.PRNGKey(100 + i)
+        st_l, aux_l = legacy(st_l, s.grid, s.campos, s.camrotc2w, rays,
+                             gt, jnp.asarray(s.near), jnp.asarray(s.far),
+                             k)
+        st_f, aux_f = fast(st_f, geo, rmin, svs, s.campos, s.camrotc2w,
+                           rays, gt, jnp.asarray(s.near),
+                           jnp.asarray(s.far), k)
+        losses_l.append(float(aux_l["total"]))
+        losses_f.append(float(aux_f["total"]))
+    # tolerances sized for XLA CPU reduction-order jitter compounding
+    # over 8 optimization steps (tighter margins flaked under load)
+    np.testing.assert_allclose(losses_f, losses_l, rtol=5e-3, atol=1e-4)
+    # parameters end up in the same place
+    for a, b in zip(jax.tree.leaves(st_l.params),
+                    jax.tree.leaves(st_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_f.points.points_embeding),
+        np.asarray(st_l.points.points_embeding), rtol=1e-2, atol=2e-4)
+
+
+def test_gradients_reach_attributes(scene):
+    """Point attributes receive nonzero grads through the fast path."""
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 8, 8, 6.0)
+    gt = jnp.full((rays.shape[0], 3), 0.2)
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)
+    from pointnerf2studio_tpu.train.loss import compute_losses
+
+    def loss(pt):
+        points = s.cloud.with_trainable(pt)
+        out = fast_train_render(s.params, points, geo, s.campos,
+                                s.camrotc2w, rays, s.near, s.far,
+                                s.cfg, rmin, svs,
+                                key=jax.random.PRNGKey(0))
+        return compute_losses(out, gt, s.cfg.train)[0]
+
+    g = jax.grad(loss)(s.cloud.trainable())
+    assert float(jnp.abs(g["points_embeding"]).sum()) > 0
+    assert float(jnp.abs(g["points_color"]).sum()) > 0
+    assert float(jnp.abs(g["points_conf"]).sum()) > 0

@@ -185,6 +185,12 @@ VARIANTS = {
              base_cfg(fast_chunk=4096, coarse_step=16,
                       coarse_win_budget=6, coarse_win_global=3), None),
     # stage ablations at the r1-best chunking (c4kqs/c4kds above)
+    "c4kcs": ("b8 ch=4096 compact-skip", base_cfg(fast_chunk=4096),
+              "compact"),
+    "tk": ("b8 ch=4096 topk-compact",
+           base_cfg(fast_chunk=4096, compact_mode="topk"), None),
+    "tkqs": ("b8 ch=4096 topk qslot-skip",
+             base_cfg(fast_chunk=4096, compact_mode="topk"), "qslot"),
     "c4kks": ("b8 ch=4096 knn-skip", base_cfg(fast_chunk=4096), "knn"),
     "c4kxs": ("b8 ch=4096 extract-skip", base_cfg(fast_chunk=4096),
               "extract"),
