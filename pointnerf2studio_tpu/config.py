@@ -91,8 +91,9 @@ class QueryConfig:
     #              recovering qslot/d/slot. Same selection semantics
     #              (first min(SR, BP) valid samples per ray).
     # The compact-skip ablation showed the compaction machinery at
-    # ~129ms of the 209ms bench step — this is the main lever.
-    compact_mode: str = "onehot"
+    # ~129ms of the 209ms bench step; "topk" measured 188.7 vs 209.5ms
+    # end-to-end and bit-exact vs "onehot" on the chip — default.
+    compact_mode: str = "topk"
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

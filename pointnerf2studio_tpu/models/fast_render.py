@@ -378,8 +378,14 @@ def fast_render_rays(
         mask = qs >= 0
         ray_hit = jnp.any(mask, axis=-1)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, Dax), 1)
-        neg = jax.lax.top_k(jnp.where(mask, -col, -(Dax + 1)), BP)[0]
-        col_sel = -neg                                          # [R, BP]
+        if debug_ablate == "selonly":
+            # fake selection (WRONG output, real timing): measures the
+            # top_k itself by replacing it with a static slice
+            col_sel = jnp.broadcast_to(
+                jnp.arange(BP, dtype=jnp.int32) * (Dax // BP), (R, BP))
+        else:
+            neg = jax.lax.top_k(jnp.where(mask, -col, -(Dax + 1)), BP)[0]
+            col_sel = -neg                                      # [R, BP]
         cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32), -1),
                           min(SR, BP))
         off = jnp.cumsum(cnt) - cnt

@@ -133,7 +133,14 @@ def init_costvol_params(key, num_views: int = 3) -> CostVolParams:
 def cost_reg_net8(p: Dict, vol: jnp.ndarray) -> jnp.ndarray:
     """[D, h, w, Cin] -> [D, h, w, 8] (models.py:766-810; unlike the
     depth-estimator CostRegNet this one keeps an 8-channel output and
-    applies no ReLU anywhere)."""
+    applies no ReLU anywhere). Dims are edge-padded to multiples of 8
+    for the stride-2 U-Net skip adds and cropped back (same constraint
+    as the torch reference, which only sees /8-divisible crops)."""
+    D0, H0, W0 = vol.shape[:3]
+    pd, ph, pw = (-D0) % 8, (-H0) % 8, (-W0) % 8
+    if pd or ph or pw:
+        vol = jnp.pad(vol, ((0, pd), (0, ph), (0, pw), (0, 0)),
+                      mode="edge")
     x = vol[None]
     c0 = conv_bn(x, p["conv0"], 1, 1, relu=False, three_d=True)
     c2 = conv_bn(conv_bn(c0, p["conv1"], 2, 1, relu=False, three_d=True),
@@ -148,7 +155,7 @@ def cost_reg_net8(p: Dict, vol: jnp.ndarray) -> jnp.ndarray:
                         p["conv9"]["bn"])
     x = c0 + batch_norm(conv3d_transpose(x, p["conv11"]["w"]),
                         p["conv11"]["bn"])
-    return x[0]
+    return x[0, :D0, :H0, :W0]
 
 
 def prob_net(p: Dict, vol8: jnp.ndarray) -> jnp.ndarray:

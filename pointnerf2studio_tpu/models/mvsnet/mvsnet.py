@@ -70,7 +70,21 @@ def feature_net(p: Dict, img: jnp.ndarray) -> jnp.ndarray:
 
 def cost_reg_net(p: Dict, vol: jnp.ndarray) -> jnp.ndarray:
     """3D U-Net regularization [D, H, W, 32] -> [D, H, W] raw cost
-    (mvsnet.py:30-70)."""
+    (mvsnet.py:30-70).
+
+    The 3-level stride-2 U-Net needs every spatial/depth dim divisible
+    by 8 for the transpose-conv skip adds (the torch reference has the
+    same constraint and is only ever fed /8-divisible crops); arbitrary
+    image sizes (e.g. 400^2 -> 100-wide feature grids) are handled by
+    edge-padding up to the next multiple and cropping the output.
+    """
+    D0, H0, W0 = vol.shape[:3]
+    pd = (-D0) % 8
+    ph = (-H0) % 8
+    pw = (-W0) % 8
+    if pd or ph or pw:
+        vol = jnp.pad(vol, ((0, pd), (0, ph), (0, pw), (0, 0)),
+                      mode="edge")
     x = vol[None]
     c0 = conv_bn(x, p["conv0"], 1, 1, three_d=True)
     c2 = conv_bn(conv_bn(c0, p["conv1"], 2, 1, three_d=True),
@@ -86,7 +100,7 @@ def cost_reg_net(p: Dict, vol: jnp.ndarray) -> jnp.ndarray:
     x = c0 + jax.nn.relu(batch_norm(
         conv3d_transpose(x, p["conv11"]["w"]), p["conv11"]["bn"]))
     x = conv3d(x, p["prob"]["w"], 1, 1) + p["prob"]["b"]
-    return x[0, ..., 0]
+    return x[0, :D0, :H0, :W0, 0]
 
 
 def homo_warp(feat: jnp.ndarray, proj: jnp.ndarray,

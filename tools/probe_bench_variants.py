@@ -191,6 +191,8 @@ VARIANTS = {
            base_cfg(fast_chunk=4096, compact_mode="topk"), None),
     "tkqs": ("b8 ch=4096 topk qslot-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"), "qslot"),
+    "tkss": ("b8 ch=4096 topk sel-skip",
+             base_cfg(fast_chunk=4096, compact_mode="topk"), "selonly"),
     "c4kks": ("b8 ch=4096 knn-skip", base_cfg(fast_chunk=4096), "knn"),
     "c4kxs": ("b8 ch=4096 extract-skip", base_cfg(fast_chunk=4096),
               "extract"),
