@@ -83,12 +83,22 @@ _PART_COLORS = np.array([
 
 
 def _albedo(p, part):
-    """Per-part base color + wood-grain-ish procedural stripes."""
+    """Per-part base color + wood grain + fine view-consistent detail.
+
+    The high-frequency component (~6-10 px period at 400^2) gives the
+    stereo matcher real texture — a textureless SDF render starves
+    MVSNet's cost volume (photometric confidence collapses) in a way
+    real photographed chairs do not."""
     import jax.numpy as jnp
     base = jnp.asarray(_PART_COLORS)[part]
     grain = 0.5 + 0.5 * jnp.sin(23.0 * p[..., 0] + 17.0 * p[..., 2]
                                 + 3.0 * jnp.sin(5.0 * p[..., 1]))
-    return jnp.clip(base * (0.85 + 0.3 * grain[..., None]), 0.0, 1.0)
+    fine = (jnp.sin(210.0 * p[..., 0] + 2.0 * jnp.sin(160.0 * p[..., 2]))
+            * jnp.sin(190.0 * p[..., 2] + 170.0 * p[..., 1]))
+    speck = jnp.sin(151.0 * p[..., 0] + 173.0 * p[..., 1]
+                    + 137.0 * p[..., 2])
+    tex = 0.85 + 0.22 * grain + 0.12 * fine + 0.08 * speck
+    return jnp.clip(base * tex[..., None], 0.0, 1.0)
 
 
 def _march_rays(origin, dirs, n_steps: int):
@@ -210,6 +220,12 @@ def generate_chair_dataset(out_dir: str, n_train: int = 32,
 
 if __name__ == "__main__":
     import sys
+
+    import jax
+
+    # dataset generation is a CPU job; the axon sitecustomize would
+    # otherwise route every jitted march through the remote TPU tunnel
+    jax.config.update("jax_platforms", "cpu")
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/proc_chair"
     n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 400

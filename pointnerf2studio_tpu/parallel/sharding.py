@@ -151,6 +151,59 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     return jax.jit(fn)
 
 
+def make_sharded_fast_train_step(
+    cfg: PointNerfConfig, mesh: Mesh, with_bg_ray: bool = False,
+) -> Callable:
+    """The fast differentiable train path (models/fast_train.py) over a
+    1-D rays mesh: geometry cache + points replicated per chip, ray
+    batch sharded, grads psum'd over ICI — the fast-path twin of
+    make_sharded_train_step. Signature:
+    f(state, geo, ranges_min, scaled_vsize, campos, camrotc2w, raydirs,
+      gt_rgb, near, far, key[, bg_rgb])."""
+    from pointnerf2studio_tpu.models.fast_train import fast_train_render
+
+    tx_f, tx_p = make_optimizers(cfg)
+
+    def local_step(state: TrainState, geo, rmin, svs, campos, camrotc2w,
+                   raydirs, gt_rgb, near, far, key, *bg):
+        key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
+        bg_rgb = bg[0] if bg else None
+
+        def loss_fn(params, point_trainables):
+            points = state.points.with_trainable(point_trainables)
+            out = fast_train_render(
+                params, points, geo, campos, camrotc2w, raydirs,
+                near, far, cfg, rmin, svs, key=key, training=True,
+                bg_ray_colors=bg_rgb)
+            total, aux = compute_losses(
+                out, gt_rgb, cfg.train, psum_axis="rays")
+            return total, aux
+
+        (_, aux), (g_params, g_points) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.points.trainable())
+        g_params = jax.lax.psum(g_params, "rays")
+        g_points = jax.lax.psum(g_points, "rays")
+
+        upd_f, opt_f = tx_f.update(g_params, state.opt_state_fields,
+                                   state.params)
+        params = optax.apply_updates(state.params, upd_f)
+        pt = state.points.trainable()
+        upd_p, opt_p = tx_p.update(g_points, state.opt_state_points, pt)
+        points = state.points.with_trainable(optax.apply_updates(pt, upd_p))
+        return state.replace(
+            params=params, points=points,
+            opt_state_fields=opt_f, opt_state_points=opt_p,
+            step=state.step + 1), aux
+
+    fn = _shard_map(
+        local_step, mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P("rays"), P("rays"),
+                  P(), P(), P()) + ((P("rays"),) if with_bg_ray else ()),
+        out_specs=(P(), P()))
+    return jax.jit(fn)
+
+
 def make_sharded_train_step(
     cfg: PointNerfConfig, mesh: Mesh,
     example_state: Optional[TrainState] = None,

@@ -91,18 +91,32 @@ def fit(
             cfg, dataset,
             points_xyz=jnp.asarray(np.asarray(state.points.xyz)[alive]))
 
-    use_fast = cfg.train.fast_path and mesh is None
+    use_fast = cfg.train.fast_path
     geo_state = {}
-    if mesh is not None:
+    if use_fast:
+        from pointnerf2studio_tpu.models.fast_train import make_geo_scene
+        geo_state["geo"] = make_geo_scene(cfg, state.points, grid)
+    if mesh is not None and use_fast:
+        from pointnerf2studio_tpu.parallel.sharding import (
+            make_sharded_fast_train_step)
+        fast_step = make_sharded_fast_train_step(
+            cfg, mesh, with_bg_ray=bg_maps is not None)
+
+        def step_fn(st, _grid, campos, camrot, rays, gt, near, far, key,
+                    *bg, **kw):
+            geo, rmin, svs = geo_state["geo"]
+            return fast_step(st, geo, jnp.asarray(rmin),
+                             jnp.asarray(svs), campos, camrot, rays,
+                             gt, near, far, key, *bg)
+    elif mesh is not None:
         from pointnerf2studio_tpu.parallel.sharding import (
             make_sharded_train_step)
         step_fn = make_sharded_train_step(
             cfg, mesh, with_bg_ray=bg_maps is not None)
     elif use_fast:
         from pointnerf2studio_tpu.models.fast_train import (
-            make_fast_train_step, make_geo_scene)
+            make_fast_train_step)
         fast_step = make_fast_train_step(cfg)
-        geo_state["geo"] = make_geo_scene(cfg, state.points, grid)
 
         def step_fn(st, _grid, campos, camrot, rays, gt, near, far, key,
                     *bg, **kw):

