@@ -23,6 +23,8 @@ from typing import Tuple
 
 import numpy as np
 
+from pointnerf2studio_tpu.data.blender import BLENDER2OPENCV
+
 CAMERA_ANGLE_X = 0.6911112070083618          # blender synthetic default
 RADIUS = 4.0311289              # camera ring radius (blender synthetic)
 
@@ -99,6 +101,53 @@ def _albedo(p, part):
                     + 137.0 * p[..., 2])
     tex = 0.85 + 0.22 * grain + 0.12 * fine + 0.08 * speck
     return jnp.clip(base * tex[..., None], 0.0, 1.0)
+
+
+def _march_depth(origin, dirs, w2c_rot, w2c_t, n_steps: int):
+    """Camera-Z depth map for GT-depth init (the ScanNet sensor-depth
+    analogue; 0 where the ray misses)."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(_, carry):
+        t, hit = carry
+        p = origin + dirs * t[:, None]
+        d, _ = chair_sdf(p)
+        newly = (~hit) & (d < 1e-3) & (t < 6.5)
+        hit = hit | newly
+        alive = (~hit) & (t < 6.5)
+        t = jnp.where(alive, t + jnp.maximum(d, 1e-3) * 0.9, t)
+        return t, hit
+
+    t0 = jnp.full((dirs.shape[0],), 2.0, jnp.float32)
+    h0 = jnp.zeros((dirs.shape[0],), bool)
+    t, hit = jax.lax.fori_loop(0, n_steps, body, (t0, h0))
+    p = origin + dirs * t[:, None]
+    z = (p @ w2c_rot.T + w2c_t)[:, 2]
+    return jnp.where(hit, z, 0.0)
+
+
+def render_depth(c2w_gl: np.ndarray, hw: Tuple[int, int],
+                 focal: float, n_steps: int = 200) -> np.ndarray:
+    """GT camera-Z depth (OpenCV camera convention: +z forward) [H, W]."""
+    import jax
+
+    H, W = hw
+    i, j = np.meshgrid(np.arange(W), np.arange(H))
+    dirs_cam = np.stack(
+        [(i + 0.5 - W / 2) / focal, -(j + 0.5 - H / 2) / focal,
+         -np.ones_like(i, np.float32)], -1).astype(np.float32)
+    dirs = dirs_cam @ c2w_gl[:3, :3].T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origin = c2w_gl[:3, 3].astype(np.float32)
+    # OpenCV w2c: flip y/z of the GL camera (BLENDER2OPENCV)
+    c2w_cv = c2w_gl @ BLENDER2OPENCV
+    w2c = np.linalg.inv(c2w_cv)
+    march = jax.jit(_march_depth, static_argnums=4)
+    z = np.asarray(march(origin, dirs.reshape(-1, 3).astype(np.float32),
+                         w2c[:3, :3].astype(np.float32),
+                         w2c[:3, 3].astype(np.float32), n_steps))
+    return z.reshape(H, W)
 
 
 def _march_rays(origin, dirs, n_steps: int):
@@ -184,8 +233,12 @@ def spherical_c2w_gl(theta: float, phi: float,
 
 def generate_chair_dataset(out_dir: str, n_train: int = 32,
                            n_test: int = 8, hw: Tuple[int, int] = (400, 400),
-                           seed: int = 0) -> str:
-    """Write a NeRF-Synthetic-format chair dataset; returns out_dir."""
+                           seed: int = 0, save_depth: bool = False) -> str:
+    """Write a NeRF-Synthetic-format chair dataset; returns out_dir.
+
+    With `save_depth`, train views also get `depth_<k>.npy` GT
+    camera-Z maps (the ScanNet sensor-depth analogue, consumed by the
+    depth-init validation path)."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -208,6 +261,9 @@ def generate_chair_dataset(out_dir: str, n_train: int = 32,
             name = f"./{split}/r_{k}"
             Image.fromarray(img8, "RGBA").save(
                 os.path.join(out_dir, f"{name[2:]}.png"))
+            if save_depth and split == "train":
+                np.save(os.path.join(out_dir, split, f"depth_{k}.npy"),
+                        render_depth(c2w, hw, focal).astype(np.float32))
             frames.append({"file_path": name,
                            "rotation": 0.0,
                            "transform_matrix": c2w.tolist()})
@@ -229,5 +285,7 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/proc_chair"
     n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 400
-    generate_chair_dataset(out, n_train=n_train, hw=(res, res))
+    save_depth = len(sys.argv) > 4 and sys.argv[4] == "depth"
+    generate_chair_dataset(out, n_train=n_train, hw=(res, res),
+                           save_depth=save_depth)
     print("wrote", out)

@@ -384,10 +384,14 @@ def fast_render_rays(
             col_sel = jnp.broadcast_to(
                 jnp.arange(BP, dtype=jnp.int32) * (Dax // BP), (R, BP))
         else:
-            neg = jax.lax.top_k(jnp.where(mask, -col, -(Dax + 1)), BP)[0]
-            col_sel = -neg                                      # [R, BP]
+            kk = min(BP, Dax)     # coarse layouts can have Dax < BP
+            neg = jax.lax.top_k(jnp.where(mask, -col, -(Dax + 1)), kk)[0]
+            col_sel = -neg                                      # [R, kk]
+            if kk < BP:
+                col_sel = jnp.pad(col_sel, ((0, 0), (0, BP - kk)),
+                                  constant_values=Dax)
         cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32), -1),
-                          min(SR, BP))
+                          min(SR, BP, Dax))
         off = jnp.cumsum(cnt) - cnt
         sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
         dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)

@@ -70,6 +70,14 @@ def main():
         else:
             qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
         mask = qs >= 0
+        if which == "mask":
+            # through the [R, D] mask only
+            return jnp.sum(mask.astype(jnp.int32)) + qs.sum()
+        if which == "sel":
+            # mask + top_k, no scatter/gathers
+            col = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
+            neg = jax.lax.top_k(jnp.where(mask, -col, -(D + 1)), BP)[0]
+            return neg.sum() + qs.sum()
         if which == "onehot":
             rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
             keep = mask & (rank <= min(SR, BP))

@@ -43,6 +43,13 @@ def main():
     # photographic texture; the synthetic chair runs lower confidence
     ap.add_argument("--conf-thresh", type=float, default=0.3)
     ap.add_argument("--geo-num", type=int, default=2)
+    # init source: "mvs" = pretrained-MVSNet generation (requires
+    # photographic-texture statistics the pretrained net learned on
+    # DTU — measured 13% median depth error on the synthetic chair,
+    # so the geo-consistency gate correctly rejects it); "depth" =
+    # GT depth maps (data/procedural.py save_depth; the ScanNet
+    # sensor-depth init path, init_points_from_depth).
+    ap.add_argument("--init", choices=("mvs", "depth"), default="depth")
     args = ap.parse_args()
 
     import dataclasses
@@ -80,23 +87,40 @@ def main():
     print(f"data: {train_ds.num_views} train / {test_ds.num_views} test "
           f"views @ {train_ds.hw}", flush=True)
 
-    # ---- 1. MVS point generation (pretrained) ----
-    mvs_params = load_mvsnet_params(MVS_CKPT)
-    fpn_params = load_fpn_params(FPN_CKPT)
-    batches, alphas, aK, aE = build_view_batches(train_ds, num_src=2)
-    pg = PointGenConfig(vox_res=args.vox_res, ranges=cfg.query.ranges,
-                        depth_conf_thresh=args.conf_thresh,
-                        geo_cnsst_num=args.geo_num)
-    pc = generate_point_cloud(mvs_params, fpn_params, batches,
-                              alphas=alphas, alpha_intrinsics=aK,
-                              alpha_w2cs=aE, cfg=pg)
-    n_pts = pc["xyz"].shape[0]
-    print(f"generated {n_pts} points (+{time.time()-t0:.0f}s)", flush=True)
+    # ---- 1. point-cloud init ----
+    if args.init == "mvs":
+        mvs_params = load_mvsnet_params(MVS_CKPT)
+        fpn_params = load_fpn_params(FPN_CKPT)
+        batches, alphas, aK, aE = build_view_batches(train_ds, num_src=2)
+        pg = PointGenConfig(vox_res=args.vox_res, ranges=cfg.query.ranges,
+                            depth_conf_thresh=args.conf_thresh,
+                            geo_cnsst_num=args.geo_num)
+        pc = generate_point_cloud(mvs_params, fpn_params, batches,
+                                  alphas=alphas, alpha_intrinsics=aK,
+                                  alpha_w2cs=aE, cfg=pg)
+        n_pts = pc["xyz"].shape[0]
+        cap = -(-int(n_pts * 1.3) // 4096) * 4096
+        cloud = npts.from_arrays(pc["xyz"], pc["embedding"], pc["conf"],
+                                 pc["dir"], pc["color"], capacity=cap)
+    else:
+        # depth-init (ScanNet sensor-depth flow): unproject GT depth
+        # maps, voxel-downsample, init features
+        from pointnerf2studio_tpu.data.pointcloud_init import (
+            init_cloud_from_points, init_points_from_depth)
+        depths = np.stack([
+            np.load(os.path.join(args.data, "train", f"depth_{k}.npy"))
+            for k in range(train_ds.num_views)])
+        xyz, color = init_points_from_depth(
+            depths, train_ds.poses, train_ds.intrinsics,
+            images=train_ds.images, stride=2, max_depth=6.0)
+        cloud = init_cloud_from_points(
+            xyz, color, feat_dim=cfg.agg.point_features_dim,
+            feature_init_method="rand", default_conf=0.3,
+            vox_res=args.vox_res, ranges=cfg.query.ranges)
+        n_pts = int(np.asarray(cloud.num_alive))
+    print(f"init cloud: {n_pts} points (+{time.time()-t0:.0f}s)",
+          flush=True)
     report["n_points"] = int(n_pts)
-
-    cap = -(-int(n_pts * 1.3) // 4096) * 4096
-    cloud = npts.from_arrays(pc["xyz"], pc["embedding"], pc["conf"],
-                             pc["dir"], pc["color"], capacity=cap)
     params = init_aggregator_params(jax.random.PRNGKey(0), cfg.agg)
 
     # ---- 2. fine-tune ----
