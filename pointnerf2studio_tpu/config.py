@@ -67,21 +67,25 @@ class QueryConfig:
     # 0 -> 8192. SMALL chunks win on v5e (4-8k: working set near VMEM,
     # finer tail-skip quantization; 65k chunks were ~1.45x slower).
     fast_chunk: int = 0
-    # Two-level sample masking (fast path): test every `coarse_step`-th
-    # sample against an extra-dilated occupancy first; only samples in
-    # positive windows pay the per-sample qslot lookup (the [R, D]
-    # scalar gather is the most expensive stage at ~7ns/row). 0 = off.
+    # Two-level sample masking (fast path): test window CENTERS (every
+    # `coarse_step` samples) against an extra-dilated occupancy, keep
+    # the first coarse_win_budget positive windows per ray, and run the
+    # per-sample qslot lookup only on the [R, BW*coarse_step] expanded
+    # window domain. The [R, D] table gather is the largest stage of
+    # the step (~7.8 ns/row, purely row-issue-bound on v5e) — this
+    # trades it for [R, D/S] + [R, BW*S] rows. 0 = off.
     # The coarse test is conservative (dilation covers the whole
     # window) and the fine test re-checks every sample, so results are
-    # exact ONLY while positive-window counts stay within
-    # coarse_win_budget (per ray) and coarse_win_global (batch
-    # average): like ray_slot_budget, these are hard layout caps that
-    # tail-drop true positive windows (and their shading samples) when
-    # exceeded.
+    # exact ONLY while per-ray positive-window counts stay within
+    # coarse_win_budget: like ray_slot_budget, it is a hard layout cap
+    # that tail-drops true positive windows (and their shading
+    # samples) when exceeded. FastRenderOutput.win_overflow counts the
+    # dropped windows per batch — nonzero means raise the budget.
     coarse_step: int = 0
     # Per-ray positive-window layout cap for the coarse pass.
     coarse_win_budget: int = 12
-    # Global average positive windows per ray (level-2 compaction).
+    # Unused since the window-expanded redesign (kept for config
+    # compatibility; the old batch-average window compaction is gone).
     coarse_win_global: int = 4
     # Fast-path slot-compaction mechanism:
     #   "onehot" — per-ray one-hot MXU einsums + four scalar scatters
@@ -94,6 +98,13 @@ class QueryConfig:
     # ~129ms of the 209ms bench step; "topk" measured 188.7 vs 209.5ms
     # end-to-end and bit-exact vs "onehot" on the chip — default.
     compact_mode: str = "topk"
+    # How the topk compaction finds each ray's first-BP valid sample
+    # columns: "topk" = lax.top_k over masked negative column ids (a
+    # full per-row sort); "pallas" = ops/select.py row-compaction
+    # kernel (one lower-tri MXU matmul for prefix ranks + BP masked
+    # lane-reduces, single VMEM pass — TPU only, falls back to topk
+    # elsewhere). Outputs are identical.
+    select_mode: str = "topk"
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

@@ -274,15 +274,28 @@ def fast_render_rays(
         fi = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
         return fi, inb
 
-    use_coarse = (q.coarse_step > 1 and cache.coarse_occ is not None
+    use_coarse = (q.coarse_step > 1 and cache.coor_2_qslot is not None
+                  and cache.coarse_occ is not None
                   and debug_ablate != "qslot")
     if use_coarse:
-        # ---- two-level masking: coarse window test, then per-sample
-        # qslot lookups only inside positive windows ----
+        # ---- two-level sample masking, window-expanded form ----
+        # The [R, D] qslot table gather is the single largest stage of
+        # the step (~89 ms of ~194 at bench scale) and is purely
+        # row-ISSUE-bound (~7.8 ns/row on v5e regardless of index
+        # locality — tools/probe_topk_pack.py qst/tg). The only lever
+        # is fewer rows: test window CENTERS against an extra-dilated
+        # occupancy ([R, ceil(D/S)] rows), keep the first BW positive
+        # windows per ray via lax.top_k (measured ~free), and expand
+        # them into a REGULAR compact fine domain [R, BW*S] that the
+        # unchanged topk pack consumes with a materialized d_true.
+        # Exact while every ray has <= BW positive windows; violations
+        # are counted in win_overflow (raise coarse_win_budget).
+        # An earlier scatter-heavy window design (r2, reverted)
+        # measured SLOWER than no coarse masking at every S; this form
+        # adds only the coarse gather + one top_k.
         S = q.coarse_step
         DS = -(-D // S)
-        BW = q.coarse_win_budget
-        WG = R * q.coarse_win_global
+        BW = min(q.coarse_win_budget, DS)
         coarse_flat = cache.coarse_occ.reshape(-1)
         t_c = near + (jnp.arange(DS, dtype=jnp.float32) * S
                       + (S - 1) / 2 + 0.5) * step_t
@@ -293,53 +306,23 @@ def fast_render_rays(
         # clamping only shrinks the Chebyshev distance the dilation
         # covers (false positives are re-checked by the fine pass)
         cocc = coarse_flat[cfid]                                # [R, DS]
-        wrank = jnp.cumsum(cocc.astype(jnp.int32), axis=-1)
-        wkeep = cocc & (wrank <= BW)
-        # overflow accounting: positive windows beyond the per-ray cap,
-        # plus kept windows beyond the global cap (counted below)
-        n_pos = jnp.sum(cocc.astype(jnp.int32))
-        over_ray = n_pos - jnp.sum(wkeep.astype(jnp.int32))
-        ohw = wkeep[:, :, None] & (wrank[:, :, None]
-                                   == jnp.arange(1, BW + 1))
-        w_dSel = jnp.einsum(
-            "rwb,w->rb", ohw.astype(jnp.float32),
-            jnp.arange(DS, dtype=jnp.float32)).astype(jnp.int32)
-        wcnt = jnp.sum(wkeep.astype(jnp.int32), axis=-1)        # [R]
-        woff = jnp.cumsum(wcnt) - wcnt
-        wsloti = jax.lax.broadcasted_iota(jnp.int32, (R, BW), 1)
-        wdest = jnp.where(wsloti < wcnt[:, None],
-                          woff[:, None] + wsloti, WG)
-        wrayi = jax.lax.broadcasted_iota(jnp.int32, (R, BW), 0)
-        win_ray = jnp.zeros((WG,), jnp.int32).at[wdest].set(
-            wrayi, mode="drop")
-        win_dS = jnp.zeros((WG,), jnp.int32).at[wdest].set(
-            w_dSel, mode="drop")
-        win_slot = jnp.zeros((WG,), jnp.int32).at[wdest].set(
-            wsloti, mode="drop")
-        wtotal = jnp.minimum(jnp.sum(wcnt), WG)
-        wmask = jnp.arange(WG, dtype=jnp.int32) < wtotal
-        win_overflow = over_ray + (jnp.sum(wcnt) - wtotal)
+        wcol = jax.lax.broadcasted_iota(jnp.int32, (R, DS), 1)
+        wneg = jax.lax.top_k(jnp.where(cocc, -wcol, -(DS + 1)), BW)[0]
+        w_sel = jnp.where(wneg >= -DS, -wneg, DS)               # [R, BW]
+        win_overflow = jnp.sum(
+            jnp.maximum(jnp.sum(cocc.astype(jnp.int32), -1) - BW, 0))
 
-        # fine pass on compacted windows only
-        d_f = win_dS[:, None] * S + jnp.arange(S)               # [WG, S]
-        t_f = near + (d_f.astype(jnp.float32) + 0.5) * step_t
-        pos_f = (campos + raydirs[win_ray][:, None, :]
-                 * t_f[..., None])
-        ffid, finb = _voxelize(pos_f)
-        finb = finb & (d_f < D) & wmask[:, None]
-        qs_f = jnp.where(finb, qslot_flat[jnp.where(finb, ffid, 0)], -1)
-
-        # scatter window results back to per-ray ordered [R, BW*S]
-        # slots; unkept/empty slots stay -1
+        # fine pass on the kept windows, kept per-ray regular
         D2 = BW * S
-        destf = jnp.where(
-            wmask[:, None],
-            win_ray[:, None] * D2 + win_slot[:, None] * S
-            + jnp.arange(S), R * D2)
-        qs = jnp.full((R * D2,), -1, jnp.int32).at[destf].set(
-            qs_f, mode="drop").reshape(R, D2)
-        d_true = jnp.full((R * D2,), 0, jnp.int32).at[destf].set(
-            d_f, mode="drop").reshape(R, D2)
+        d_true = (w_sel[:, :, None] * S
+                  + jnp.arange(S)).reshape(R, D2)               # [R, D2]
+        in_d = d_true < D
+        t_f = near + (d_true.astype(jnp.float32) + 0.5) * step_t
+        ffid, finb = _voxelize(
+            campos + raydirs[:, None, :] * t_f[..., None])
+        finb = finb & in_d
+        qs = jnp.where(finb, qslot_flat[jnp.where(finb, ffid, 0)], -1)
+        d_true = jnp.minimum(d_true, D - 1)
         Dax = D2
     else:
         t_mid = near + (jnp.arange(D, dtype=jnp.float32) + 0.5) * step_t
@@ -375,35 +358,24 @@ def fast_render_rays(
         # lax.top_k (smallest column ids), one scatter packs the
         # combined (ray * Dax + col) id, and cheap [M]-row gathers
         # recover qslot / true d / slot. Selection is IDENTICAL.
-        mask = qs >= 0
-        ray_hit = jnp.any(mask, axis=-1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (R, Dax), 1)
+        from pointnerf2studio_tpu.ops.select import (
+            rank_gather_pack, select_first_cols)
         if debug_ablate == "selonly":
             # fake selection (WRONG output, real timing): measures the
             # top_k itself by replacing it with a static slice
+            mask = qs >= 0
+            ray_hit = jnp.any(mask, axis=-1)
             col_sel = jnp.broadcast_to(
                 jnp.arange(BP, dtype=jnp.int32) * (Dax // BP), (R, BP))
+            cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32), -1),
+                              min(SR, BP, Dax))
         else:
-            kk = min(BP, Dax)     # coarse layouts can have Dax < BP
-            neg = jax.lax.top_k(jnp.where(mask, -col, -(Dax + 1)), kk)[0]
-            col_sel = -neg                                      # [R, kk]
-            if kk < BP:
-                col_sel = jnp.pad(col_sel, ((0, 0), (0, BP - kk)),
-                                  constant_values=Dax)
-        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32), -1),
-                          min(SR, BP, Dax))
-        off = jnp.cumsum(cnt) - cnt
-        sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
-        dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
-        rayi = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 0)
-        sel = jnp.zeros((M,), jnp.int32).at[dest].set(
-            rayi * Dax + jnp.minimum(col_sel, Dax - 1), mode="drop")
-        sel_ray = sel // Dax
-        qslot_c = jnp.maximum(qs.reshape(-1)[sel], 0)
-        sel_d = d_true.reshape(-1)[sel]
-        sel_slot = jnp.arange(M, dtype=jnp.int32) - off[sel_ray]
-        total = jnp.minimum(jnp.sum(cnt), M)
-        mask_c = jnp.arange(M, dtype=jnp.int32) < total
+            col_sel, cnt, ray_hit = select_first_cols(
+                qs, BP, min(SR, BP, Dax), q.select_mode)
+        sel_ray, sel_slot, colm, sel, qslot_c, mask_c = (
+            rank_gather_pack(qs, col_sel, cnt, M))
+        # without coarse windows, d_true[r, c] == c: skip the gather
+        sel_d = d_true.reshape(-1)[sel] if use_coarse else colm
     else:
         mask = qs >= 0
         ray_hit = jnp.any(mask, axis=-1)

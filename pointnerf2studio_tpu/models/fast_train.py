@@ -193,25 +193,16 @@ def fast_train_render(
     mask = qs >= 0
     ray_hit = jnp.any(mask, axis=-1)
     if q.compact_mode == "topk":
-        # top-k compaction: ONE scatter + [M]-row gathers (see
-        # fast_render.py — the one-hot machinery measured ~129ms of
-        # the bench step)
-        col = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
-        neg = jax.lax.top_k(jnp.where(mask, -col, -(D + 1)), BP)[0]
-        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32), -1),
-                          min(SR, BP))
-        off = jnp.cumsum(cnt) - cnt
-        sloti = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 1)
-        dest = jnp.where(sloti < cnt[:, None], off[:, None] + sloti, M)
-        rayi = jax.lax.broadcasted_iota(jnp.int32, (R, BP), 0)
-        sel = jnp.zeros((M,), jnp.int32).at[dest].set(
-            rayi * D + jnp.minimum(-neg, D - 1), mode="drop")
-        sel_ray = sel // D
-        sel_d = sel % D
-        qslot_c = jnp.maximum(qs.reshape(-1)[sel], 0)
-        sel_slot = jnp.arange(M, dtype=jnp.int32) - off[sel_ray]
-        total = jnp.minimum(jnp.sum(cnt), M)
-        mask_c = jnp.arange(M, dtype=jnp.int32) < total
+        # top-k compaction + rank-gather pack shared with the eval
+        # fast path (ops/select.py): selection via lax.top_k or the
+        # Pallas row-compaction kernel, then [M]-row gathers instead
+        # of the row-bound dest-scatter
+        from pointnerf2studio_tpu.ops.select import (
+            rank_gather_pack, select_first_cols)
+        col_sel, cnt, _ = select_first_cols(
+            qs, BP, min(SR, BP), q.select_mode)
+        sel_ray, sel_slot, sel_d, _, qslot_c, mask_c = (
+            rank_gather_pack(qs, col_sel, cnt, M))
     else:
         rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
         keep = mask & (rank <= min(SR, BP))

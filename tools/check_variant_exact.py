@@ -46,6 +46,8 @@ def main():
                 params, Rw2c, cache, scene.campos,
                 scene.camrotc2w, raydirs, near, far, cfg, rmin, svs)
         out = f(scene.params, scene.cloud.Rw2c, cache, raydirs)
+        if out.win_overflow is not None:
+            print(f"  win_overflow={int(out.win_overflow)}", flush=True)
         return (np.asarray(out.ray_mask), np.asarray(out.coarse_raycolor),
                 np.asarray(out.acc))
 

@@ -189,6 +189,19 @@ VARIANTS = {
               "compact"),
     "tk": ("b8 ch=4096 topk-compact",
            base_cfg(fast_chunk=4096, compact_mode="topk"), None),
+    "oh": ("b8 ch=4096 onehot-compact",
+           base_cfg(fast_chunk=4096, compact_mode="onehot"), None),
+    "ps": ("b8 ch=4096 pallas-select",
+           base_cfg(fast_chunk=4096, select_mode="pallas"), None),
+    "psco8": ("b8 ch=4096 pallas-select coarse S=8",
+              base_cfg(fast_chunk=4096, select_mode="pallas",
+                       coarse_step=8, coarse_win_budget=8), None),
+    "tkco8": ("b8 ch=4096 topk-select coarse S=8",
+              base_cfg(fast_chunk=4096, coarse_step=8,
+                       coarse_win_budget=8), None),
+    "tkco8w12": ("b8 ch=4096 topk-select coarse S=8 BW=12",
+                 base_cfg(fast_chunk=4096, coarse_step=8,
+                          coarse_win_budget=12), None),
     "tkqs": ("b8 ch=4096 topk qslot-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"), "qslot"),
     "tkss": ("b8 ch=4096 topk sel-skip",

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Sequential TPU probe queue (ONE process at a time — STATUS.md rule).
+# Usage: tools/run_probe_queue.sh <logfile> <item>...
+# item = variant key (e2e timing), "check:<key>" (exactness), or
+#        "stage:<name>" (probe_topk_pack stage).
+log=$1; shift
+for it in "$@"; do
+  echo "==== $it $(date +%H:%M:%S)" >> "$log"
+  case "$it" in
+    check:*) timeout 1800 python tools/check_variant_exact.py "${it#check:}" >> "$log" 2>&1 ;;
+    stage:*) timeout 1500 python tools/probe_topk_pack.py "${it#stage:}" >> "$log" 2>&1 ;;
+    *)       timeout 1500 python tools/probe_bench_variants.py "$it" >> "$log" 2>&1 ;;
+  esac
+done
+echo "==== queue done $(date +%H:%M:%S)" >> "$log"
