@@ -116,6 +116,25 @@ print(f"coarse-vs-fast: mask agreement {(cm == fm).mean():.4f}, "
       f"color diff max {ccd.max():.6f}, "
       f"win_overflow {int(cout.win_overflow)}")
 assert (cm == fm).all() and ccd.max() < 1e-5
+
+# packed composite (segmented scans on the [M] axis) must match the
+# grid composite up to f32 reduction-tree changes
+pcfg = dataclasses.replace(
+    fcfg, query=dataclasses.replace(fcfg.query, compact_mode="topk",
+                                    composite_mode="packed"))
+gcfg = dataclasses.replace(
+    fcfg, query=dataclasses.replace(fcfg.query, compact_mode="topk"))
+gout = fast_render_rays_jit(params, cloud.Rw2c, cache, campos, camrot,
+                            raydirs, near, far, gcfg, rmin, svs)
+pout = fast_render_rays_jit(params, cloud.Rw2c, cache, campos, camrot,
+                            raydirs, near, far, pcfg, rmin, svs)
+pm = np.asarray(pout.ray_mask)
+gm = np.asarray(gout.ray_mask)
+pcd = np.abs(np.asarray(pout.coarse_raycolor)
+             - np.asarray(gout.coarse_raycolor))[pm & gm]
+print(f"packed-vs-grid: mask agreement {(pm == gm).mean():.4f}, "
+      f"color diff max {pcd.max():.7f}")
+assert (pm == gm).all() and pcd.max() < 1e-5
 print("fast path checks OK")
 
 # ---- train probe: fit constant color on masked rays ----

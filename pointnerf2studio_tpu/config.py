@@ -105,6 +105,16 @@ class QueryConfig:
     # lane-reduces, single VMEM pass — TPU only, falls back to topk
     # elsewhere). Outputs are identical.
     select_mode: str = "topk"
+    # Final compositing domain (fast path, topk compaction only):
+    #   "grid"   — scatter per-slot sigma/rgb/z back to [R, BP] slot
+    #              rows (four [M]-row scatters), composite on the grid
+    #   "packed" — composite directly on the [M] compacted axis:
+    #              segmented scans (cummax z / cumprod transmittance /
+    #              add for the blend sums) restart at ray boundaries,
+    #              and per-ray results come from one [R]-row gather —
+    #              NO scatters. Same math; f32 sums can differ in the
+    #              last bits (different reduction tree).
+    composite_mode: str = "grid"
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

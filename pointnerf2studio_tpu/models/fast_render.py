@@ -376,6 +376,10 @@ def fast_render_rays(
             rank_gather_pack(qs, col_sel, cnt, M))
         # without coarse windows, d_true[r, c] == c: skip the gather
         sel_d = d_true.reshape(-1)[sel] if use_coarse else colm
+        # segment ends for the packed composite (CSEd with the pack's
+        # internal cumsum)
+        pack_end = jnp.cumsum(cnt)
+        pack_cnt = cnt
     else:
         mask = qs >= 0
         ray_hit = jnp.any(mask, axis=-1)
@@ -543,18 +547,84 @@ def fast_render_rays(
     else:
         sig, rgb, found = chunk_or_skip((qslot_c, sel_ray, sel_d, mask_c))
 
-    # ---- scatter to [R, BP] slots + composite ----
+    # ---- composite ----
     slot_ok = mask_c & found
     sig = sig * slot_ok.astype(sig.dtype)
-    dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
-    sig_rb = jnp.zeros((R * BP,), sig.dtype).at[dest2].set(
-        sig, mode="drop").reshape(R, BP)
-    rgb_rb = jnp.zeros((R * BP, 3), rgb.dtype).at[dest2].set(
-        rgb, mode="drop").reshape(R, BP, 3)
-    valid_rb = jnp.zeros((R * BP,), jnp.bool_).at[dest2].set(
-        slot_ok, mode="drop").reshape(R, BP)
-    d_rb = jnp.zeros((R * BP,), jnp.int32).at[dest2].set(
-        sel_d, mode="drop").reshape(R, BP)
+    bg = (bg_ray_colors if bg_ray_colors is not None
+          else jnp.asarray(cfg.bg_color, jnp.float32))
+    use_packed = (q.composite_mode == "packed"
+                  and q.compact_mode == "topk"
+                  and debug_ablate != "compact")
+    if use_packed:
+        # ---- packed composite on the [M] compacted axis ----
+        # The packed slots of each ray are CONTIGUOUS and depth-
+        # ordered ([pack_off[r], pack_end[r])), so the grid scatter-
+        # back (four [M]-row scatters + an [R, BP] slot grid) is
+        # unnecessary: cummax-z / transmittance-cumprod become
+        # segmented scans that restart at ray boundaries, and the
+        # per-ray blend sums come from a segmented add-scan + one
+        # [R]-row gather. Reproduces ops/compositing.ray_dist_from_sample_z
+        # + the exclusive-cumprod blend exactly up to f32 reduction
+        # tree (invalid in-segment slots behave like the grid's
+        # z=-1e9 holes; tail slots beyond pack_end sum to nothing).
+        from pointnerf2studio_tpu.ops.compositing import (
+            segment_sums_contiguous, segmented_scan)
+        t_sel = near + (sel_d.astype(jnp.float32) + 0.5) * step_t
+        pos_m = campos + raydirs[sel_ray] * t_sel[:, None]
+        z_m = w2pers(pos_m, camrotc2w, campos)[..., 2]
+        zm = jnp.where(slot_ok, z_m, -1e9)
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sel_ray[1:] != sel_ray[:-1]])
+        zcm = segmented_scan(jnp.maximum, seg_start, zm)
+        same_next = jnp.concatenate(
+            [sel_ray[1:] == sel_ray[:-1], jnp.zeros((1,), bool)])
+        znext = jnp.concatenate([zcm[1:], zcm[-1:]])
+        vz = q.vsize[2]
+        dist = jnp.where(same_next, znext - zcm, vz)
+        dist = jnp.where((dist < 1e-8) | (dist > 2.0 * vz), vz, dist)
+        dist = dist * slot_ok.astype(dist.dtype)
+        opacity = 1.0 - jnp.exp(-sig * dist)
+        fct = 1.0 - opacity + 1e-10
+        cp = segmented_scan(jnp.multiply, seg_start, fct)
+        cp_prev = jnp.concatenate([jnp.ones((1,), cp.dtype), cp[:-1]])
+        trans = jnp.where(seg_start, 1.0, cp_prev)
+        blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
+        lanes = jnp.concatenate([
+            blend[:, None] * rgb, blend[:, None],
+            (blend * z_m)[:, None],
+            slot_ok[:, None].astype(jnp.float32)], -1)      # [M, 6]
+        sums = segment_sums_contiguous(lanes, seg_start, pack_end,
+                                       pack_cnt)
+        acc = sums[:, 3]
+        color = sums[:, :3] + (1 - acc)[..., None] * bg
+        color = TONE_MAPS[cfg.tonemap_func](color)
+        depth = sums[:, 4]
+        ray_found = sums[:, 5] > 0
+        ray_mask = ray_hit & ray_found
+        color = jnp.where(ray_mask[:, None], color, bg)
+        return FastRenderOutput(
+            coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
+            depth=depth, win_overflow=win_overflow)
+
+    # ---- grid composite: scatter to [R, BP] slots ----
+    if debug_ablate == "scatterback":
+        # fake the [M]-row scatters to [R, BP] slots with reshapes
+        # (WRONG values, real timing): isolates the scatter-back +
+        # slot-grid compositing stage
+        sig_rb = sig[:R * BP].reshape(R, BP)
+        rgb_rb = rgb[:R * BP].reshape(R, BP, 3)
+        valid_rb = slot_ok[:R * BP].reshape(R, BP)
+        d_rb = sel_d[:R * BP].reshape(R, BP)
+    else:
+        dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
+        sig_rb = jnp.zeros((R * BP,), sig.dtype).at[dest2].set(
+            sig, mode="drop").reshape(R, BP)
+        rgb_rb = jnp.zeros((R * BP, 3), rgb.dtype).at[dest2].set(
+            rgb, mode="drop").reshape(R, BP, 3)
+        valid_rb = jnp.zeros((R * BP,), jnp.bool_).at[dest2].set(
+            slot_ok, mode="drop").reshape(R, BP)
+        d_rb = jnp.zeros((R * BP,), jnp.int32).at[dest2].set(
+            sel_d, mode="drop").reshape(R, BP)
 
     t_rb = near + (d_rb.astype(jnp.float32) + 0.5) * step_t
     pos_rb = campos + raydirs[:, None, :] * t_rb[..., None]
@@ -566,8 +636,6 @@ def fast_render_rays(
     trans = jnp.concatenate(
         [jnp.ones((R, 1), trans.dtype), trans[:, :-1]], -1)
     blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
-    bg = (bg_ray_colors if bg_ray_colors is not None
-          else jnp.asarray(cfg.bg_color, jnp.float32))
     acc = jnp.sum(blend, -1)
     color = jnp.sum(blend[..., None] * rgb_rb, -2) + (1 - acc)[..., None] * bg
     color = TONE_MAPS[cfg.tonemap_func](color)

@@ -99,6 +99,48 @@ def no_tone_map(color: jnp.ndarray, **_) -> jnp.ndarray:
     return color
 
 
+def segmented_scan(op, seg_start: jnp.ndarray, vals: jnp.ndarray):
+    """Inclusive segmented scan of `vals` along axis 0 with the
+    associative `op`, restarting wherever `seg_start` is True.
+
+    Standard (flag, value) segmented-scan operator: associative for
+    any associative op, so it runs as one lax.associative_scan (log2 M
+    VPU passes) instead of a per-segment loop. Used by the packed
+    compositing path where each ray's shading slots occupy a
+    contiguous run of the [M] compacted axis.
+    """
+    if vals.ndim > 1:
+        seg_start = seg_start.reshape(
+            seg_start.shape + (1,) * (vals.ndim - 1))
+    f = jnp.broadcast_to(seg_start, vals.shape)
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, op(va, vb))
+
+    _, out = jax.lax.associative_scan(comb, (f, vals))
+    return out
+
+
+def segment_sums_contiguous(vals: jnp.ndarray, seg_start: jnp.ndarray,
+                            off_end: jnp.ndarray,
+                            cnt: jnp.ndarray) -> jnp.ndarray:
+    """Per-segment sums of vals [M, L] for contiguous segments ending
+    at off_end[r] (exclusive), with `seg_start` marking segment heads —
+    one segmented add-scan + ONE [R]-row gather, no scatter.
+
+    A global cumsum + hi-lo differencing is cheaper on paper but
+    catastrophically cancels: the running sum grows to O(sum over all
+    rays) and the per-ray difference inherits its absolute f32 error
+    (measured 5e-5 at 1k rays, ~1e-3 at bench scale). The segmented
+    scan restarts at every ray, so error stays at within-segment
+    magnitude."""
+    s = segmented_scan(jnp.add, seg_start, vals)
+    out = s[jnp.maximum(off_end - 1, 0)]
+    return jnp.where((cnt > 0)[:, None], out, jnp.zeros_like(out))
+
+
 BLEND_FUNCTIONS = {"alpha": alpha_blend, "alpha2": alpha2_blend}
 RENDER_FUNCTIONS = {"radiance": radiance_render, "white": white_color}
 TONE_MAPS = {"gamma": simple_tone_map, "normalize": normalize_tone_map,

@@ -135,6 +135,43 @@ def test_topk_compaction_matches_onehot(scene):
                                np.asarray(base.acc), atol=1e-5)
 
 
+def test_packed_composite_matches_grid(scene):
+    """composite_mode='packed' (segmented scans on the [M] compacted
+    axis, no scatter-back) must reproduce the grid composite: same
+    masks, colors/acc/depth equal up to f32 reduction-tree changes."""
+    s = scene
+    rays = _rays(s)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    for extra in ({}, {"coarse_step": 5, "coarse_win_budget": 12,
+                       "coarse_win_global": 8}):
+        cfg_g = dataclasses.replace(
+            s.cfg, query=dataclasses.replace(
+                s.cfg.query, compact_mode="topk", **extra))
+        cfg_p = dataclasses.replace(
+            cfg_g, query=dataclasses.replace(
+                cfg_g.query, composite_mode="packed"))
+        if extra:
+            cache_v, rmin_v, svs_v = make_fast_scene(
+                cfg_g, s.cloud, s.grid, near=s.near, far=s.far)
+        else:
+            cache_v, rmin_v, svs_v = cache, rmin, svs
+        base = fast_render_rays_jit(
+            s.params, s.cloud.Rw2c, cache_v, s.campos, s.camrotc2w,
+            rays, s.near, s.far, cfg_g, rmin_v, svs_v)
+        out = fast_render_rays_jit(
+            s.params, s.cloud.Rw2c, cache_v, s.campos, s.camrotc2w,
+            rays, s.near, s.far, cfg_p, rmin_v, svs_v)
+        np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                      np.asarray(base.ray_mask))
+        np.testing.assert_allclose(np.asarray(out.coarse_raycolor),
+                                   np.asarray(base.coarse_raycolor),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.acc),
+                                   np.asarray(base.acc), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.depth),
+                                   np.asarray(base.depth), atol=1e-4)
+
+
 def test_coarse_overflow_reported(scene):
     """Starving the window budgets must be VISIBLE: win_overflow
     counts the true positive windows the layout caps dropped."""

@@ -204,6 +204,16 @@ VARIANTS = {
                           coarse_win_budget=12), None),
     "tkqs": ("b8 ch=4096 topk qslot-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"), "qslot"),
+    "tkpc": ("b8 ch=4096 topk packed-composite",
+             base_cfg(fast_chunk=4096, compact_mode="topk",
+                      composite_mode="packed"), None),
+    "tkpcco8": ("b8 ch=4096 topk packed-composite coarse S=8",
+                base_cfg(fast_chunk=4096, compact_mode="topk",
+                         composite_mode="packed", coarse_step=8,
+                         coarse_win_budget=8), None),
+    "tksb": ("b8 ch=4096 topk scatterback-skip",
+             base_cfg(fast_chunk=4096, compact_mode="topk"),
+             "scatterback"),
     "tkss": ("b8 ch=4096 topk sel-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"), "selonly"),
     "c4kks": ("b8 ch=4096 knn-skip", base_cfg(fast_chunk=4096), "knn"),
