@@ -556,50 +556,18 @@ def fast_render_rays(
                   and q.compact_mode == "topk"
                   and debug_ablate != "compact")
     if use_packed:
-        # ---- packed composite on the [M] compacted axis ----
-        # The packed slots of each ray are CONTIGUOUS and depth-
-        # ordered ([pack_off[r], pack_end[r])), so the grid scatter-
-        # back (four [M]-row scatters + an [R, BP] slot grid) is
-        # unnecessary: cummax-z / transmittance-cumprod become
-        # segmented scans that restart at ray boundaries, and the
-        # per-ray blend sums come from a segmented add-scan + one
-        # [R]-row gather. Reproduces ops/compositing.ray_dist_from_sample_z
-        # + the exclusive-cumprod blend exactly up to f32 reduction
-        # tree (invalid in-segment slots behave like the grid's
-        # z=-1e9 holes; tail slots beyond pack_end sum to nothing).
+        # packed composite on the [M] compacted axis — no scatter-back
+        # (ops/compositing.packed_alpha_composite)
         from pointnerf2studio_tpu.ops.compositing import (
-            segment_sums_contiguous, segmented_scan)
+            packed_alpha_composite)
         t_sel = near + (sel_d.astype(jnp.float32) + 0.5) * step_t
         pos_m = campos + raydirs[sel_ray] * t_sel[:, None]
         z_m = w2pers(pos_m, camrotc2w, campos)[..., 2]
-        zm = jnp.where(slot_ok, z_m, -1e9)
-        seg_start = jnp.concatenate(
-            [jnp.ones((1,), bool), sel_ray[1:] != sel_ray[:-1]])
-        zcm = segmented_scan(jnp.maximum, seg_start, zm)
-        same_next = jnp.concatenate(
-            [sel_ray[1:] == sel_ray[:-1], jnp.zeros((1,), bool)])
-        znext = jnp.concatenate([zcm[1:], zcm[-1:]])
-        vz = q.vsize[2]
-        dist = jnp.where(same_next, znext - zcm, vz)
-        dist = jnp.where((dist < 1e-8) | (dist > 2.0 * vz), vz, dist)
-        dist = dist * slot_ok.astype(dist.dtype)
-        opacity = 1.0 - jnp.exp(-sig * dist)
-        fct = 1.0 - opacity + 1e-10
-        cp = segmented_scan(jnp.multiply, seg_start, fct)
-        cp_prev = jnp.concatenate([jnp.ones((1,), cp.dtype), cp[:-1]])
-        trans = jnp.where(seg_start, 1.0, cp_prev)
-        blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
-        lanes = jnp.concatenate([
-            blend[:, None] * rgb, blend[:, None],
-            (blend * z_m)[:, None],
-            slot_ok[:, None].astype(jnp.float32)], -1)      # [M, 6]
-        sums = segment_sums_contiguous(lanes, seg_start, pack_end,
-                                       pack_cnt)
-        acc = sums[:, 3]
-        color = sums[:, :3] + (1 - acc)[..., None] * bg
+        rgb_sum, acc, depth, ray_found = packed_alpha_composite(
+            sig, rgb, z_m, slot_ok, sel_ray, pack_end, pack_cnt,
+            q.vsize[2], cfg.blend_func)
+        color = rgb_sum + (1 - acc)[..., None] * bg
         color = TONE_MAPS[cfg.tonemap_func](color)
-        depth = sums[:, 4]
-        ray_found = sums[:, 5] > 0
         ray_mask = ray_hit & ray_found
         color = jnp.where(ray_mask[:, None], color, bg)
         return FastRenderOutput(

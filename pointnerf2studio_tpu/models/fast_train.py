@@ -203,6 +203,8 @@ def fast_train_render(
             qs, BP, min(SR, BP), q.select_mode)
         sel_ray, sel_slot, sel_d, _, qslot_c, mask_c = (
             rank_gather_pack(qs, col_sel, cnt, M))
+        pack_end = jnp.cumsum(cnt)
+        pack_cnt = cnt
     else:
         rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
         keep = mask & (rank <= min(SR, BP))
@@ -336,11 +338,32 @@ def fast_train_render(
         sig, rgb, found, conf_k, pm_k, w_k = chunk_or_skip(
             (qslot_c, sel_ray, sel_rd, mask_c))
 
-    # ---- scatter to [R, BP] slots + composite ----
+    # ---- composite ----
     slot_ok = mask_c & found
     sig = sig * slot_ok.astype(sig.dtype)
-    dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
+    bg = (bg_ray_colors if bg_ray_colors is not None
+          else jnp.asarray(cfg.bg_color, jnp.float32))
     z_sel = w2pers(locs_flat[sel_rd], camrotc2w, campos)[..., 2]
+    if q.composite_mode == "packed" and q.compact_mode == "topk":
+        # packed composite on the [M] compacted axis — no scatter-back
+        # (ops/compositing.packed_alpha_composite); differentiable
+        # (segmented scans are associative_scans)
+        from pointnerf2studio_tpu.ops.compositing import (
+            packed_alpha_composite)
+        rgb_sum, acc, depth, ray_found = packed_alpha_composite(
+            sig, rgb, z_sel, slot_ok, sel_ray, pack_end, pack_cnt,
+            q.vsize[2], cfg.blend_func)
+        color = rgb_sum + (1 - acc)[..., None] * bg
+        color = TONE_MAPS[cfg.tonemap_func](color)
+        ray_mask = ray_hit & ray_found
+        color = jnp.where(ray_mask[:, None], color, bg)
+        return RenderOutput(
+            coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
+            depth=depth, conf_coefficient=conf_k,
+            pnt_mask=pm_k & mask_c[:, None], weight=w_k)
+
+    # ---- grid composite: scatter to [R, BP] slots ----
+    dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
     sig_rb = jnp.zeros((R * BP,), sig.dtype).at[dest2].set(
         sig, mode="drop").reshape(R, BP)
     rgb_rb = jnp.zeros((R * BP, 3), rgb.dtype).at[dest2].set(
@@ -357,8 +380,6 @@ def fast_train_render(
     trans = jnp.concatenate(
         [jnp.ones((R, 1), trans.dtype), trans[:, :-1]], -1)
     blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
-    bg = (bg_ray_colors if bg_ray_colors is not None
-          else jnp.asarray(cfg.bg_color, jnp.float32))
     acc = jnp.sum(blend, -1)
     color = jnp.sum(blend[..., None] * rgb_rb, -2) + (1 - acc)[..., None] * bg
     color = TONE_MAPS[cfg.tonemap_func](color)

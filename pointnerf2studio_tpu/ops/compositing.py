@@ -141,6 +141,55 @@ def segment_sums_contiguous(vals: jnp.ndarray, seg_start: jnp.ndarray,
     return jnp.where((cnt > 0)[:, None], out, jnp.zeros_like(out))
 
 
+def packed_alpha_composite(
+    sig: jnp.ndarray,          # [M] density, already zeroed on !slot_ok
+    rgb: jnp.ndarray,          # [M, 3]
+    z_m: jnp.ndarray,          # [M] camera-space z of shading locations
+    slot_ok: jnp.ndarray,      # [M] bool slot validity
+    sel_ray: jnp.ndarray,      # [M] owning ray (segments contiguous,
+                               #     depth-ordered within a segment)
+    pack_end: jnp.ndarray,     # [R] exclusive segment end offsets
+    pack_cnt: jnp.ndarray,     # [R] per-ray slot counts
+    vsize_z: float,
+    blend_func: str,
+):
+    """Alpha-composite directly on the [M] compacted axis.
+
+    The packed slots of each ray are CONTIGUOUS and depth-ordered, so
+    the grid scatter-back ([M]-row scatters to an [R, BP] slot grid) is
+    unnecessary: cummax-z / transmittance-cumprod become segmented
+    scans that restart at ray boundaries, and the per-ray blend sums
+    come from a segmented add-scan + one [R]-row gather. Reproduces
+    ray_dist_from_sample_z + the exclusive-cumprod blend exactly up to
+    the f32 reduction tree (invalid in-segment slots behave like the
+    grid's z=-1e9 holes; tail slots beyond pack_end sum to nothing).
+
+    Returns (rgb_sum [R, 3], acc [R], depth [R], ray_found [R]).
+    """
+    zm = jnp.where(slot_ok, z_m, -1e9)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sel_ray[1:] != sel_ray[:-1]])
+    zcm = segmented_scan(jnp.maximum, seg_start, zm)
+    same_next = jnp.concatenate(
+        [sel_ray[1:] == sel_ray[:-1], jnp.zeros((1,), bool)])
+    znext = jnp.concatenate([zcm[1:], zcm[-1:]])
+    dist = jnp.where(same_next, znext - zcm, vsize_z)
+    dist = jnp.where((dist < 1e-8) | (dist > 2.0 * vsize_z),
+                     vsize_z, dist)
+    dist = dist * slot_ok.astype(dist.dtype)
+    opacity = 1.0 - jnp.exp(-sig * dist)
+    cp = segmented_scan(jnp.multiply, seg_start, 1.0 - opacity + 1e-10)
+    cp_prev = jnp.concatenate([jnp.ones((1,), cp.dtype), cp[:-1]])
+    trans = jnp.where(seg_start, 1.0, cp_prev)
+    blend = BLEND_FUNCTIONS[blend_func](opacity, trans)
+    lanes = jnp.concatenate([
+        blend[:, None] * rgb, blend[:, None],
+        (blend * z_m)[:, None],
+        slot_ok[:, None].astype(jnp.float32)], -1)          # [M, 6]
+    sums = segment_sums_contiguous(lanes, seg_start, pack_end, pack_cnt)
+    return sums[:, :3], sums[:, 3], sums[:, 4], sums[:, 5] > 0
+
+
 BLEND_FUNCTIONS = {"alpha": alpha_blend, "alpha2": alpha2_blend}
 RENDER_FUNCTIONS = {"radiance": radiance_render, "white": white_color}
 TONE_MAPS = {"gamma": simple_tone_map, "normalize": normalize_tone_map,

@@ -122,6 +122,55 @@ def test_sharded_fast_step_matches_single(scene):
     assert d1 > 0 and d2 > 0
 
 
+def test_packed_composite_train_matches_grid(scene):
+    """composite_mode='packed' on the TRAIN path: forward equal to the
+    grid composite up to f32 reduction trees, and attribute gradients
+    still flow (segmented scans are differentiable)."""
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)
+    cfg_g = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query,
+                                         compact_mode="topk"))
+    cfg_p = dataclasses.replace(
+        cfg_g, query=dataclasses.replace(cfg_g.query,
+                                         composite_mode="packed"))
+    key = jax.random.PRNGKey(7)
+    base = fast_train_render(s.params, s.cloud, geo, s.campos,
+                             s.camrotc2w, rays, s.near, s.far, cfg_g,
+                             rmin, svs, key=key)
+    out = fast_train_render(s.params, s.cloud, geo, s.campos,
+                            s.camrotc2w, rays, s.near, s.far, cfg_p,
+                            rmin, svs, key=key)
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(base.ray_mask))
+    np.testing.assert_allclose(np.asarray(out.coarse_raycolor),
+                               np.asarray(base.coarse_raycolor),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.acc),
+                               np.asarray(base.acc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               np.asarray(base.depth), atol=1e-4)
+
+    from pointnerf2studio_tpu.train.loss import compute_losses
+    gt = jnp.full((rays.shape[0], 3), 0.3)
+
+    def loss(pt, cfg):
+        points = s.cloud.with_trainable(pt)
+        o = fast_train_render(s.params, points, geo, s.campos,
+                              s.camrotc2w, rays, s.near, s.far, cfg,
+                              rmin, svs, key=key)
+        return compute_losses(o, gt, s.cfg.train)[0]
+
+    g_p = jax.grad(loss)(s.cloud.trainable(), cfg_p)
+    g_g = jax.grad(loss)(s.cloud.trainable(), cfg_g)
+    assert float(jnp.abs(g_p["points_embeding"]).sum()) > 0
+    for k in g_p:
+        np.testing.assert_allclose(np.asarray(g_p[k]),
+                                   np.asarray(g_g[k]),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_gradients_reach_attributes(scene):
     """Point attributes receive nonzero grads through the fast path."""
     s = scene
