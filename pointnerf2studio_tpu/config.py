@@ -115,6 +115,11 @@ class QueryConfig:
     #              NO scatters. Same math; f32 sums can differ in the
     #              last bits (different reduction tree).
     composite_mode: str = "grid"
+    # K-NN payload extraction inside the decode chunk:
+    #   "onehot" — one bf16 one-hot einsum [Mc,K,C]x[Mc,C,PAYW]
+    #              (single nonzero per output keeps bf16 bits exact)
+    #   "gather" — take_along_axis row gather (same values)
+    extract_mode: str = "onehot"
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

@@ -457,6 +457,9 @@ def fast_render_rays(
             pnt_mask = neg_top > -jnp.inf
         if debug_ablate == "extract":
             nsel = payload[:, :K]               # fake: static slice
+        elif q.extract_mode == "gather":
+            nsel = jnp.take_along_axis(payload, top_idx[..., None], 1)
+            nsel = nsel * pnt_mask[..., None].astype(nsel.dtype)
         else:
             # ONE bf16 one-hot einsum extracts the whole payload; the
             # single nonzero per (m, k) passes bf16 bits through the
@@ -576,13 +579,13 @@ def fast_render_rays(
 
     # ---- grid composite: scatter to [R, BP] slots ----
     if debug_ablate == "scatterback":
-        # fake the [M]-row scatters to [R, BP] slots with reshapes
-        # (WRONG values, real timing): isolates the scatter-back +
-        # slot-grid compositing stage
-        sig_rb = sig[:R * BP].reshape(R, BP)
-        rgb_rb = rgb[:R * BP].reshape(R, BP, 3)
-        valid_rb = slot_ok[:R * BP].reshape(R, BP)
-        d_rb = sel_d[:R * BP].reshape(R, BP)
+        # fake the [M]-row scatters to [R, BP] slots with broadcasts
+        # (WRONG values, ~zero cost): isolates the scatter-back stage
+        # while keeping the [R, BP] slot-grid composite real
+        sig_rb = jnp.broadcast_to(sig[None, :BP], (R, BP))
+        rgb_rb = jnp.broadcast_to(rgb[None, :BP], (R, BP, 3))
+        valid_rb = jnp.broadcast_to(slot_ok[None, :BP], (R, BP))
+        d_rb = jnp.broadcast_to(sel_d[None, :BP], (R, BP))
     else:
         dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
         sig_rb = jnp.zeros((R * BP,), sig.dtype).at[dest2].set(

@@ -47,10 +47,52 @@ def test_forward_matches_legacy(scene):
                                np.asarray(ref.acc)[both], atol=2e-3)
 
 
+def test_single_step_loss_and_grads_match_legacy(scene):
+    """ONE forward/backward, same params, same jitter key: the fast
+    path's loss and gradients must match the legacy path's tightly.
+    (No optimizer compounding — this is the check that carries the
+    exact-semantics burden; the trajectory test below only guards
+    against gross divergence and is load-jitter immune.)"""
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
+    gt = jnp.asarray(
+        np.random.default_rng(0).random((rays.shape[0], 3)), jnp.float32)
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)
+    key = jax.random.PRNGKey(100)
+
+    from pointnerf2studio_tpu.models.render import render_rays
+    from pointnerf2studio_tpu.train.loss import compute_losses
+
+    def loss_legacy(params, pt):
+        points = s.cloud.with_trainable(pt)
+        out = render_rays(params, points, s.grid, s.campos,
+                          s.camrotc2w, rays, s.near, s.far, s.cfg,
+                          key=key, training=True)
+        return compute_losses(out, gt, s.cfg.train)[0]
+
+    def loss_fast(params, pt):
+        points = s.cloud.with_trainable(pt)
+        out = fast_train_render(params, points, geo, s.campos,
+                                s.camrotc2w, rays, s.near, s.far,
+                                s.cfg, rmin, svs, key=key,
+                                training=True)
+        return compute_losses(out, gt, s.cfg.train)[0]
+
+    args = (s.params, s.cloud.trainable())
+    l_l, g_l = jax.value_and_grad(loss_legacy, argnums=(0, 1))(*args)
+    l_f, g_f = jax.value_and_grad(loss_fast, argnums=(0, 1))(*args)
+    np.testing.assert_allclose(float(l_f), float(l_l), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-6)
+
+
 def test_loss_trajectory_matches_legacy(scene):
-    """Same seed, same batches: the fast path's loss curve and the
-    legacy path's must coincide (same jitter keys -> same samples; the
-    only differences are f32 rounding in the geometry cache)."""
+    """Same seed, same batches over 8 real optimizer steps: both loss
+    curves must track each other. Per-step f32 reduction jitter (which
+    varies with host load on XLA CPU) compounds through Adam, so this
+    check is deliberately coarse — exact per-step semantics are
+    asserted by test_single_step_loss_and_grads_match_legacy."""
     s = scene
     rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
     gt = jnp.asarray(
@@ -73,17 +115,15 @@ def test_loss_trajectory_matches_legacy(scene):
                            jnp.asarray(s.far), k)
         losses_l.append(float(aux_l["total"]))
         losses_f.append(float(aux_f["total"]))
-    # tolerances sized for XLA CPU reduction-order jitter compounding
-    # over 8 optimization steps (tighter margins flaked under load)
-    np.testing.assert_allclose(losses_f, losses_l, rtol=5e-3, atol=1e-4)
-    # parameters end up in the same place
+    np.testing.assert_allclose(losses_f, losses_l, rtol=5e-2, atol=1e-3)
+    # parameters end up in the same neighborhood
     for a, b in zip(jax.tree.leaves(st_l.params),
                     jax.tree.leaves(st_f.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-2, atol=2e-4)
+                                   rtol=5e-2, atol=1e-3)
     np.testing.assert_allclose(
         np.asarray(st_f.points.points_embeding),
-        np.asarray(st_l.points.points_embeding), rtol=1e-2, atol=2e-4)
+        np.asarray(st_l.points.points_embeding), rtol=5e-2, atol=1e-3)
 
 
 def test_sharded_fast_step_matches_single(scene):

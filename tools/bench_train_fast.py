@@ -21,12 +21,17 @@ from pointnerf2studio_tpu.train.trainer import create_train_state
 def main():
     fast_chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # argv[3]: "onehot" (default), "topk", or "topk-packed"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "onehot"
+    compact = "topk" if mode.startswith("topk") else "onehot"
+    composite = "packed" if mode.endswith("packed") else "grid"
     cfg = PointNerfConfig(
         query=QueryConfig(
             vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
             SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
             compact_budget=budget, use_cache=False,
-            fast_chunk=fast_chunk),
+            fast_chunk=fast_chunk, compact_mode=compact,
+            composite_mode=composite),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     t0 = time.time()
@@ -63,7 +68,8 @@ def main():
                              far, jax.random.PRNGKey(s))
     jax.block_until_ready(aux["total"])
     dt = (time.perf_counter() - t1) / n
-    print(f"fast train step ch={fast_chunk} b={budget}: {dt*1e3:.1f} ms "
+    print(f"fast train step ch={fast_chunk} b={budget} {mode}: "
+          f"{dt*1e3:.1f} ms "
           f"-> {1/dt:.1f} it/s, {B/dt:,.0f} rays/s "
           f"(legacy r1: 13.0 it/s; reference ~6-7 it/s)")
 

@@ -37,15 +37,31 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "b8"
     tag, cfg_v, ab = VARIANTS[which]
     cfg0 = cfg_v   # cache must match the variant (coarse_occ presence)
+    use_chair = os.environ.get("PROBE_SCENE", "") == "chair"
     t0 = time.time()
-    scene = make_sphere_scene(n_points=558_000, cfg=cfg0)
+    if use_chair:
+        # chair-shaped cloud at the reference chair's exact geometry:
+        # near/far [2, 6], 400 samples (dev_scripts/w_n360/chair_points.sh
+        # density), 800x800-equivalent focal
+        import dataclasses as _dc
+
+        from pointnerf2studio_tpu.data.synthetic import make_chair_scene
+        cfg0 = _dc.replace(cfg0, query=_dc.replace(
+            cfg0.query, z_depth_dim=400))
+        cfg_v = cfg0
+        tag = tag + " CHAIR"
+        scene = make_chair_scene(n_points=558_000, cfg=cfg0)
+    else:
+        scene = make_sphere_scene(n_points=558_000, cfg=cfg0)
     cache, rmin, svs = make_fast_scene(cfg0, scene.cloud, scene.grid,
                                        near=scene.near, far=scene.far)
     jax.block_until_ready(cache.rows)
     print(f"setup {time.time()-t0:.0f}s", flush=True)
 
     R = 65536
-    rd0 = camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0)
+    rd0 = (camera_rays(scene.campos, scene.camrotc2w, 256, 256, 355.5)
+           if use_chair else
+           camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0))
     ray_vars = []
     for i in range(4):
         r = rd0 + 1e-4 * jax.random.normal(jax.random.PRNGKey(i), rd0.shape)
@@ -214,6 +230,26 @@ VARIANTS = {
     "tksb": ("b8 ch=4096 topk scatterback-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"),
              "scatterback"),
+    "tkks": ("b8 ch=4096 topk knn-skip",
+             base_cfg(fast_chunk=4096, compact_mode="topk"), "knn"),
+    "tkxs": ("b8 ch=4096 topk extract-skip",
+             base_cfg(fast_chunk=4096, compact_mode="topk"), "extract"),
+    "tkds": ("b8 ch=4096 topk decode-skip",
+             base_cfg(fast_chunk=4096, compact_mode="topk"), "decode"),
+    "tkpcchair": ("b8 ch=4096 topk packed",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed"), None),
+    "tkxg": ("b8 ch=4096 topk extract-gather",
+             base_cfg(fast_chunk=4096, compact_mode="topk",
+                      extract_mode="gather"), None),
+    "tkpcco16": ("b8 ch=4096 topk packed coarse S=16 BW=4",
+                 base_cfg(fast_chunk=4096, compact_mode="topk",
+                          composite_mode="packed", coarse_step=16,
+                          coarse_win_budget=4), None),
+    "tkpcco8b6": ("b8 ch=4096 topk packed coarse S=8 BW=6",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", coarse_step=8,
+                           coarse_win_budget=6), None),
     "tkss": ("b8 ch=4096 topk sel-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"), "selonly"),
     "c4kks": ("b8 ch=4096 knn-skip", base_cfg(fast_chunk=4096), "knn"),

@@ -79,7 +79,12 @@ def main():
         query=dataclasses.replace(cfg.query, z_depth_dim=args.d,
                                   ray_slot_budget=32, fast_chunk=4096),
         agg=dataclasses.replace(cfg.agg, compute_dtype="bfloat16"),
-        train=dataclasses.replace(cfg.train, prob_freq=0, prune_iter=0))
+        train=dataclasses.replace(cfg.train, prob_freq=0, prune_iter=0,
+                                  # flagship differentiable fast path
+                                  # (trajectory-matched to legacy in
+                                  # tests/test_fast_train.py); ~3x the
+                                  # legacy step rate at chair scale
+                                  fast_path=True))
 
     t0 = time.time()
     train_ds = load_blender(args.data, "train", factor=args.factor)
