@@ -114,7 +114,10 @@ class QueryConfig:
     #              and per-ray results come from one [R]-row gather —
     #              NO scatters. Same math; f32 sums can differ in the
     #              last bits (different reduction tree).
-    composite_mode: str = "grid"
+    # Default "packed": 183.1 vs 193.5 ms at bench scale and verified
+    # bit-identical on chip (check_variant_exact tkpc: 0 rays differ).
+    # Non-topk compaction modes ignore this and composite on the grid.
+    composite_mode: str = "packed"
     # K-NN payload extraction inside the decode chunk:
     #   "onehot" — one bf16 one-hot einsum [Mc,K,C]x[Mc,C,PAYW]
     #              (single nonzero per output keeps bf16 bits exact)

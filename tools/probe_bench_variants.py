@@ -252,6 +252,22 @@ VARIANTS = {
                            coarse_win_budget=6), None),
     "tkss": ("b8 ch=4096 topk sel-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"), "selonly"),
+    # topk+packed (r2 best-exact) secondary sweeps
+    "tkpc8k": ("b8 ch=8192 topk packed",
+               base_cfg(fast_chunk=8192, compact_mode="topk",
+                        composite_mode="packed"), None),
+    "tkpc16k": ("b8 ch=16384 topk packed",
+                base_cfg(fast_chunk=16384, compact_mode="topk",
+                         composite_mode="packed"), None),
+    "tkpc2k": ("b8 ch=2048 topk packed",
+               base_cfg(fast_chunk=2048, compact_mode="topk",
+                        composite_mode="packed"), None),
+    "tkpcb5": ("b5 ch=4096 topk packed",
+               base_cfg(fast_chunk=4096, compact_mode="topk",
+                        composite_mode="packed", compact_budget=5), None),
+    "tkpcb6": ("b6 ch=4096 topk packed",
+               base_cfg(fast_chunk=4096, compact_mode="topk",
+                        composite_mode="packed", compact_budget=6), None),
     "c4kks": ("b8 ch=4096 knn-skip", base_cfg(fast_chunk=4096), "knn"),
     "c4kxs": ("b8 ch=4096 extract-skip", base_cfg(fast_chunk=4096),
               "extract"),
