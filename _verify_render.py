@@ -117,6 +117,24 @@ print(f"coarse-vs-fast: mask agreement {(cm == fm).mean():.4f}, "
       f"win_overflow {int(cout.win_overflow)}")
 assert (cm == fm).all() and ccd.max() < 1e-5
 
+# depth-window clip (slab test vs the grid box) must match the fast
+# baseline exactly whenever dw_overflow == 0
+from pointnerf2studio_tpu.models.fast_render import suggest_depth_window
+dw = suggest_depth_window(grid.dims, fcfg.query.scaled_vsize, 1.0, 3.0,
+                          fcfg.query.z_depth_dim)
+dcfg = dataclasses.replace(
+    fcfg, query=dataclasses.replace(fcfg.query, depth_window=dw))
+dout = fast_render_rays_jit(params, cloud.Rw2c, cache, campos, camrot,
+                            raydirs, near, far, dcfg, rmin, svs)
+dm = np.asarray(dout.ray_mask).reshape(H, W)
+dcd = np.abs(np.asarray(dout.coarse_raycolor).reshape(H, W, 3)
+             - fcol)[dm & fm]
+print(f"dwin-vs-fast (DW={dw}): mask agreement {(dm == fm).mean():.4f}, "
+      f"color diff max {dcd.max():.6f}, "
+      f"dw_overflow {int(dout.dw_overflow)}")
+assert (dm == fm).all() and dcd.max() < 1e-5
+assert int(dout.dw_overflow) == 0
+
 # packed composite (segmented scans on the [M] axis) must match the
 # grid composite up to f32 reduction-tree changes
 pcfg = dataclasses.replace(

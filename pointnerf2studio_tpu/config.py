@@ -84,6 +84,19 @@ class QueryConfig:
     coarse_step: int = 0
     # Per-ray positive-window layout cap for the coarse pass.
     coarse_win_budget: int = 12
+    # Per-ray depth-window clip (fast path): restrict the per-sample
+    # qslot lookup to a contiguous window of `depth_window` samples
+    # starting at the ray's slab-test entry into the grid bounding box.
+    # The qslot table is nonzero only inside the grid box, so any
+    # sample outside the box tests invalid anyway — clipping is EXACT
+    # whenever the window covers the ray's in-box sample span
+    # (FastRenderOutput.dw_overflow counts samples a too-small window
+    # dropped; size via ops/raygen.suggest_depth_window, which bounds
+    # the span by the box diagonal). The [R, D] table gather is the
+    # single largest stage of the step (~7 ns/row, row-issue-bound on
+    # v5e; stage:qs probe 88.7 of 183 ms at bench scale) and this
+    # trades it for [R, depth_window] rows. 0 = off.
+    depth_window: int = 0
     # Unused since the window-expanded redesign (kept for config
     # compatibility; the old batch-average window compaction is gone).
     coarse_win_global: int = 4

@@ -223,6 +223,10 @@ class FastRenderOutput:
     # Nonzero means the two-level masking was NOT exact (samples were
     # lost) — raise the budgets. None when coarse masking is off.
     win_overflow: Optional[jnp.ndarray] = None
+    # depth_window only: number of in-box samples past the window end
+    # this batch (nonzero = the static window was too short; raise
+    # QueryConfig.depth_window). None when the clip is off.
+    dw_overflow: Optional[jnp.ndarray] = None
 
 
 def fast_render_rays(
@@ -249,23 +253,14 @@ def fast_render_rays(
     BP = q.ray_slot_budget or min(SR, 32)
     budget = q.compact_budget if q.compact_budget > 0 else SR
     M = min(R * budget, R * D)
-    radius2 = q.radius_limit ** 2
-    CAND = cache.cand
     dims = cache.coor_2_qslot.shape
     gy, gz = dims[1], dims[2]
     dims_arr = jnp.array(dims, jnp.int32)
-    num_shells = (q.kernel_size[0] + 1) // 2
-    DC = q.decode_chunk
 
     near = jnp.asarray(near, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
     step_t = (far - near) / D
     qslot_flat = cache.coor_2_qslot.reshape(-1)
-
-    from pointnerf2studio_tpu.ops.fused_decode import fused_decode_eligible
-    use_fused2 = (cfg.agg.fused_decode2
-                  and fused_decode_eligible(cfg.agg, False, K)
-                  and jax.default_backend() == "tpu")
 
     def _voxelize(pos):
         gc = jnp.floor((pos - ranges_min) / scaled_vsize).astype(jnp.int32)
@@ -277,6 +272,8 @@ def fast_render_rays(
     use_coarse = (q.coarse_step > 1 and cache.coor_2_qslot is not None
                   and cache.coarse_occ is not None
                   and debug_ablate != "qslot")
+    use_dwin = (not use_coarse and q.depth_window > 0
+                and debug_ablate != "qslot")
     if use_coarse:
         # ---- two-level sample masking, window-expanded form ----
         # The [R, D] qslot table gather is the single largest stage of
@@ -324,6 +321,45 @@ def fast_render_rays(
         qs = jnp.where(finb, qslot_flat[jnp.where(finb, ffid, 0)], -1)
         d_true = jnp.minimum(d_true, D - 1)
         Dax = D2
+        dw_overflow = None
+    elif use_dwin:
+        # ---- per-ray depth-window clip ----
+        # The qslot table is identically -1 outside the grid bounding
+        # box, so per-sample lookups only matter on the ray's chord
+        # through the box. A slab test gives the entry t; the lookup
+        # domain becomes [R, DW] samples from there. Exact while DW
+        # covers each ray's in-box span (dw_overflow counts dropped
+        # in-box samples; suggest_depth_window bounds the span by the
+        # box diagonal). This attacks the table gather's row count
+        # (~7 ns/row, the largest stage of the step) with no window
+        # budgets to overflow.
+        DW = min(q.depth_window, D)
+        rmax = ranges_min + jnp.array(dims, jnp.float32) * scaled_vsize
+        safe = jnp.where(jnp.abs(raydirs) < 1e-9,
+                         jnp.where(raydirs >= 0, 1e-9, -1e-9), raydirs)
+        inv = 1.0 / safe
+        ta = (ranges_min - campos) * inv                        # [R, 3]
+        tb = (rmax - campos) * inv
+        t_enter = jnp.max(jnp.minimum(ta, tb), -1)
+        t_exit = jnp.min(jnp.maximum(ta, tb), -1)
+        # first sample at/after entry: t(d) = near + (d + 0.5) * step;
+        # floor(x - 0.5) starts one sample early for float safety
+        d_lo = jnp.floor((t_enter - near) / step_t
+                         - 0.5).astype(jnp.int32)
+        d0 = jnp.clip(d_lo, 0, max(D - DW, 0))                  # [R]
+        d_hi = jnp.minimum(
+            jnp.ceil((jnp.minimum(t_exit, far) - near) / step_t
+                     - 0.5).astype(jnp.int32), D - 1)
+        hit_box = (t_exit >= t_enter) & (d_hi >= 0)
+        dw_overflow = jnp.sum(jnp.where(
+            hit_box, jnp.maximum(d_hi - (d0 + DW - 1), 0), 0))
+        d_true = d0[:, None] + jnp.arange(DW, dtype=jnp.int32)  # [R, DW]
+        t_f = near + (d_true.astype(jnp.float32) + 0.5) * step_t
+        ffid, finb = _voxelize(
+            campos + raydirs[:, None, :] * t_f[..., None])
+        qs = jnp.where(finb, qslot_flat[jnp.where(finb, ffid, 0)], -1)
+        Dax = DW
+        win_overflow = None
     else:
         t_mid = near + (jnp.arange(D, dtype=jnp.float32) + 0.5) * step_t
         fidx, inb = _voxelize(
@@ -335,6 +371,7 @@ def fast_render_rays(
         d_true = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), (R, D))
         Dax = D
         win_overflow = None
+        dw_overflow = None
 
     if debug_ablate == "compact":
         # fabricate the compaction outputs (WRONG results, real
@@ -374,8 +411,15 @@ def fast_render_rays(
                 qs, BP, min(SR, BP, Dax), q.select_mode)
         sel_ray, sel_slot, colm, sel, qslot_c, mask_c = (
             rank_gather_pack(qs, col_sel, cnt, M))
-        # without coarse windows, d_true[r, c] == c: skip the gather
-        sel_d = d_true.reshape(-1)[sel] if use_coarse else colm
+        # without coarse windows, d_true[r, c] == c: skip the gather;
+        # with a depth window, d_true[r, c] == d0[r] + c: one [M]-row
+        # gather from the [R] window starts
+        if use_coarse:
+            sel_d = d_true.reshape(-1)[sel]
+        elif use_dwin:
+            sel_d = d0[sel_ray] + colm
+        else:
+            sel_d = colm
         # segment ends for the packed composite (CSEd with the pack's
         # internal cumsum)
         pack_end = jnp.cumsum(cnt)
@@ -404,21 +448,122 @@ def fast_render_rays(
         total = jnp.minimum(jnp.sum(cnt), M)
         mask_c = jnp.arange(M, dtype=jnp.int32) < total
 
-    # ---- fat gather + K-NN + extract + decode, chunked over slots ----
-    # One lax.map body does gather -> top_k -> one-hot extract ->
-    # weights -> MLP per chunk: bounds the unpacked-candidate
-    # intermediates ([CH, C, AW] etc.) that OOM HBM at full M, and the
-    # decode_chunk regalloc workaround comes along for free.
-    # Small chunks measured dramatically faster on v5e (65k -> 4k
-    # chunks: 222k -> 321k rays/s at bench scale): the per-chunk
-    # working set stays near VMEM and the tail-chunk skip quantizes
-    # finer. Floor of 2048 keeps GEMMs full.
+    sig, rgb, found = chunk_pipeline(
+        params, Rw2c, cache, raydirs, campos, camrotc2w, near, step_t,
+        cfg, ranges_min, scaled_vsize, qslot_c, sel_ray, sel_d, mask_c,
+        debug_ablate=debug_ablate)
+
+    # ---- composite ----
+    slot_ok = mask_c & found
+    sig = sig * slot_ok.astype(sig.dtype)
+    bg = (bg_ray_colors if bg_ray_colors is not None
+          else jnp.asarray(cfg.bg_color, jnp.float32))
+    use_packed = (q.composite_mode == "packed"
+                  and q.compact_mode == "topk"
+                  and debug_ablate != "compact")
+    if use_packed:
+        # packed composite on the [M] compacted axis — no scatter-back
+        # (ops/compositing.packed_alpha_composite)
+        from pointnerf2studio_tpu.ops.compositing import (
+            packed_alpha_composite)
+        t_sel = near + (sel_d.astype(jnp.float32) + 0.5) * step_t
+        pos_m = campos + raydirs[sel_ray] * t_sel[:, None]
+        z_m = w2pers(pos_m, camrotc2w, campos)[..., 2]
+        rgb_sum, acc, depth, ray_found = packed_alpha_composite(
+            sig, rgb, z_m, slot_ok, sel_ray, pack_end, pack_cnt,
+            q.vsize[2], cfg.blend_func)
+        color = rgb_sum + (1 - acc)[..., None] * bg
+        color = TONE_MAPS[cfg.tonemap_func](color)
+        ray_mask = ray_hit & ray_found
+        color = jnp.where(ray_mask[:, None], color, bg)
+        return FastRenderOutput(
+            coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
+            depth=depth, win_overflow=win_overflow,
+            dw_overflow=dw_overflow)
+
+    # ---- grid composite: scatter to [R, BP] slots ----
+    if debug_ablate == "scatterback":
+        # fake the [M]-row scatters to [R, BP] slots with broadcasts
+        # (WRONG values, ~zero cost): isolates the scatter-back stage
+        # while keeping the [R, BP] slot-grid composite real
+        sig_rb = jnp.broadcast_to(sig[None, :BP], (R, BP))
+        rgb_rb = jnp.broadcast_to(rgb[None, :BP], (R, BP, 3))
+        valid_rb = jnp.broadcast_to(slot_ok[None, :BP], (R, BP))
+        d_rb = jnp.broadcast_to(sel_d[None, :BP], (R, BP))
+    else:
+        dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
+        sig_rb = jnp.zeros((R * BP,), sig.dtype).at[dest2].set(
+            sig, mode="drop").reshape(R, BP)
+        rgb_rb = jnp.zeros((R * BP, 3), rgb.dtype).at[dest2].set(
+            rgb, mode="drop").reshape(R, BP, 3)
+        valid_rb = jnp.zeros((R * BP,), jnp.bool_).at[dest2].set(
+            slot_ok, mode="drop").reshape(R, BP)
+        d_rb = jnp.zeros((R * BP,), jnp.int32).at[dest2].set(
+            sel_d, mode="drop").reshape(R, BP)
+
+    t_rb = near + (d_rb.astype(jnp.float32) + 0.5) * step_t
+    pos_rb = campos + raydirs[:, None, :] * t_rb[..., None]
+    z_rb = w2pers(pos_rb, camrotc2w, campos)[..., 2]
+    z_masked = jnp.where(valid_rb, z_rb, -1e9)
+    dist = ray_dist_from_sample_z(z_masked, valid_rb, q.vsize[2])
+    opacity = 1.0 - jnp.exp(-sig_rb * dist)
+    trans = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones((R, 1), trans.dtype), trans[:, :-1]], -1)
+    blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
+    acc = jnp.sum(blend, -1)
+    color = jnp.sum(blend[..., None] * rgb_rb, -2) + (1 - acc)[..., None] * bg
+    color = TONE_MAPS[cfg.tonemap_func](color)
+    depth = jnp.sum(blend * z_rb, -1)
+
+    ray_found = jnp.any(valid_rb, -1)
+    ray_mask = ray_hit & ray_found
+    color = jnp.where(ray_mask[:, None], color, bg)
+    return FastRenderOutput(
+        coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
+        win_overflow=win_overflow, dw_overflow=dw_overflow)
+
+
+def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
+                   near, step_t, cfg, ranges_min, scaled_vsize,
+                   qslot_c, sel_ray, sel_d, mask_c,
+                   debug_ablate: Optional[str] = None):
+    """Fat gather + K-NN + extract + decode, chunked over the [M]
+    compacted slot axis (lax.map). Module-level so perf probes can time
+    it against real precomputed compaction outputs.
+
+    One chunk body does gather -> top_k -> one-hot extract -> weights
+    -> MLP: bounds the unpacked-candidate intermediates ([CH, C, AW]
+    etc.) that OOM HBM at full M, and the decode_chunk regalloc
+    workaround comes along for free. Small chunks measured dramatically
+    faster on v5e (65k -> 4k chunks: 222k -> 321k rays/s at bench
+    scale): the per-chunk working set stays near VMEM and the
+    tail-chunk skip quantizes finer. Floor of 2048 keeps GEMMs full.
+    Returns (sig [M], rgb [M, 3], found [M])."""
+    q = cfg.query
+    M = qslot_c.shape[0]
+    K = q.K
+    radius2 = q.radius_limit ** 2
+    CAND = cache.cand
+    num_shells = (q.kernel_size[0] + 1) // 2
+    DC = q.decode_chunk
     CH = max(min(q.fast_chunk or 8192, DC or M, M), min(2048, M))
+
+    from pointnerf2studio_tpu.ops.fused_decode import fused_decode_eligible
+    use_fused2 = (cfg.agg.fused_decode2
+                  and fused_decode_eligible(cfg.agg, False, K)
+                  and jax.default_backend() == "tpu")
 
     def chunk_body(args):
         qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
         Mc = qslot_cc.shape[0]
-        rows3 = cache.rows[qslot_cc].reshape(Mc, CAND, ROWW)
+        if debug_ablate == "gather":
+            # fake the fat-row gather with a broadcast of row 0 (WRONG
+            # values, real timing elsewhere): isolates gather row cost
+            rows3 = jnp.broadcast_to(
+                cache.rows[0], (Mc, CAND * ROWW)).reshape(Mc, CAND, ROWW)
+        else:
+            rows3 = cache.rows[qslot_cc].reshape(Mc, CAND, ROWW)
         meta = jax.lax.bitcast_convert_type(rows3[..., 0], jnp.int32)
         shell = (meta & 3).astype(jnp.int32)
         payload = jax.lax.bitcast_convert_type(
@@ -484,10 +629,16 @@ def fast_render_rays(
              nei_pers[..., 1] * nei_pers[..., 2] - lp[..., 1] * lp[..., 2],
              nei_pers[..., 2] - lp[..., 2]], -1)
         dists = jnp.concatenate([nxyz - locs[:, None, :], pdist], -1)
-        weight, emb2 = aggregation_weight(
-            cfg.agg, emb, dists, pnt_mask, max(q.scaled_vsize))
-        if cfg.agg.conf_in_weight:
-            weight = weight * conf
+        if debug_ablate == "weights":
+            # fake the aggregation weights (WRONG values, real timing
+            # elsewhere): isolates the inverse-distance weight stage
+            weight = pnt_mask.astype(jnp.float32) * 0.1
+            emb2 = emb
+        else:
+            weight, emb2 = aggregation_weight(
+                cfg.agg, emb, dists, pnt_mask, max(q.scaled_vsize))
+            if cfg.agg.conf_in_weight:
+                weight = weight * conf
         vd = jnp.sum(rd_sel[..., :, None] * Rw2c, axis=-2)
         if debug_ablate == "decode":
             sig_c = (jnp.sum(weight * pnt_mask, -1) * 100.0
@@ -549,75 +700,20 @@ def fast_render_rays(
         found = found.reshape(n * CH)[:M]
     else:
         sig, rgb, found = chunk_or_skip((qslot_c, sel_ray, sel_d, mask_c))
+    return sig, rgb, found
 
-    # ---- composite ----
-    slot_ok = mask_c & found
-    sig = sig * slot_ok.astype(sig.dtype)
-    bg = (bg_ray_colors if bg_ray_colors is not None
-          else jnp.asarray(cfg.bg_color, jnp.float32))
-    use_packed = (q.composite_mode == "packed"
-                  and q.compact_mode == "topk"
-                  and debug_ablate != "compact")
-    if use_packed:
-        # packed composite on the [M] compacted axis — no scatter-back
-        # (ops/compositing.packed_alpha_composite)
-        from pointnerf2studio_tpu.ops.compositing import (
-            packed_alpha_composite)
-        t_sel = near + (sel_d.astype(jnp.float32) + 0.5) * step_t
-        pos_m = campos + raydirs[sel_ray] * t_sel[:, None]
-        z_m = w2pers(pos_m, camrotc2w, campos)[..., 2]
-        rgb_sum, acc, depth, ray_found = packed_alpha_composite(
-            sig, rgb, z_m, slot_ok, sel_ray, pack_end, pack_cnt,
-            q.vsize[2], cfg.blend_func)
-        color = rgb_sum + (1 - acc)[..., None] * bg
-        color = TONE_MAPS[cfg.tonemap_func](color)
-        ray_mask = ray_hit & ray_found
-        color = jnp.where(ray_mask[:, None], color, bg)
-        return FastRenderOutput(
-            coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
-            depth=depth, win_overflow=win_overflow)
 
-    # ---- grid composite: scatter to [R, BP] slots ----
-    if debug_ablate == "scatterback":
-        # fake the [M]-row scatters to [R, BP] slots with broadcasts
-        # (WRONG values, ~zero cost): isolates the scatter-back stage
-        # while keeping the [R, BP] slot-grid composite real
-        sig_rb = jnp.broadcast_to(sig[None, :BP], (R, BP))
-        rgb_rb = jnp.broadcast_to(rgb[None, :BP], (R, BP, 3))
-        valid_rb = jnp.broadcast_to(slot_ok[None, :BP], (R, BP))
-        d_rb = jnp.broadcast_to(sel_d[None, :BP], (R, BP))
-    else:
-        dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
-        sig_rb = jnp.zeros((R * BP,), sig.dtype).at[dest2].set(
-            sig, mode="drop").reshape(R, BP)
-        rgb_rb = jnp.zeros((R * BP, 3), rgb.dtype).at[dest2].set(
-            rgb, mode="drop").reshape(R, BP, 3)
-        valid_rb = jnp.zeros((R * BP,), jnp.bool_).at[dest2].set(
-            slot_ok, mode="drop").reshape(R, BP)
-        d_rb = jnp.zeros((R * BP,), jnp.int32).at[dest2].set(
-            sel_d, mode="drop").reshape(R, BP)
-
-    t_rb = near + (d_rb.astype(jnp.float32) + 0.5) * step_t
-    pos_rb = campos + raydirs[:, None, :] * t_rb[..., None]
-    z_rb = w2pers(pos_rb, camrotc2w, campos)[..., 2]
-    z_masked = jnp.where(valid_rb, z_rb, -1e9)
-    dist = ray_dist_from_sample_z(z_masked, valid_rb, q.vsize[2])
-    opacity = 1.0 - jnp.exp(-sig_rb * dist)
-    trans = jnp.cumprod(1.0 - opacity + 1e-10, axis=-1)
-    trans = jnp.concatenate(
-        [jnp.ones((R, 1), trans.dtype), trans[:, :-1]], -1)
-    blend = BLEND_FUNCTIONS[cfg.blend_func](opacity, trans)
-    acc = jnp.sum(blend, -1)
-    color = jnp.sum(blend[..., None] * rgb_rb, -2) + (1 - acc)[..., None] * bg
-    color = TONE_MAPS[cfg.tonemap_func](color)
-    depth = jnp.sum(blend * z_rb, -1)
-
-    ray_found = jnp.any(valid_rb, -1)
-    ray_mask = ray_hit & ray_found
-    color = jnp.where(ray_mask[:, None], color, bg)
-    return FastRenderOutput(
-        coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
-        win_overflow=win_overflow)
+def suggest_depth_window(dims, scaled_vsize, near, far, D: int,
+                         slack: int = 4) -> int:
+    """Static depth-window length (samples) covering ANY chord of the
+    grid bounding box: box diagonal / sample spacing, plus slack for
+    the floor/ceil boundary samples. Use as QueryConfig.depth_window;
+    FastRenderOutput.dw_overflow == 0 confirms coverage at run time."""
+    import math
+    diag = math.sqrt(sum((int(d) * float(v)) ** 2
+                         for d, v in zip(dims, scaled_vsize)))
+    step = (float(far) - float(near)) / D
+    return min(D, int(math.ceil(diag / step)) + slack)
 
 
 def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,

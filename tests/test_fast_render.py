@@ -111,6 +111,39 @@ def test_fast_coarse_masking_matches(scene):
         np.asarray(base.coarse_raycolor), atol=1e-5)
 
 
+def test_depth_window_matches(scene):
+    """Per-ray depth-window clip (slab test vs the grid box) is exact
+    whenever dw_overflow == 0; a too-short window reports overflow."""
+    from pointnerf2studio_tpu.models.fast_render import (
+        suggest_depth_window)
+    s = scene
+    rays = _rays(s)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+    dw = suggest_depth_window(s.grid.dims, s.cfg.query.scaled_vsize,
+                              s.near, s.far, s.cfg.query.z_depth_dim)
+    cfg2 = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, depth_window=dw))
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg2, rmin, svs)
+    assert int(out.dw_overflow) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out.ray_mask), np.asarray(base.ray_mask))
+    np.testing.assert_allclose(
+        np.asarray(out.coarse_raycolor),
+        np.asarray(base.coarse_raycolor), atol=1e-5)
+    # a clearly-too-short window must surface nonzero overflow
+    cfg3 = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, depth_window=8))
+    out3 = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg3, rmin, svs)
+    assert int(out3.dw_overflow) > 0
+
+
 def test_topk_compaction_matches_onehot(scene):
     """compact_mode='topk' must select EXACTLY the same shading slots
     as the one-hot design (first min(SR, BP) valid samples per ray)."""

@@ -48,6 +48,8 @@ def main():
         out = f(scene.params, scene.cloud.Rw2c, cache, raydirs)
         if out.win_overflow is not None:
             print(f"  win_overflow={int(out.win_overflow)}", flush=True)
+        if out.dw_overflow is not None:
+            print(f"  dw_overflow={int(out.dw_overflow)}", flush=True)
         return (np.asarray(out.ray_mask), np.asarray(out.coarse_raycolor),
                 np.asarray(out.acc))
 

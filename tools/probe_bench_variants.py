@@ -227,6 +227,43 @@ VARIANTS = {
                 base_cfg(fast_chunk=4096, compact_mode="topk",
                          composite_mode="packed", coarse_step=8,
                          coarse_win_budget=8), None),
+    "tkpcco8w12": ("b8 ch=4096 topk packed coarse S=8 BW=12",
+                   base_cfg(fast_chunk=4096, compact_mode="topk",
+                            composite_mode="packed", coarse_step=8,
+                            coarse_win_budget=12), None),
+    "tkpcco8w16": ("b8 ch=4096 topk packed coarse S=8 BW=16",
+                   base_cfg(fast_chunk=4096, compact_mode="topk",
+                            composite_mode="packed", coarse_step=8,
+                            coarse_win_budget=16), None),
+    # small-S coarse windows: dilation L=ceil((S-1)/2 * dt/vox) shrinks
+    # with S (S=4 -> L=2, S=2 -> L=1 vs S=8 -> L=5), so the positive-
+    # window inflation and the BW overflow pressure drop
+    "tkpcco4w8": ("b8 ch=4096 topk packed coarse S=4 BW=8",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", coarse_step=4,
+                           coarse_win_budget=8), None),
+    "tkpcco4w12": ("b8 ch=4096 topk packed coarse S=4 BW=12",
+                   base_cfg(fast_chunk=4096, compact_mode="topk",
+                            composite_mode="packed", coarse_step=4,
+                            coarse_win_budget=12), None),
+    "tkpcco2w12": ("b8 ch=4096 topk packed coarse S=2 BW=12",
+                   base_cfg(fast_chunk=4096, compact_mode="topk",
+                            composite_mode="packed", coarse_step=2,
+                            coarse_win_budget=12), None),
+    # per-ray depth-window clip (slab test vs the grid box): fewer
+    # table-gather rows with a dw_overflow exactness counter
+    "tkpcdw128": ("b8 ch=4096 topk packed dw=128",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", depth_window=128),
+                  None),
+    "tkpcdw144": ("b8 ch=4096 topk packed dw=144",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", depth_window=144),
+                  None),
+    "tkpcdw112": ("b8 ch=4096 topk packed dw=112",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", depth_window=112),
+                  None),
     "tksb": ("b8 ch=4096 topk scatterback-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"),
              "scatterback"),
