@@ -95,7 +95,8 @@ class QueryConfig:
     # the span by the box diagonal). The [R, D] table gather is the
     # single largest stage of the step (~7 ns/row, row-issue-bound on
     # v5e; stage:qs probe 88.7 of 183 ms at bench scale) and this
-    # trades it for [R, depth_window] rows. 0 = off.
+    # trades it for [R, depth_window] rows. 0 = off; -1 = auto (the
+    # evaluator sizes it with suggest_depth_window's chord bound).
     depth_window: int = 0
     # Unused since the window-expanded redesign (kept for config
     # compatibility; the old batch-average window compaction is gone).

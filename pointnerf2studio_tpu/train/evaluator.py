@@ -41,9 +41,18 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
     candidate cache once for the scene, then renders ~2x faster than
     the legacy path on TPU. Same call signature as make_render_chunk_fn
     (points/grid arguments are ignored per call — the cache is bound)."""
-    from pointnerf2studio_tpu.models.fast_render import (
-        fast_render_rays, make_fast_scene)
+    import dataclasses
 
+    from pointnerf2studio_tpu.models.fast_render import (
+        fast_render_rays, make_fast_scene, suggest_depth_window)
+
+    if cfg.query.depth_window < 0:
+        # auto: clip the per-sample lookup to the grid-box chord bound
+        # (exact — covers any chord; dw_overflow is still checked)
+        dw = suggest_depth_window(grid.dims, cfg.query.scaled_vsize,
+                                  near, far, cfg.query.z_depth_dim)
+        cfg = dataclasses.replace(
+            cfg, query=dataclasses.replace(cfg.query, depth_window=dw))
     cache, rmin, svs = make_fast_scene(cfg, points, grid,
                                        near=near, far=far)
     Rw2c = points.Rw2c
@@ -56,18 +65,22 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
                                raydirs, near, far, cfg, rmin, svs,
                                bg_ray_colors=bg_rgb)
         return (out.coarse_raycolor, out.ray_mask, out.depth, out.acc,
-                out.win_overflow)
+                out.win_overflow, out.dw_overflow)
 
     def fn(*args, **kw):
-        c, m, d, a, ov = jfn(*args, **kw)
-        if ov is not None and not checked:
+        c, m, d, a, ov, dov = jfn(*args, **kw)
+        if (ov is not None or dov is not None) and not checked:
             checked.append(1)
-            n = int(jax.device_get(ov))
-            if n > 0:
-                print(f"WARNING: coarse_step dropped {n} positive "
-                      f"windows on the first chunk — results are NOT "
-                      f"exact; raise coarse_win_budget/"
-                      f"coarse_win_global")
+            if ov is not None and int(jax.device_get(ov)) > 0:
+                print(f"WARNING: coarse_step dropped "
+                      f"{int(jax.device_get(ov))} positive windows on "
+                      f"the first chunk — results are NOT exact; raise "
+                      f"coarse_win_budget/coarse_win_global")
+            if dov is not None and int(jax.device_get(dov)) > 0:
+                print(f"WARNING: depth_window dropped "
+                      f"{int(jax.device_get(dov))} in-box samples on "
+                      f"the first chunk — results are NOT exact; raise "
+                      f"QueryConfig.depth_window")
         return c, m, d, a
 
     return fn
