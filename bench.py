@@ -1,19 +1,31 @@
 """Benchmark: render throughput (rays/s) at NeRF-Synthetic chair scale.
 
-Renders a full 800x800 frame (640k rays) of a chair-scale synthetic
-scene (558k neural points — the reference's fresh chair init count,
-BASELINE.md) through the jitted sharded FAST render path
-(models/fast_render.py: fat candidate cache + one-hot slot compaction),
-in fixed-size ray chunks. Prints ONE JSON line:
+Renders a full 800x800 frame (640k rays) of a chair-shaped synthetic
+scene (558k neural points sampled on the procedural SDF chair surface
+— the reference's fresh chair init count, BASELINE.md) at the
+reference chair's EXACT ray geometry (near/far [2, 6], 400 depth
+samples, blender-ring camera: dev_scripts/w_n360/chair_points.sh)
+through the jitted sharded FAST render path (models/fast_render.py:
+top-k slot compaction + fat candidate cache + packed segmented
+composite), in fixed-size ray chunks. Prints ONE JSON line:
   {"metric": "render_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": N / 94000}
 Baseline: the reference renders 800x800 chair frames in ~6.8 s on a
 CUDA GPU => ~94k rays/s (pointnerf/out.txt:43-61).
+
+Env knobs:
+  BENCH_SCENE=sphere  render the r1 sphere-shell scene instead
+                      (180 samples over [1.1, 2.9]) for continuity
+                      with BENCH_r01/r02 numbers.
+  BENCH_DW=<int|auto> clip the [R, D] qslot gather to a per-ray
+                      depth window (auto = grid-box chord bound;
+                      exactness is asserted via dw_overflow == 0).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -26,43 +38,81 @@ BASELINE_RAYS_PER_SEC = 94_000.0
 def main() -> None:
     import dataclasses
 
+    if os.environ.get("BENCH_PLATFORM"):
+        # e.g. BENCH_PLATFORM=cpu for a smoke run — must happen before
+        # the first backend use (the env var alone is too late under
+        # the axon sitecustomize, which registers the TPU at startup)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     from pointnerf2studio_tpu.config import (
         AggregatorConfig, PointNerfConfig, QueryConfig)
     from pointnerf2studio_tpu.data.synthetic import (
-        camera_rays, make_sphere_scene)
-    from pointnerf2studio_tpu.models.fast_render import make_fast_scene
+        camera_rays, make_chair_scene, make_sphere_scene)
+    from pointnerf2studio_tpu.models.fast_render import (
+        make_fast_scene, suggest_depth_window)
     from pointnerf2studio_tpu.parallel.sharding import (
         make_mesh, make_sharded_fast_render)
 
+    sphere = os.environ.get("BENCH_SCENE", "chair") == "sphere"
+    smoke = os.environ.get("BENCH_SMOKE", "") == "1"
+
     # Chair-scale configuration (SURVEY.md §2.1 canonical values), with
-    # bf16 MLP compute — production precision on TPU.
-    # z_depth_dim matches the REFERENCE's sampling density: chair uses
-    # 400 samples over [2, 6] = one per 1.25 scaled voxels
-    # (dev_scripts/w_n360/chair_points.sh); this scene's [1.1, 2.9]
-    # span at the same density is 180 samples. compact_budget 8 is
-    # generous headroom over the ~224k valid slots per 65k-ray chunk:
-    # all-padding tail chunks are skipped by the prefix-validity cond,
-    # so overprovisioning is ~free. ray_slot_budget 32 covers the
-    # per-ray tail (p100 measured < 32 on this scene).
+    # bf16 MLP compute — production precision on TPU. z_depth_dim
+    # matches the REFERENCE's sampling density: chair uses 400 samples
+    # over [2, 6] (dev_scripts/w_n360/chair_points.sh); the legacy
+    # sphere scene's [1.1, 2.9] span at the same density is 180.
+    # compact_budget 8 is generous headroom over the valid slots per
+    # 65k-ray chunk: all-padding tail chunks are skipped by the
+    # prefix-validity cond, so overprovisioning is ~free.
+    # ray_slot_budget 32 covers the per-ray tail (p100 < 32 measured
+    # on both scenes).
     cfg = PointNerfConfig(
         query=QueryConfig(
-            vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
-            SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
-            compact_budget=8, ray_slot_budget=32, use_cache=False,
-            fast_chunk=4096),
+            vsize=(0.004, 0.004, 0.004) if not smoke else (0.016,) * 3,
+            vscale=(2, 2, 2),
+            SR=80 if not smoke else 24, K=8, P=12,
+            max_o=700_000 if not smoke else 200_000,
+            z_depth_dim=(180 if sphere else 400) if not smoke else 64,
+            compact_budget=8 if not smoke else 4,
+            ray_slot_budget=32 if not smoke else 16, use_cache=False,
+            fast_chunk=4096 if not smoke else 512),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
-    scene = make_sphere_scene(n_points=558_000, cfg=cfg)
-    cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
-                                       near=scene.near, far=scene.far)
-    jax.block_until_ready(cache.rows)
+    scene = (make_sphere_scene if sphere else make_chair_scene)(
+        n_points=558_000 if not smoke else 30_000, cfg=cfg)
 
-    H = W = 800
-    chunk = 65_536
-    focal = 800.0
+    H = W = 800 if not smoke else 64
+    chunk = 65_536 if not smoke else 1_024
+    # NeRF-Synthetic camera_angle_x = 0.6911 -> focal 1111.1 at 800 px;
+    # the sphere keeps the r1 focal for number continuity.
+    focal = 800.0 if sphere else 1111.1
     raydirs = camera_rays(scene.campos, scene.camrotc2w, H, W, focal)
     total = raydirs.shape[0]
     n_chunks = total // chunk
+
+    dw_env = os.environ.get("BENCH_DW", "auto")
+    if dw_env not in ("", "0"):
+        # Static per-ray window for the [R, D] qslot gather, sized
+        # before the cache build (the jitted pipeline needs a static
+        # width). "auto" measures the max in-box span over this very
+        # frame's rays; exactness is re-verified on device below.
+        if dw_env == "auto":
+            from pointnerf2studio_tpu.models.fast_render import (
+                measured_depth_window)
+            dw = measured_depth_window(
+                scene.campos, raydirs, scene.near, scene.far,
+                cfg.query.z_depth_dim, scene.grid.ranges_min,
+                scene.grid.dims, cfg.query.scaled_vsize)
+        else:
+            dw = int(dw_env)
+        if dw < cfg.query.z_depth_dim:
+            cfg = dataclasses.replace(
+                cfg, query=dataclasses.replace(cfg.query,
+                                               depth_window=dw))
+
+    cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
+                                       near=scene.near, far=scene.far)
+    jax.block_until_ready(cache.rows)
 
     mesh = make_mesh()
     render = make_sharded_fast_render(cfg, mesh)
@@ -74,10 +124,15 @@ def main() -> None:
                       scene.camrotc2w, rays, near, far, rmin, svs)
 
     # Warmup / compile.
-    run_chunk(0).coarse_raycolor.block_until_ready()
+    out0 = run_chunk(0)
+    out0.coarse_raycolor.block_until_ready()
+    if out0.dw_overflow is not None:
+        n_drop = int(jax.device_get(out0.dw_overflow))
+        assert n_drop == 0, (
+            f"depth_window={cfg.query.depth_window} dropped {n_drop} "
+            f"in-box samples — bench would be inexact")
 
     t0 = time.perf_counter()
-    acc = 0.0
     for i in range(n_chunks):
         out = run_chunk(i)
     out.coarse_raycolor.block_until_ready()

@@ -716,6 +716,39 @@ def suggest_depth_window(dims, scaled_vsize, near, far, D: int,
     return min(D, int(math.ceil(diag / step)) + slack)
 
 
+def measured_depth_window(campos, raydirs, near, far, D: int,
+                          ranges_min, dims, scaled_vsize,
+                          slack: int = 4) -> int:
+    """Tight static depth-window length for a KNOWN set of rays: the
+    max in-box sample span over `raydirs`, via the same slab test the
+    jitted clip uses (fast_render_rays' use_dwin branch), plus slack.
+    Tighter than suggest_depth_window's any-chord diagonal bound (the
+    diagonal chord only occurs for rays nearly aligned with it);
+    FastRenderOutput.dw_overflow == 0 still verifies coverage at run
+    time. Pure NumPy — callable before any jit."""
+    rd = np.asarray(raydirs, np.float64)
+    cp = np.asarray(campos, np.float64).reshape(3)
+    rmin = np.asarray(ranges_min, np.float64).reshape(3)
+    rmax = rmin + np.asarray(dims, np.float64) * np.asarray(
+        scaled_vsize, np.float64)
+    near, far = float(near), float(far)
+    step = (far - near) / D
+    safe = np.where(np.abs(rd) < 1e-9,
+                    np.where(rd >= 0, 1e-9, -1e-9), rd)
+    inv = 1.0 / safe
+    ta = (rmin - cp) * inv
+    tb = (rmax - cp) * inv
+    t_enter = np.minimum(ta, tb).max(-1)
+    t_exit = np.maximum(ta, tb).min(-1)
+    d_lo = np.floor((t_enter - near) / step - 0.5).astype(np.int64)
+    d_hi = np.minimum(
+        np.ceil((np.minimum(t_exit, far) - near) / step - 0.5),
+        D - 1).astype(np.int64)
+    hit = (t_exit >= t_enter) & (d_hi >= 0)
+    span = np.where(hit, d_hi - np.maximum(d_lo, 0) + 1, 0)
+    return int(min(D, int(span.max(initial=0)) + slack))
+
+
 def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
                     grid: PointGrid, max_q: Optional[int] = None,
                     near: Optional[float] = None,

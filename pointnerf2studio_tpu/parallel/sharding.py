@@ -135,19 +135,39 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     local (models/fast_render.py). Signature:
     f(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
       ranges_min, scaled_vsize) -> FastRenderOutput sharded over rays.
+    The scalar exactness counters (win_overflow / dw_overflow), when
+    the corresponding reducer is on, are psum'd over the rays axis and
+    come back replicated.
     """
-    from pointnerf2studio_tpu.models.fast_render import fast_render_rays
+    from pointnerf2studio_tpu.models.fast_render import (
+        FastRenderOutput, fast_render_rays)
+
+    q = cfg.query
+    has_win = q.coarse_step > 1
+    has_dw = (not has_win) and q.depth_window > 0
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
               ranges_min, scaled_vsize):
-        return fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
-                                raydirs, near, far, cfg, ranges_min,
-                                scaled_vsize)
+        out = fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
+                               raydirs, near, far, cfg, ranges_min,
+                               scaled_vsize)
+        if out.win_overflow is not None:
+            out = out.replace(
+                win_overflow=jax.lax.psum(out.win_overflow, "rays"))
+        if out.dw_overflow is not None:
+            out = out.replace(
+                dw_overflow=jax.lax.psum(out.dw_overflow, "rays"))
+        return out
 
+    out_specs = FastRenderOutput(
+        coarse_raycolor=P("rays"), ray_mask=P("rays"), acc=P("rays"),
+        depth=P("rays"),
+        win_overflow=P() if has_win else None,
+        dw_overflow=P() if has_dw else None)
     fn = _shard_map(
         local, mesh,
         in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P(), P(), P()),
-        out_specs=P("rays"))
+        out_specs=out_specs)
     return jax.jit(fn)
 
 
