@@ -90,6 +90,27 @@ def main() -> None:
     total = raydirs.shape[0]
     n_chunks = total // chunk
 
+    rb_env = os.environ.get("BENCH_RB", "auto")
+    if rb_env not in ("", "0"):
+        # Ray packing: the front-end processes only box-hitting rays.
+        # "auto" sizes the static budget from the max per-chunk hit
+        # count of this frame (+1 chunk-row of slack, rounded to 1k);
+        # rb_overflow == 0 is re-verified on device below.
+        from pointnerf2studio_tpu.models.fast_render import slab_hit_mask
+        if rb_env == "auto":
+            hits = slab_hit_mask(
+                scene.campos, raydirs, scene.near, scene.far,
+                cfg.query.z_depth_dim, scene.grid.ranges_min,
+                scene.grid.dims, cfg.query.scaled_vsize)
+            per_chunk = hits[: n_chunks * chunk].reshape(
+                n_chunks, chunk).sum(-1).max()
+            rb = min(chunk, (int(per_chunk) + W + 1023) // 1024 * 1024)
+        else:
+            rb = int(rb_env)
+        if rb < chunk:
+            cfg = dataclasses.replace(
+                cfg, query=dataclasses.replace(cfg.query, ray_budget=rb))
+
     dw_env = os.environ.get("BENCH_DW", "auto")
     if dw_env not in ("", "0"):
         # Static per-ray window for the [R, D] qslot gather, sized
@@ -123,20 +144,29 @@ def main() -> None:
         return render(scene.params, scene.cloud.Rw2c, cache, scene.campos,
                       scene.camrotc2w, rays, near, far, rmin, svs)
 
-    # Warmup / compile.
-    out0 = run_chunk(0)
-    out0.coarse_raycolor.block_until_ready()
-    if out0.dw_overflow is not None:
-        n_drop = int(jax.device_get(out0.dw_overflow))
-        assert n_drop == 0, (
-            f"depth_window={cfg.query.depth_window} dropped {n_drop} "
-            f"in-box samples — bench would be inexact")
+    # Warmup / compile, plus a full untimed verification pass: the
+    # reducers' exactness counters must be zero on EVERY chunk.
+    def assert_exact(out, tag):
+        if out.dw_overflow is not None:
+            n = int(jax.device_get(out.dw_overflow))
+            assert n == 0, (
+                f"{tag}: depth_window={cfg.query.depth_window} dropped "
+                f"{n} in-box samples — bench would be inexact")
+        if out.rb_overflow is not None:
+            n = int(jax.device_get(out.rb_overflow))
+            assert n == 0, (
+                f"{tag}: ray_budget={cfg.query.ray_budget} dropped {n} "
+                f"box-hitting rays — bench would be inexact")
+
+    for i in range(n_chunks):
+        assert_exact(run_chunk(i), f"chunk {i}")
 
     t0 = time.perf_counter()
     for i in range(n_chunks):
         out = run_chunk(i)
     out.coarse_raycolor.block_until_ready()
     dt = time.perf_counter() - t0
+    assert_exact(out, f"chunk {n_chunks - 1}")
 
     rays_per_sec = n_chunks * chunk / dt
     print(json.dumps({

@@ -98,6 +98,18 @@ class QueryConfig:
     # trades it for [R, depth_window] rows. 0 = off; -1 = auto (the
     # evaluator sizes it with suggest_depth_window's chord bound).
     depth_window: int = 0
+    # Ray packing (fast path): process only rays whose chord intersects
+    # the grid bounding box (the slab test — pure math, no gathers).
+    # The first `ray_budget` box-hitting rays pack to a dense [RB]
+    # prefix; the whole front-end ([RB, Dax] table gather, mask/top-k/
+    # pack machinery) and the compacted-slot budget M shrink with it,
+    # and per-ray outputs scatter back to [R] at the end. Rays that
+    # miss the box render exact background in either path, so results
+    # are EXACT while the budget covers the batch's box-hitting rays
+    # (FastRenderOutput.rb_overflow counts dropped hit rays; size from
+    # the frame's measured hit count — at NeRF-Synthetic chair
+    # geometry ~50-60% of an 800x800 frame misses the box). 0 = off.
+    ray_budget: int = 0
     # Unused since the window-expanded redesign (kept for config
     # compatibility; the old batch-average window compaction is gone).
     coarse_win_global: int = 4

@@ -227,6 +227,10 @@ class FastRenderOutput:
     # this batch (nonzero = the static window was too short; raise
     # QueryConfig.depth_window). None when the clip is off.
     dw_overflow: Optional[jnp.ndarray] = None
+    # ray_budget only: number of box-hitting rays dropped because the
+    # batch had more than QueryConfig.ray_budget of them (nonzero =
+    # raise the budget). None when ray packing is off.
+    rb_overflow: Optional[jnp.ndarray] = None
 
 
 def fast_render_rays(
@@ -245,6 +249,11 @@ def fast_render_rays(
                                           # "knn" | "qslot" skip stages
                                           # (WRONG output, real timing)
     bg_ray_colors: Optional[jnp.ndarray] = None,   # [R, 3] plane bg
+    pshard_axis: Optional[str] = None,    # inside shard_map: cache.rows
+                                          # is THIS device's qslot slab
+                                          # (slab i of the named mesh
+                                          # axis); per-slot outputs are
+                                          # psum'd over it
 ) -> FastRenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -260,6 +269,65 @@ def fast_render_rays(
     near = jnp.asarray(near, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
     step_t = (far - near) / D
+
+    if q.ray_budget > 0:
+        # ---- ray packing: the front-end only sees box-hitting rays —
+        # a ray whose chord misses the grid box (or lies outside
+        # [near, far]) has qs == -1 at every sample and renders exact
+        # background, so packing the first RB hitting rays and
+        # scattering per-ray outputs back is EXACT while rb_overflow
+        # == 0. The slab test is pure math; the [R, Dax] table gather,
+        # the mask/top-k/pack machinery and the compacted budget M all
+        # shrink to the hit count (~40-55% of an 800x800 frame at
+        # chair geometry).
+        import dataclasses as _dc
+        RB = min(q.ray_budget, R)   # == R keeps the output pytree
+                                    # static (rb_overflow present)
+        rmax = ranges_min + jnp.array(dims, jnp.float32) * scaled_vsize
+        safe = jnp.where(jnp.abs(raydirs) < 1e-9,
+                         jnp.where(raydirs >= 0, 1e-9, -1e-9), raydirs)
+        inv = 1.0 / safe
+        ta = (ranges_min - campos) * inv
+        tb = (rmax - campos) * inv
+        t_enter = jnp.max(jnp.minimum(ta, tb), -1)
+        t_exit = jnp.min(jnp.maximum(ta, tb), -1)
+        # one-sample-spacing margin keeps boundary samples conservative
+        hit = ((t_exit + step_t >= t_enter)
+               & (t_exit >= near - step_t)
+               & (t_enter <= far + step_t))
+        iota = jnp.arange(R, dtype=jnp.int32)
+        top = jax.lax.top_k(jnp.where(hit, -iota, -(R + 1)), RB)[0]
+        valid = top >= -R
+        ray_ids = jnp.where(valid, -top, 0)
+        rb_overflow = jnp.maximum(
+            jnp.sum(hit.astype(jnp.int32)) - RB, 0)
+
+        cfg0 = _dc.replace(cfg, query=_dc.replace(q, ray_budget=0))
+        sub = fast_render_rays(
+            params, Rw2c, cache, campos, camrotc2w, raydirs[ray_ids],
+            near, far, cfg0, ranges_min, scaled_vsize,
+            debug_ablate=debug_ablate,
+            bg_ray_colors=(None if bg_ray_colors is None
+                           else bg_ray_colors[ray_ids]),
+            pshard_axis=pshard_axis)
+
+        ids_s = jnp.where(valid, ray_ids, R)    # padding rows drop
+        bg = (bg_ray_colors if bg_ray_colors is not None
+              else jnp.broadcast_to(
+                  jnp.asarray(cfg.bg_color, jnp.float32), (R, 3)))
+        color = bg.astype(jnp.float32).at[ids_s].set(
+            sub.coarse_raycolor, mode="drop")
+        ray_mask = jnp.zeros((R,), jnp.bool_).at[ids_s].set(
+            sub.ray_mask, mode="drop")
+        acc = jnp.zeros((R,), sub.acc.dtype).at[ids_s].set(
+            sub.acc, mode="drop")
+        depth = jnp.zeros((R,), sub.depth.dtype).at[ids_s].set(
+            sub.depth, mode="drop")
+        return FastRenderOutput(
+            coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
+            depth=depth, win_overflow=sub.win_overflow,
+            dw_overflow=sub.dw_overflow, rb_overflow=rb_overflow)
+
     qslot_flat = cache.coor_2_qslot.reshape(-1)
 
     def _voxelize(pos):
@@ -448,10 +516,32 @@ def fast_render_rays(
         total = jnp.minimum(jnp.sum(cnt), M)
         mask_c = jnp.arange(M, dtype=jnp.int32) < total
 
-    sig, rgb, found = chunk_pipeline(
-        params, Rw2c, cache, raydirs, campos, camrotc2w, near, step_t,
-        cfg, ranges_min, scaled_vsize, qslot_c, sel_ray, sel_d, mask_c,
-        debug_ablate=debug_ablate)
+    if pshard_axis is not None:
+        # point-sharded fat cache: this device owns qslot slab
+        # [off_q, off_q + n_local); it computes only its own slots
+        # (foreign ones masked off -> skipped work) and the tiny
+        # per-slot outputs ([M] sig + [M,3] rgb) reassemble with one
+        # psum — each valid slot has exactly one owner. The front-end
+        # (qslot table, coarse occupancy) stays replicated: it is
+        # ~1/200th of the fat rows' bytes.
+        n_local = cache.rows.shape[0]
+        off_q = jax.lax.axis_index(pshard_axis) * n_local
+        owned = (qslot_c >= off_q) & (qslot_c < off_q + n_local)
+        sig, rgb, found = chunk_pipeline(
+            params, Rw2c, cache, raydirs, campos, camrotc2w, near,
+            step_t, cfg, ranges_min, scaled_vsize,
+            jnp.where(owned, qslot_c - off_q, 0), sel_ray, sel_d,
+            mask_c & owned, debug_ablate=debug_ablate,
+            skip_policy="any")
+        okl = (mask_c & owned & found).astype(sig.dtype)
+        sig = jax.lax.psum(sig * okl, pshard_axis)
+        rgb = jax.lax.psum(rgb * okl[:, None], pshard_axis)
+        found = jax.lax.psum(found.astype(jnp.int32), pshard_axis) > 0
+    else:
+        sig, rgb, found = chunk_pipeline(
+            params, Rw2c, cache, raydirs, campos, camrotc2w, near,
+            step_t, cfg, ranges_min, scaled_vsize, qslot_c, sel_ray,
+            sel_d, mask_c, debug_ablate=debug_ablate)
 
     # ---- composite ----
     slot_ok = mask_c & found
@@ -527,7 +617,8 @@ def fast_render_rays(
 def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                    near, step_t, cfg, ranges_min, scaled_vsize,
                    qslot_c, sel_ray, sel_d, mask_c,
-                   debug_ablate: Optional[str] = None):
+                   debug_ablate: Optional[str] = None,
+                   skip_policy: str = "prefix"):
     """Fat gather + K-NN + extract + decode, chunked over the [M]
     compacted slot axis (lax.map). Module-level so perf probes can time
     it against real precomputed compaction outputs.
@@ -675,7 +766,9 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
         # prefix: a chunk whose first slot is invalid is ALL padding —
         # skip its gather/K-NN/decode entirely. This makes the
         # compact_budget headroom nearly free (over-provisioned chunks
-        # cost one scalar branch).
+        # cost one scalar branch). With a point-sharded cache the
+        # ownership mask breaks the prefix property — "any" tests the
+        # whole chunk's mask instead (one [CH] reduce).
         CHc = args[0].shape[0]
 
         def skip(_):
@@ -683,7 +776,8 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                     jnp.zeros((CHc, 3), jnp.float32),
                     jnp.zeros((CHc,), jnp.bool_))
 
-        return jax.lax.cond(args[3][0], chunk_body, skip, args)
+        go = args[3][0] if skip_policy == "prefix" else jnp.any(args[3])
+        return jax.lax.cond(go, chunk_body, skip, args)
 
     if M > CH:
         n = (M + CH - 1) // CH
@@ -747,6 +841,32 @@ def measured_depth_window(campos, raydirs, near, far, D: int,
     hit = (t_exit >= t_enter) & (d_hi >= 0)
     span = np.where(hit, d_hi - np.maximum(d_lo, 0) + 1, 0)
     return int(min(D, int(span.max(initial=0)) + slack))
+
+
+def slab_hit_mask(campos, raydirs, near, far, D: int,
+                  ranges_min, dims, scaled_vsize) -> np.ndarray:
+    """[R] bool: which rays the fast path's ray packing treats as
+    box-hitting (the same conservative slab test + one-sample margin as
+    fast_render_rays' ray_budget branch). Size QueryConfig.ray_budget
+    from the max per-chunk count; rb_overflow == 0 re-verifies on
+    device. Pure NumPy."""
+    rd = np.asarray(raydirs, np.float32)
+    cp = np.asarray(campos, np.float32).reshape(3)
+    rmin = np.asarray(ranges_min, np.float32).reshape(3)
+    rmax = rmin + np.asarray(dims, np.float32) * np.asarray(
+        scaled_vsize, np.float32)
+    near, far = np.float32(near), np.float32(far)
+    step = (far - near) / np.float32(D)
+    safe = np.where(np.abs(rd) < 1e-9,
+                    np.where(rd >= 0, np.float32(1e-9),
+                             np.float32(-1e-9)), rd)
+    inv = np.float32(1.0) / safe
+    ta = (rmin - cp) * inv
+    tb = (rmax - cp) * inv
+    t_enter = np.minimum(ta, tb).max(-1)
+    t_exit = np.maximum(ta, tb).min(-1)
+    return ((t_exit + step >= t_enter)
+            & (t_exit >= near - step) & (t_enter <= far + step))
 
 
 def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,

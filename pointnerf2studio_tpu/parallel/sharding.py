@@ -145,30 +145,105 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     q = cfg.query
     has_win = q.coarse_step > 1
     has_dw = (not has_win) and q.depth_window > 0
+    has_rb = q.ray_budget > 0
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
               ranges_min, scaled_vsize):
         out = fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
                                raydirs, near, far, cfg, ranges_min,
                                scaled_vsize)
-        if out.win_overflow is not None:
-            out = out.replace(
-                win_overflow=jax.lax.psum(out.win_overflow, "rays"))
-        if out.dw_overflow is not None:
-            out = out.replace(
-                dw_overflow=jax.lax.psum(out.dw_overflow, "rays"))
-        return out
+        return _psum_counters(out)
 
     out_specs = FastRenderOutput(
         coarse_raycolor=P("rays"), ray_mask=P("rays"), acc=P("rays"),
         depth=P("rays"),
         win_overflow=P() if has_win else None,
-        dw_overflow=P() if has_dw else None)
+        dw_overflow=P() if has_dw else None,
+        rb_overflow=P() if has_rb else None)
     fn = _shard_map(
         local, mesh,
         in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P(), P(), P()),
         out_specs=out_specs)
     return jax.jit(fn)
+
+
+def _psum_counters(out):
+    """Sum a FastRenderOutput's scalar exactness counters over the rays
+    axis so they come back replicated (shard_map helpers)."""
+    for f in ("win_overflow", "dw_overflow", "rb_overflow"):
+        v = getattr(out, f)
+        if v is not None:
+            out = out.replace(**{f: jax.lax.psum(v, "rays")})
+    return out
+
+
+def make_sharded_fast_render_pt(cfg: PointNerfConfig,
+                                mesh: Mesh) -> Callable:
+    """Fast-path render on a 2-D ("rays", "points") mesh with the FAT
+    CACHE ROWS sharded over the points axis — for scenes whose
+    candidate cache (n_q x cand x 88 B, multi-GB at tens of millions
+    of query voxels) exceeds one chip's HBM headroom.
+
+    Device (i, j) renders ray shard i against qslot slab j: the
+    front-end (qslot table + compaction) runs on the replicated table,
+    each device computes only the slots its slab owns (foreign slots
+    mask off and their chunks skip), and ONE psum of the [M] per-slot
+    sig/rgb/found reassembles the pipeline — exactly the unsharded
+    results (tests/test_sharding.py). Pass cache.rows pre-padded to a
+    multiple of the points-axis size (shard_fat_cache). Signature
+    matches make_sharded_fast_render."""
+    from pointnerf2studio_tpu.models.fast_render import (
+        FastRenderOutput, FatCache, fast_render_rays)
+
+    pts = _points_axis(mesh)
+    assert pts is not None, "mesh needs a 'points' axis"
+    q = cfg.query
+    has_win = q.coarse_step > 1
+    has_dw = (not has_win) and q.depth_window > 0
+    has_rb = q.ray_budget > 0
+
+    def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
+              ranges_min, scaled_vsize):
+        out = fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
+                               raydirs, near, far, cfg, ranges_min,
+                               scaled_vsize, pshard_axis=pts)
+        return _psum_counters(out)
+
+    cache_specs = FatCache(
+        coor_2_qslot=P(), rows=P(pts), n_q=P(),
+        coarse_occ=P() if has_win else None)
+    out_specs = FastRenderOutput(
+        coarse_raycolor=P("rays"), ray_mask=P("rays"), acc=P("rays"),
+        depth=P("rays"),
+        win_overflow=P() if has_win else None,
+        dw_overflow=P() if has_dw else None,
+        rb_overflow=P() if has_rb else None)
+    fn = _shard_map(
+        local, mesh,
+        in_specs=(P(), P(), cache_specs, P(), P(), P("rays"), P(), P(),
+                  P(), P()),
+        out_specs=out_specs)
+    return jax.jit(fn)
+
+
+def shard_fat_cache(cache, mesh: Mesh):
+    """Pad cache.rows to a multiple of the points-axis size and place
+    it sharded over that axis (everything else replicated). The pad
+    rows are empty candidates (meta == -1 bitcast) so they can never
+    be selected."""
+    pts = _points_axis(mesh)
+    npts = mesh.shape[pts]
+    n_q = cache.rows.shape[0]
+    pad = (-n_q) % npts
+    rows = cache.rows
+    if pad:
+        empty = jnp.broadcast_to(
+            jax.lax.bitcast_convert_type(
+                jnp.int32(-1), jnp.float32)[None, None],
+            (pad, rows.shape[1]))
+        rows = jnp.concatenate([rows, empty], 0)
+    sh = jax.NamedSharding(mesh, P(pts))
+    return cache.replace(rows=jax.device_put(rows, sh))
 
 
 def make_sharded_fast_train_step(

@@ -144,6 +144,60 @@ def test_depth_window_matches(scene):
     assert int(out3.dw_overflow) > 0
 
 
+def test_ray_budget_matches(scene):
+    """Ray packing (slab-test hit rays only) is exact whenever
+    rb_overflow == 0: packed rays reproduce the full render, missed
+    rays get exact background. A too-small budget reports overflow."""
+    from pointnerf2studio_tpu.models.fast_render import slab_hit_mask
+    s = scene
+    rays = _rays(s)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+    hits = slab_hit_mask(s.campos, rays, s.near, s.far,
+                         s.cfg.query.z_depth_dim, rmin,
+                         s.grid.dims, svs)
+    assert 0 < hits.sum() < rays.shape[0], (
+        "test scene must have both hit and miss rays")
+    rb = int(hits.sum()) + 8
+    cfg2 = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, ray_budget=rb))
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg2, rmin, svs)
+    assert int(out.rb_overflow) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out.ray_mask), np.asarray(base.ray_mask))
+    np.testing.assert_allclose(
+        np.asarray(out.coarse_raycolor),
+        np.asarray(base.coarse_raycolor), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(base.depth), atol=1e-4)
+    # composes with the depth window (bench.py's default config)
+    from pointnerf2studio_tpu.models.fast_render import (
+        suggest_depth_window)
+    dw = suggest_depth_window(s.grid.dims, s.cfg.query.scaled_vsize,
+                              s.near, s.far, s.cfg.query.z_depth_dim)
+    cfg3 = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, ray_budget=rb, depth_window=dw))
+    out3 = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg3, rmin, svs)
+    assert int(out3.rb_overflow) == 0 and int(out3.dw_overflow) == 0
+    np.testing.assert_allclose(
+        np.asarray(out3.coarse_raycolor),
+        np.asarray(base.coarse_raycolor), atol=1e-5)
+    # a clearly-too-small budget must surface nonzero overflow
+    cfg4 = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, ray_budget=8))
+    out4 = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg4, rmin, svs)
+    assert int(out4.rb_overflow) > 0
+
+
 def test_topk_compaction_matches_onehot(scene):
     """compact_mode='topk' must select EXACTLY the same shading slots
     as the one-hot design (first min(SR, BP) valid samples per ray)."""

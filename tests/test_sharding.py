@@ -146,6 +146,47 @@ print("LEARNS_OK", losses[0], losses[-1])
     assert "LEARNS_OK" in r.stdout
 
 
+def test_point_sharded_fast_render_matches_single():
+    """Fat-cache rows sharded over the points axis (2-D rays x points
+    mesh) must reproduce the unsharded fast path bit-for-bit: every
+    valid slot has exactly one owner, so the psum reassembly is exact,
+    not approximate."""
+    import dataclasses
+
+    from pointnerf2studio_tpu.models.fast_render import (
+        fast_render_rays_jit, make_fast_scene)
+    from pointnerf2studio_tpu.parallel.sharding import (
+        make_sharded_fast_render_pt, shard_fat_cache)
+
+    cfg = sphere_config(sr=16, d=48)
+    cfg = dataclasses.replace(
+        cfg, query=dataclasses.replace(cfg.query, ray_slot_budget=16))
+    s = make_sphere_scene(n_points=4_000, cfg=cfg)
+    cache, rmin, svs = make_fast_scene(cfg, s.cloud, s.grid)
+    raydirs = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
+
+    out1 = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, raydirs,
+        s.near, s.far, cfg, rmin, svs)
+
+    mesh = make_mesh_2d(4, 2)
+    cache_sh = shard_fat_cache(cache, mesh)
+    assert cache_sh.rows.shape[0] % 2 == 0
+    render = make_sharded_fast_render_pt(cfg, mesh)
+    out2 = render(s.params, s.cloud.Rw2c, cache_sh, s.campos,
+                  s.camrotc2w, raydirs, jnp.asarray(s.near),
+                  jnp.asarray(s.far), rmin, svs)
+
+    np.testing.assert_array_equal(
+        np.asarray(out2.ray_mask), np.asarray(out1.ray_mask))
+    np.testing.assert_allclose(
+        np.asarray(out2.coarse_raycolor),
+        np.asarray(out1.coarse_raycolor), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out2.depth), np.asarray(out1.depth),
+        rtol=0, atol=1e-5)
+
+
 def test_graft_entry_compiles():
     import importlib.util, sys, pathlib
     spec = importlib.util.spec_from_file_location(
@@ -159,9 +200,19 @@ def test_graft_entry_compiles():
 
 
 def test_graft_dryrun_multichip():
-    import importlib.util, pathlib
-    spec = importlib.util.spec_from_file_location(
-        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    """Subprocess-isolated for the same reason as
+    test_point_sharded_train_step_learns: the XLA CPU runtime can abort
+    a pytest worker that already ran other modules when this many
+    collective programs execute in it (the dryrun passes standalone,
+    and the driver runs it in a fresh process anyway)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    entry = pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    r = subprocess.run(
+        [sys.executable, str(entry), "8"], capture_output=True,
+        text=True, timeout=900,
+        cwd=str(pathlib.Path(__file__).parent.parent))
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "point-sharded fat-cache render OK" in r.stdout, r.stdout

@@ -20,19 +20,44 @@ from tools.probe_bench_variants import VARIANTS, base_cfg
 
 
 def main():
+    import dataclasses
+
     which = sys.argv[1] if len(sys.argv) > 1 else "co8"
     tag, cfg_v, ab = VARIANTS[which]
     assert ab is None, "cannot exactness-check an ablated variant"
+    use_chair = os.environ.get("PROBE_SCENE", "") == "chair"
     cfg0 = base_cfg(fast_chunk=4096)
+    if use_chair:
+        from pointnerf2studio_tpu.data.synthetic import make_chair_scene
+        cfg0 = dataclasses.replace(cfg0, query=dataclasses.replace(
+            cfg0.query, z_depth_dim=400))
+        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
+            cfg_v.query, z_depth_dim=400))
+        tag = tag + " CHAIR"
 
     t0 = time.time()
-    scene = make_sphere_scene(n_points=558_000, cfg=cfg0)
+    scene = (make_chair_scene if use_chair else make_sphere_scene)(
+        n_points=558_000, cfg=cfg0)
     print(f"scene {time.time()-t0:.0f}s", flush=True)
 
     R = 65536
-    rd = camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0)
+    rd = (camera_rays(scene.campos, scene.camrotc2w, 256, 256, 355.5)
+          if use_chair else
+          camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0))
     raydirs = jnp.concatenate([rd] * (R // rd.shape[0] + 1))[:R]
     near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
+
+    if cfg_v.query.depth_window == -2:
+        from pointnerf2studio_tpu.models.fast_render import (
+            measured_depth_window)
+        dw = measured_depth_window(
+            scene.campos, np.asarray(raydirs), scene.near, scene.far,
+            cfg_v.query.z_depth_dim, scene.grid.ranges_min,
+            scene.grid.dims, cfg_v.query.scaled_vsize)
+        print(f"measured dw {dw} of D {cfg_v.query.z_depth_dim}",
+              flush=True)
+        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
+            cfg_v.query, depth_window=dw))
 
     def render(cfg):
         cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,

@@ -70,6 +70,19 @@ def main():
             jnp.concatenate([r] * (R // r.shape[0] + 1))[:R]))
     near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
 
+    if cfg_v.query.depth_window == -2:
+        # sentinel: measure the tight window from this probe's rays
+        from pointnerf2studio_tpu.models.fast_render import (
+            measured_depth_window)
+        dw = measured_depth_window(
+            scene.campos, np.asarray(ray_vars[0]), scene.near,
+            scene.far, cfg_v.query.z_depth_dim, scene.grid.ranges_min,
+            scene.grid.dims, cfg_v.query.scaled_vsize)
+        print(f"measured dw {dw} of D {cfg_v.query.z_depth_dim}",
+              flush=True)
+        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
+            cfg_v.query, depth_window=dw))
+
     def run(tag, cfg, ablate=None):
         @jax.jit
         def f(params, Rw2c, cache, raydirs):
@@ -263,6 +276,19 @@ VARIANTS = {
     "tkpcdw112": ("b8 ch=4096 topk packed dw=112",
                   base_cfg(fast_chunk=4096, compact_mode="topk",
                            composite_mode="packed", depth_window=112),
+                  None),
+    "tkpcdwm": ("b8 ch=4096 topk packed dw=measured",
+                base_cfg(fast_chunk=4096, compact_mode="topk",
+                         composite_mode="packed", depth_window=-2),
+                None),
+    # chair-geometry windows (D=400; box-diagonal chord bound ~288)
+    "tkpcdw240": ("b8 ch=4096 topk packed dw=240",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", depth_window=240),
+                  None),
+    "tkpcdw288": ("b8 ch=4096 topk packed dw=288",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", depth_window=288),
                   None),
     "tksb": ("b8 ch=4096 topk scatterback-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"),

@@ -8,6 +8,7 @@ for it in "$@"; do
   echo "==== $it $(date +%H:%M:%S)" >> "$log"
   case "$it" in
     check:*) timeout 1800 python tools/check_variant_exact.py "${it#check:}" >> "$log" 2>&1 ;;
+    chaircheck:*) PROBE_SCENE=chair timeout 2400 python tools/check_variant_exact.py "${it#chaircheck:}" >> "$log" 2>&1 ;;
     stage:*) timeout 1500 python tools/probe_topk_pack.py "${it#stage:}" >> "$log" 2>&1 ;;
     chunks:*) timeout 1800 python tools/probe_chunks.py "${it#chunks:}" >> "$log" 2>&1 ;;
     chair:*) PROBE_SCENE=chair timeout 1800 python tools/probe_bench_variants.py "${it#chair:}" >> "$log" 2>&1 ;;
