@@ -47,17 +47,8 @@ def main():
     raydirs = jnp.concatenate([rd] * (R // rd.shape[0] + 1))[:R]
     near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
 
-    if cfg_v.query.depth_window == -2:
-        from pointnerf2studio_tpu.models.fast_render import (
-            measured_depth_window)
-        dw = measured_depth_window(
-            scene.campos, np.asarray(raydirs), scene.near, scene.far,
-            cfg_v.query.z_depth_dim, scene.grid.ranges_min,
-            scene.grid.dims, cfg_v.query.scaled_vsize)
-        print(f"measured dw {dw} of D {cfg_v.query.z_depth_dim}",
-              flush=True)
-        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
-            cfg_v.query, depth_window=dw))
+    from tools.probe_bench_variants import resolve_measured_sentinels
+    cfg_v = resolve_measured_sentinels(cfg_v, scene, raydirs)
 
     def render(cfg):
         cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
@@ -75,6 +66,8 @@ def main():
             print(f"  win_overflow={int(out.win_overflow)}", flush=True)
         if out.dw_overflow is not None:
             print(f"  dw_overflow={int(out.dw_overflow)}", flush=True)
+        if out.rb_overflow is not None:
+            print(f"  rb_overflow={int(out.rb_overflow)}", flush=True)
         return (np.asarray(out.ray_mask), np.asarray(out.coarse_raycolor),
                 np.asarray(out.acc))
 

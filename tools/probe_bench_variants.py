@@ -33,6 +33,36 @@ def base_cfg(**qkw):
     )
 
 
+def resolve_measured_sentinels(cfg_v, scene, rays):
+    """depth_window == -2 / ray_budget == -2 mean: size from this ray
+    set (measured_depth_window / slab_hit_mask + 3% slack)."""
+    q = cfg_v.query
+    if q.depth_window == -2:
+        from pointnerf2studio_tpu.models.fast_render import (
+            measured_depth_window)
+        dw = measured_depth_window(
+            scene.campos, np.asarray(rays), scene.near, scene.far,
+            q.z_depth_dim, scene.grid.ranges_min, scene.grid.dims,
+            q.scaled_vsize)
+        print(f"measured dw {dw} of D {q.z_depth_dim}", flush=True)
+        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
+            cfg_v.query, depth_window=dw))
+        q = cfg_v.query
+    if q.ray_budget == -2:
+        from pointnerf2studio_tpu.models.fast_render import slab_hit_mask
+        hits = int(slab_hit_mask(
+            scene.campos, np.asarray(rays), scene.near, scene.far,
+            q.z_depth_dim, scene.grid.ranges_min, scene.grid.dims,
+            q.scaled_vsize).sum())
+        rb = min(rays.shape[0],
+                 (int(hits * 1.03) + 1023) // 1024 * 1024)
+        print(f"measured rb {rb} of R {rays.shape[0]} (hits {hits})",
+              flush=True)
+        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
+            cfg_v.query, ray_budget=rb))
+    return cfg_v
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "b8"
     tag, cfg_v, ab = VARIANTS[which]
@@ -70,18 +100,7 @@ def main():
             jnp.concatenate([r] * (R // r.shape[0] + 1))[:R]))
     near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
 
-    if cfg_v.query.depth_window == -2:
-        # sentinel: measure the tight window from this probe's rays
-        from pointnerf2studio_tpu.models.fast_render import (
-            measured_depth_window)
-        dw = measured_depth_window(
-            scene.campos, np.asarray(ray_vars[0]), scene.near,
-            scene.far, cfg_v.query.z_depth_dim, scene.grid.ranges_min,
-            scene.grid.dims, cfg_v.query.scaled_vsize)
-        print(f"measured dw {dw} of D {cfg_v.query.z_depth_dim}",
-              flush=True)
-        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
-            cfg_v.query, depth_window=dw))
+    cfg_v = resolve_measured_sentinels(cfg_v, scene, ray_vars[0])
 
     def run(tag, cfg, ablate=None):
         @jax.jit
@@ -281,6 +300,15 @@ VARIANTS = {
                 base_cfg(fast_chunk=4096, compact_mode="topk",
                          composite_mode="packed", depth_window=-2),
                 None),
+    "tkpcrbm": ("b8 ch=4096 topk packed rb=measured",
+                base_cfg(fast_chunk=4096, compact_mode="topk",
+                         composite_mode="packed", ray_budget=-2),
+                None),
+    "tkpcdwrbm": ("b8 ch=4096 topk packed dw+rb measured",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", depth_window=-2,
+                           ray_budget=-2),
+                  None),
     # chair-geometry windows (D=400; box-diagonal chord bound ~288)
     "tkpcdw240": ("b8 ch=4096 topk packed dw=240",
                   base_cfg(fast_chunk=4096, compact_mode="topk",
