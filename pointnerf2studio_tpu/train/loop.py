@@ -157,8 +157,9 @@ def fit(
             jnp.asarray(b["far"], jnp.float32), sub, *bg_args, **kw)
         logger.accumulate({k: v for k, v in aux.items()})
         if "ray_miss_coarse_raycolor_loss" in aux:
-            miss_rank[b["view"]] = float(
-                aux["ray_miss_coarse_raycolor_loss"])
+            # keep the device scalar — float() here would sync every
+            # step (ranking consumers convert at use time)
+            miss_rank[b["view"]] = aux["ray_miss_coarse_raycolor_loss"]
 
         if step % print_freq == 0:
             n_alive = int(np.asarray(state.points.num_alive))
@@ -182,8 +183,10 @@ def fit(
             from pointnerf2studio_tpu.train.grow import probe_and_grow
             n_views = max(1, dataset.num_views // t.prob_num_step)
             if miss_rank:
-                # worst ray-miss frames first; random fill-up
-                ranked = sorted(miss_rank, key=miss_rank.get, reverse=True)
+                # worst ray-miss frames first; random fill-up (the
+                # stored device scalars convert here, off the hot loop)
+                miss_f = {k: float(v) for k, v in miss_rank.items()}
+                ranked = sorted(miss_f, key=miss_f.get, reverse=True)
                 probe_views = ranked[:n_views]
                 miss_rank.clear()   # reset_ray_miss_ranking (:164-167)
             else:

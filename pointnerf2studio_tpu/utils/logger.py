@@ -33,12 +33,23 @@ class Logger:
         self._last_step = 0
 
     def accumulate(self, losses: Dict[str, float]) -> None:
+        """Store values AS-IS — device scalars stay on device. A
+        float() here would block on the step's full computation every
+        iteration, serializing host and device (on a remote-tunnel
+        backend that sync alone can triple the step time); flush()
+        fetches the whole window in one transfer instead."""
         for k, v in losses.items():
-            self._acc[k].append(float(v))
+            self._acc[k].append(v)
 
     def flush(self, step: int, extra: Optional[Dict] = None) -> Dict[str, float]:
         """Windowed averages since last flush; auto-PSNR for raycolor."""
-        avg = {k: float(np.mean(v)) for k, v in self._acc.items() if v}
+        try:
+            import jax
+            acc = jax.device_get(dict(self._acc))
+        except Exception:
+            acc = self._acc
+        avg = {k: float(np.mean([float(x) for x in v]))
+               for k, v in acc.items() if v}
         for k in list(avg):
             if k.endswith("raycolor_loss"):
                 avg[k.replace("_loss", "_psnr")] = mse2psnr(avg[k])
