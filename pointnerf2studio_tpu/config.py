@@ -149,6 +149,14 @@ class QueryConfig:
     #              (single nonzero per output keeps bf16 bits exact)
     #   "gather" — take_along_axis row gather (same values)
     extract_mode: str = "onehot"
+    # Candidate distance/masking/shell/K-select/extract stages:
+    #   "xla"   — separate XLA ops (each [Mc, CAND, ·] intermediate
+    #             round-trips HBM)
+    #   "fused" — ONE Pallas pass over the gathered candidate block
+    #             (ops/fused_select.py; kernel-facing cache layout,
+    #             identical selection semantics). TPU only; interpret
+    #             mode elsewhere is for tests.
+    knn_mode: str = "xla"
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

@@ -77,6 +77,10 @@ class FatCache:
     # occupancy extra-dilated for the two-level sample test (see
     # QueryConfig.coarse_step); None when coarse masking is off
     coarse_occ: Optional[jnp.ndarray] = None   # [gx, gy, gz] bool
+    # kernel-facing layout for knn_mode="fused" (ops/fused_select.py):
+    # meta separated, payload channel-major; None in "xla" mode
+    kmeta: Optional[jnp.ndarray] = None        # [max_q, C] int32
+    kpay: Optional[jnp.ndarray] = None         # [max_q, PK, C] bf16
 
     @property
     def cand(self) -> int:
@@ -645,9 +649,29 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                   and fused_decode_eligible(cfg.agg, False, K)
                   and jax.default_backend() == "tpu")
 
+    use_fused_sel = (q.knn_mode == "fused" and cache.kmeta is not None
+                     and debug_ablate is None)
+
     def chunk_body(args):
         qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
         Mc = qslot_cc.shape[0]
+        if use_fused_sel:
+            # ONE Pallas pass: d2 + masking + shells + K-select +
+            # extract, VMEM-resident (ops/fused_select.py)
+            from pointnerf2studio_tpu.ops.fused_select import (
+                fused_candidate_select)
+            rd_sel = raydirs[sel_ray_c]
+            t_sel = near + (sel_d_c.astype(jnp.float32) + 0.5) * step_t
+            locs = campos + rd_sel * t_sel[:, None]
+            vox = jnp.floor((locs - ranges_min) / scaled_vsize)
+            center = ranges_min + (vox + 0.5) * scaled_vsize
+            nsel_f, pnt_mask = fused_candidate_select(
+                cache.kmeta[qslot_cc], cache.kpay[qslot_cc],
+                center - locs, mask_cc, K, radius2,
+                num_shells if q.layered_search else 1,
+                interpret=jax.default_backend() == "cpu")
+            nsel = nsel_f[..., :PAYW].astype(jnp.bfloat16)
+            return _decode_tail(nsel, pnt_mask, locs, center, rd_sel)
         if debug_ablate == "gather":
             # fake the fat-row gather with a broadcast of row 0 (WRONG
             # values, real timing elsewhere): isolates gather row cost
@@ -704,6 +728,9 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                    & pnt_mask[..., None])                       # [Mc, K, C]
             nsel = jnp.einsum("mkc,mca->mka", oh8.astype(jnp.bfloat16),
                               payload)                          # [Mc, K, PAYW]
+        return _decode_tail(nsel, pnt_mask, locs, center, rd_sel)
+
+    def _decode_tail(nsel, pnt_mask, locs, center, rd_sel):
         nxyz = (nsel[..., :3].astype(jnp.float32)
                 + center[:, None, :])                           # [Mc, K, 3]
         # attr slices stay bf16 end-to-end: the decoder's compute dtype
@@ -894,6 +921,11 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
     cache = build_fat_cache(grid, cloud, cfg.query.kernel_size, max_q,
                             cfg.query.cand_cap,
                             coarse_dilate=coarse_dilate)
+    if cfg.query.knn_mode == "fused":
+        from pointnerf2studio_tpu.ops.fused_select import (
+            pack_kernel_cache)
+        kmeta, kpay = jax.jit(pack_kernel_cache)(cache.rows)
+        cache = cache.replace(kmeta=kmeta, kpay=kpay)
     return cache, grid.ranges_min, grid.scaled_vsize
 
 

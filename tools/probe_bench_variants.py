@@ -300,6 +300,15 @@ VARIANTS = {
                 base_cfg(fast_chunk=4096, compact_mode="topk",
                          composite_mode="packed", depth_window=-2),
                 None),
+    "tkfs": ("b8 ch=4096 topk packed fused-select",
+             base_cfg(fast_chunk=4096, compact_mode="topk",
+                      composite_mode="packed", knn_mode="fused"),
+             None),
+    "tkfsdwrbm": ("b8 ch=4096 topk packed fused-select dw+rb",
+                  base_cfg(fast_chunk=4096, compact_mode="topk",
+                           composite_mode="packed", knn_mode="fused",
+                           depth_window=-2, ray_budget=-2),
+                  None),
     "tkpcrbm": ("b8 ch=4096 topk packed rb=measured",
                 base_cfg(fast_chunk=4096, compact_mode="topk",
                          composite_mode="packed", ray_budget=-2),
