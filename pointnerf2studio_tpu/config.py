@@ -273,6 +273,14 @@ class TrainConfig:
     # "patch" (one contiguous sqrt(rays_per_batch)^2 patch),
     # "no_crop" (the full image grid).
     random_sample: str = "random"
+    # Sample the ray batch ON DEVICE inside the jitted step (mode
+    # "random", single-host loop): images/poses upload once and each
+    # step is ONE dispatch with zero host->device argument transfers —
+    # on a remote-tunnel backend the per-step uploads otherwise
+    # dominate the step. Same sampling distribution as PixelSampler
+    # (different RNG stream). Other modes / mesh runs use the host
+    # sampler regardless.
+    device_sampling: bool = True
     zero_epsilon: float = 1e-3
     zero_one_loss_weight: float = 1e-4
     jitter: float = 0.3

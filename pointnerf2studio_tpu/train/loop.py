@@ -135,31 +135,123 @@ def fit(
     # (reference: mvs_points_volumetric_model.update_rank_ray_miss
     # :134-153 — probe the frames the model misses the most).
     miss_rank: Dict[int, float] = {}
+    miss_pairs: list = []     # device (view, loss) pairs, dev sampler
+
+    # Device-resident sampling: images/poses/bg maps upload ONCE and
+    # the pixel draw + ray math + train step fuse into ONE jitted
+    # dispatch with no per-step host->device transfers. Everything the
+    # step needs is passed as ARGUMENTS (closures would bake arrays
+    # into the jaxpr as constants — fatal with a remote compiler).
+    use_dev = (mesh is None and t.device_sampling
+               and t.random_sample == "random")
+    if use_dev:
+        V = dataset.num_views
+        Hh, Ww = dataset.hw
+        B = t.rays_per_batch
+        intr = np.asarray(dataset.intrinsics, np.float64)
+        fx, fy = float(intr[0, 0]), float(intr[1, 1])
+        cx, cy = float(intr[0, 2]), float(intr[1, 2])
+        need_mask = (dataset.alphas is not None
+                     and any(n.startswith("ray_depth_masked_")
+                             for n in t.color_loss_items))
+        imgs_d = jnp.asarray(dataset.images, jnp.float32)
+        alph_d = (jnp.asarray(dataset.alphas, jnp.float32)
+                  if need_mask else None)
+        bgm_d = (jnp.asarray(bg_maps, jnp.float32)
+                 if bg_maps is not None else None)
+        campos_d = jnp.asarray(np.stack(
+            [dataset.campos(v) for v in range(V)]), jnp.float32)
+        camrot_d = jnp.asarray(np.stack(
+            [dataset.camrotc2w(v) for v in range(V)]), jnp.float32)
+        near_d = jnp.asarray(dataset.near, jnp.float32)
+        far_d = jnp.asarray(dataset.far, jnp.float32)
+
+        def _dev_sample(key, imgs, alph, bgm, campos_all, camrot_all):
+            kv, kx, ky, sub = jax.random.split(key, 4)
+            view = jax.random.randint(kv, (), 0, V)
+            xs = jax.random.randint(kx, (B,), 0, Ww)
+            ys = jax.random.randint(ky, (B,), 0, Hh)
+            gt = imgs[view, ys, xs]
+            # pixel_raydirs semantics (data/blender.py:72-82)
+            x = (xs.astype(jnp.float32) + 0.5 - cx) / fx
+            y = (ys.astype(jnp.float32) + 0.5 - cy) / fy
+            camrot = camrot_all[view]
+            dirs = jnp.stack([x, y, jnp.ones_like(x)], -1) @ camrot.T
+            dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+                           + 1e-5)
+            bgc = None if bgm is None else bgm[view, ys, xs]
+            gtm = None if alph is None else alph[view, ys, xs] > 0.0
+            return view, campos_all[view], camrot, dirs, gt, bgc, gtm, sub
+
+        if use_fast:
+            @jax.jit
+            def dev_step(st, key, geo, rmin_a, svs_a, imgs, alph, bgm,
+                         campos_all, camrot_all):
+                view, campos, camrot, dirs, gt, bgc, gtm, sub = (
+                    _dev_sample(key, imgs, alph, bgm, campos_all,
+                                camrot_all))
+                kw = {} if gtm is None else {"gt_mask": gtm}
+                st2, aux = fast_step(st, geo, rmin_a, svs_a, campos,
+                                     camrot, dirs, gt, near_d, far_d,
+                                     sub, bg_rgb=bgc, **kw)
+                return st2, aux, view
+        else:
+            @jax.jit
+            def dev_step(st, key, grid_a, imgs, alph, bgm, campos_all,
+                         camrot_all):
+                view, campos, camrot, dirs, gt, bgc, gtm, sub = (
+                    _dev_sample(key, imgs, alph, bgm, campos_all,
+                                camrot_all))
+                bg_args = () if bgc is None else (bgc,)
+                kw = {} if gtm is None else {"gt_mask": gtm}
+                st2, aux = step_fn(st, grid_a, campos, camrot, dirs,
+                                   gt, near_d, far_d, sub, *bg_args,
+                                   **kw)
+                return st2, aux, view
 
     for step in range(start_step, max_steps + 1):
-        b = sampler.next_batch()
         key, sub = jax.random.split(key)
-        bg_args = ()
-        if bg_maps is not None:
-            xy = b["pixel_xy"]
-            bg_args = (jnp.asarray(
-                bg_maps[b["view"], xy[:, 1], xy[:, 0]]),)
-        kw = {}
-        if (mesh is None and "gt_mask" in b
-                and any(n.startswith("ray_depth_masked_")
-                        for n in t.color_loss_items)):
-            kw["gt_mask"] = jnp.asarray(b["gt_mask"])
-        state, aux = step_fn(
-            state, grid,
-            jnp.asarray(b["campos"]), jnp.asarray(b["camrotc2w"]),
-            jnp.asarray(b["raydirs"]), jnp.asarray(b["gt_rgb"]),
-            jnp.asarray(b["near"], jnp.float32),
-            jnp.asarray(b["far"], jnp.float32), sub, *bg_args, **kw)
-        logger.accumulate({k: v for k, v in aux.items()})
-        if "ray_miss_coarse_raycolor_loss" in aux:
-            # keep the device scalar — float() here would sync every
-            # step (ranking consumers convert at use time)
-            miss_rank[b["view"]] = aux["ray_miss_coarse_raycolor_loss"]
+        if use_dev:
+            if use_fast:
+                geo, rmin_g, svs_g = geo_state["geo"]
+                state, aux, view_dev = dev_step(
+                    state, sub, geo, jnp.asarray(rmin_g),
+                    jnp.asarray(svs_g), imgs_d, alph_d, bgm_d,
+                    campos_d, camrot_d)
+            else:
+                state, aux, view_dev = dev_step(
+                    state, sub, grid, imgs_d, alph_d, bgm_d,
+                    campos_d, camrot_d)
+            logger.accumulate({k: v for k, v in aux.items()})
+            if (t.prob_freq > 0
+                    and "ray_miss_coarse_raycolor_loss" in aux):
+                miss_pairs.append(
+                    (view_dev, aux["ray_miss_coarse_raycolor_loss"]))
+            b = None
+        else:
+            b = sampler.next_batch()
+            bg_args = ()
+            if bg_maps is not None:
+                xy = b["pixel_xy"]
+                bg_args = (jnp.asarray(
+                    bg_maps[b["view"], xy[:, 1], xy[:, 0]]),)
+            kw = {}
+            if (mesh is None and "gt_mask" in b
+                    and any(n.startswith("ray_depth_masked_")
+                            for n in t.color_loss_items)):
+                kw["gt_mask"] = jnp.asarray(b["gt_mask"])
+            state, aux = step_fn(
+                state, grid,
+                jnp.asarray(b["campos"]), jnp.asarray(b["camrotc2w"]),
+                jnp.asarray(b["raydirs"]), jnp.asarray(b["gt_rgb"]),
+                jnp.asarray(b["near"], jnp.float32),
+                jnp.asarray(b["far"], jnp.float32), sub, *bg_args, **kw)
+            logger.accumulate({k: v for k, v in aux.items()})
+            if "ray_miss_coarse_raycolor_loss" in aux:
+                # keep the device scalar — float() here would sync
+                # every step (ranking consumers convert at use time)
+                miss_rank[b["view"]] = (
+                    aux["ray_miss_coarse_raycolor_loss"])
 
         if step % print_freq == 0:
             n_alive = int(np.asarray(state.points.num_alive))
@@ -182,6 +274,10 @@ def fit(
         if t.prob_freq > 0 and step % t.prob_freq == 0:
             from pointnerf2studio_tpu.train.grow import probe_and_grow
             n_views = max(1, dataset.num_views // t.prob_num_step)
+            if miss_pairs:
+                for v, l in jax.device_get(miss_pairs):
+                    miss_rank[int(v)] = float(l)
+                miss_pairs.clear()
             if miss_rank:
                 # worst ray-miss frames first; random fill-up (the
                 # stored device scalars convert here, off the hot loop)
