@@ -65,11 +65,12 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
                                raydirs, near, far, cfg, rmin, svs,
                                bg_ray_colors=bg_rgb)
         return (out.coarse_raycolor, out.ray_mask, out.depth, out.acc,
-                out.win_overflow, out.dw_overflow)
+                out.win_overflow, out.dw_overflow, out.rb_overflow)
 
     def fn(*args, **kw):
-        c, m, d, a, ov, dov = jfn(*args, **kw)
-        if (ov is not None or dov is not None) and not checked:
+        c, m, d, a, ov, dov, rov = jfn(*args, **kw)
+        if (ov is not None or dov is not None or rov is not None) \
+                and not checked:
             checked.append(1)
             if ov is not None and int(jax.device_get(ov)) > 0:
                 print(f"WARNING: coarse_step dropped "
@@ -81,6 +82,11 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
                       f"{int(jax.device_get(dov))} in-box samples on "
                       f"the first chunk — results are NOT exact; raise "
                       f"QueryConfig.depth_window")
+            if rov is not None and int(jax.device_get(rov)) > 0:
+                print(f"WARNING: ray_budget dropped "
+                      f"{int(jax.device_get(rov))} box-hitting rays on "
+                      f"the first chunk — results are NOT exact; raise "
+                      f"QueryConfig.ray_budget")
         return c, m, d, a
 
     return fn
