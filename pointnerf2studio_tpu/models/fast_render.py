@@ -366,17 +366,55 @@ def fast_render_rays(
         DS = -(-D // S)
         BW = min(q.coarse_win_budget, DS)
         coarse_flat = cache.coarse_occ.reshape(-1)
-        t_c = near + (jnp.arange(DS, dtype=jnp.float32) * S
-                      + (S - 1) / 2 + 0.5) * step_t
+        dw_overflow = None
+        if 0 < q.depth_window < D:
+            # composed with the per-ray depth window: the coarse test
+            # only covers windows overlapping [d0, d0 + DW) from the
+            # ray's slab entry — [R, DW/S + 1] coarse rows instead of
+            # [R, D/S]. Exactness split: dw_overflow counts in-box
+            # samples past the window coverage, win_overflow counts
+            # positive windows past BW (as before).
+            DW = q.depth_window
+            rmax = (ranges_min
+                    + jnp.array(dims, jnp.float32) * scaled_vsize)
+            safe = jnp.where(jnp.abs(raydirs) < 1e-9,
+                             jnp.where(raydirs >= 0, 1e-9, -1e-9),
+                             raydirs)
+            inv = 1.0 / safe
+            ta = (ranges_min - campos) * inv
+            tb = (rmax - campos) * inv
+            t_enter = jnp.max(jnp.minimum(ta, tb), -1)
+            t_exit = jnp.min(jnp.maximum(ta, tb), -1)
+            d_lo = jnp.floor((t_enter - near) / step_t
+                             - 0.5).astype(jnp.int32)
+            d0 = jnp.clip(d_lo, 0, max(D - DW, 0))              # [R]
+            d_hi = jnp.minimum(
+                jnp.ceil((jnp.minimum(t_exit, far) - near) / step_t
+                         - 0.5).astype(jnp.int32), D - 1)
+            hit_box = (t_exit >= t_enter) & (d_hi >= 0)
+            w0 = d0 // S
+            DS2 = min(DS, DW // S + 1)
+            wi = w0[:, None] + jnp.arange(DS2, dtype=jnp.int32)  # [R,DS2]
+            w_in = wi < DS
+            dw_overflow = jnp.sum(jnp.where(
+                hit_box,
+                jnp.maximum(d_hi - ((w0 + DS2) * S - 1), 0), 0))
+        else:
+            DS2 = DS
+            wi = jnp.broadcast_to(
+                jnp.arange(DS, dtype=jnp.int32), (R, DS))
+            w_in = jnp.ones((R, DS), bool)
+        t_c = near + (wi.astype(jnp.float32) * S
+                      + (S - 1) / 2 + 0.5) * step_t              # [R,DS2]
         cfid, _ = _voxelize(
-            campos + raydirs[:, None, :] * t_c[None, :, None])
+            campos + raydirs[:, None, :] * t_c[..., None])
         # test the CLAMPED center cell even when the center itself is
         # outside the grid: member samples can still be inside, and
         # clamping only shrinks the Chebyshev distance the dilation
         # covers (false positives are re-checked by the fine pass)
-        cocc = coarse_flat[cfid]                                # [R, DS]
-        wcol = jax.lax.broadcasted_iota(jnp.int32, (R, DS), 1)
-        wneg = jax.lax.top_k(jnp.where(cocc, -wcol, -(DS + 1)), BW)[0]
+        cocc = coarse_flat[cfid] & w_in                          # [R,DS2]
+        BW = min(BW, DS2)
+        wneg = jax.lax.top_k(jnp.where(cocc, -wi, -(DS + 1)), BW)[0]
         w_sel = jnp.where(wneg >= -DS, -wneg, DS)               # [R, BW]
         win_overflow = jnp.sum(
             jnp.maximum(jnp.sum(cocc.astype(jnp.int32), -1) - BW, 0))
@@ -393,7 +431,6 @@ def fast_render_rays(
         qs = jnp.where(finb, qslot_flat[jnp.where(finb, ffid, 0)], -1)
         d_true = jnp.minimum(d_true, D - 1)
         Dax = D2
-        dw_overflow = None
     elif use_dwin:
         # ---- per-ray depth-window clip ----
         # The qslot table is identically -1 outside the grid bounding

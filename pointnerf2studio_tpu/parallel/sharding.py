@@ -144,7 +144,10 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
 
     q = cfg.query
     has_win = q.coarse_step > 1
-    has_dw = (not has_win) and q.depth_window > 0
+    # dw composes with coarse windows (fast_render.py): the counter is
+    # present unless coarse is on AND the window covers all of D
+    has_dw = q.depth_window > 0 and (
+        not has_win or q.depth_window < q.z_depth_dim)
     has_rb = q.ray_budget > 0
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
@@ -199,7 +202,10 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
     assert pts is not None, "mesh needs a 'points' axis"
     q = cfg.query
     has_win = q.coarse_step > 1
-    has_dw = (not has_win) and q.depth_window > 0
+    # dw composes with coarse windows (fast_render.py): the counter is
+    # present unless coarse is on AND the window covers all of D
+    has_dw = q.depth_window > 0 and (
+        not has_win or q.depth_window < q.z_depth_dim)
     has_rb = q.ray_budget > 0
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,

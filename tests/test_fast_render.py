@@ -144,6 +144,40 @@ def test_depth_window_matches(scene):
     assert int(out3.dw_overflow) > 0
 
 
+def test_coarse_with_depth_window_matches(scene):
+    """coarse_step composed with depth_window (per-ray windowed coarse
+    domain) must match the plain fast path exactly while both counters
+    are zero."""
+    from pointnerf2studio_tpu.models.fast_render import (
+        suggest_depth_window)
+    s = scene
+    rays = _rays(s)
+    base_cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, base_cache, s.campos, s.camrotc2w,
+        rays, s.near, s.far, s.cfg, rmin, svs)
+    dw = suggest_depth_window(s.grid.dims, s.cfg.query.scaled_vsize,
+                              s.near, s.far, s.cfg.query.z_depth_dim)
+    # force a window strictly inside D so the composition is exercised
+    dw = min(dw, s.cfg.query.z_depth_dim - 4)
+    cfg2 = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, coarse_step=4, coarse_win_budget=12,
+            depth_window=dw))
+    cache2, _, _ = make_fast_scene(cfg2, s.cloud, s.grid,
+                                   near=s.near, far=s.far)
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache2, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg2, rmin, svs)
+    assert int(out.win_overflow) == 0, int(out.win_overflow)
+    assert int(out.dw_overflow) == 0, int(out.dw_overflow)
+    np.testing.assert_array_equal(
+        np.asarray(out.ray_mask), np.asarray(base.ray_mask))
+    np.testing.assert_allclose(
+        np.asarray(out.coarse_raycolor),
+        np.asarray(base.coarse_raycolor), atol=1e-5)
+
+
 def test_ray_budget_matches(scene):
     """Ray packing (slab-test hit rays only) is exact whenever
     rb_overflow == 0: packed rays reproduce the full render, missed

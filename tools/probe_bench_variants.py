@@ -300,6 +300,17 @@ VARIANTS = {
                 base_cfg(fast_chunk=4096, compact_mode="topk",
                          composite_mode="packed", depth_window=-2),
                 None),
+    # coarse windows composed with the per-ray depth window + packing
+    "tkpcco2dwrbm": ("b8 ch=4096 topk packed coarse S=2 BW=16 dw+rb",
+                     base_cfg(fast_chunk=4096, compact_mode="topk",
+                              composite_mode="packed", coarse_step=2,
+                              coarse_win_budget=16, depth_window=-2,
+                              ray_budget=-2), None),
+    "tkpcco4dwrbm": ("b8 ch=4096 topk packed coarse S=4 BW=12 dw+rb",
+                     base_cfg(fast_chunk=4096, compact_mode="topk",
+                              composite_mode="packed", coarse_step=4,
+                              coarse_win_budget=12, depth_window=-2,
+                              ray_budget=-2), None),
     "tkfs": ("b8 ch=4096 topk packed fused-select",
              base_cfg(fast_chunk=4096, compact_mode="topk",
                       composite_mode="packed", knn_mode="fused"),
