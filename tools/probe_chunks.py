@@ -38,7 +38,8 @@ def main():
     ablate = (variant if variant in
               ("gather", "knn", "extract", "weights", "decode") else None)
     cfg = base_cfg(fast_chunk=chunk, compact_mode="topk",
-                   composite_mode="packed")
+                   composite_mode="packed",
+                   knn_mode="fused" if variant == "fused" else "xla")
     q = cfg.query
     t0 = time.time()
     scene = make_sphere_scene(n_points=558_000, cfg=cfg)
