@@ -136,6 +136,7 @@ def fit(
     # :134-153 — probe the frames the model misses the most).
     miss_rank: Dict[int, float] = {}
     miss_pairs: list = []     # device (view, loss) pairs, dev sampler
+    last_saved = -1
 
     # Device-resident sampling: images/poses/bg maps upload ONCE and
     # the pixel draw + ray math + train step fuse into ONE jitted
@@ -303,6 +304,7 @@ def fit(
 
         if save_freq and step % save_freq == 0:
             save_checkpoint(out_dir, state, step)
+            last_saved = step
 
         if eval_freq and step % eval_freq == 0 and eval_dataset is not None:
             m = evaluate_dataset(
@@ -311,7 +313,10 @@ def fit(
                 bg_src_dataset=dataset if bg_maps is not None else None)
             logger.flush(step, extra={f"eval_{k}": v for k, v in m.items()})
 
-    save_checkpoint(out_dir, state, max_steps)
+    if last_saved != max_steps:
+        # the cadence save may already have written this exact step —
+        # orbax refuses to overwrite an existing step directory
+        save_checkpoint(out_dir, state, max_steps)
     metrics: Dict[str, float] = {}
     if eval_dataset is not None:
         metrics = evaluate_dataset(

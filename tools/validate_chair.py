@@ -115,6 +115,8 @@ def main():
         depths = np.stack([
             np.load(os.path.join(args.data, "train", f"depth_{k}.npy"))
             for k in range(train_ds.num_views)])
+        if args.factor > 1:   # depth maps ship at full resolution
+            depths = depths[:, ::args.factor, ::args.factor]
         xyz, color = init_points_from_depth(
             depths, train_ds.poses, train_ds.intrinsics,
             images=train_ds.images, stride=2, max_depth=6.0)
