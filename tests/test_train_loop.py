@@ -77,6 +77,25 @@ def test_fit_reduces_loss_and_checkpoints(teacher_scene, toy_dataset, tmp_path):
     assert np.isfinite(res.metrics["psnr"])
 
 
+def test_fit_save_cadence_hits_final_step(teacher_scene, toy_dataset,
+                                          tmp_path):
+    """max_steps on the save cadence: the end-of-run save must not
+    re-write the cadence save's orbax step directory (regression:
+    'Destination .../step_N already exists' crashed 20k-step runs with
+    save_freq 10k at the finish line)."""
+    s = teacher_scene
+    cfg = dataclasses.replace(
+        s.cfg, train=dataclasses.replace(s.cfg.train, rays_per_batch=64,
+                                         jitter=0.0))
+    student = init_aggregator_params(jax.random.PRNGKey(7), cfg.agg)
+    out_dir = str(tmp_path / "run_cadence")
+    fit(cfg, toy_dataset, student, s.cloud, out_dir,
+        max_steps=4, print_freq=4, save_freq=2)
+    assert cio.latest_step(os.path.join(out_dir, "ckpt")) == 4
+    assert os.path.exists(os.path.join(out_dir,
+                                       "4_net_ray_marching.pth"))
+
+
 def test_fit_with_pruning(teacher_scene, toy_dataset, tmp_path):
     """Pruning kills low-confidence points mid-run without breaking."""
     s = teacher_scene
