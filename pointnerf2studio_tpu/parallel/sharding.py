@@ -201,6 +201,10 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
     pts = _points_axis(mesh)
     assert pts is not None, "mesh needs a 'points' axis"
     q = cfg.query
+    assert q.knn_mode != "fused", (
+        "knn_mode='fused' + point-sharded cache not wired yet (the "
+        "kernel-facing kmeta/kpay arrays would need the same slab "
+        "padding as rows)")
     has_win = q.coarse_step > 1
     # dw composes with coarse windows (fast_render.py): the counter is
     # present unless coarse is on AND the window covers all of D
