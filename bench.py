@@ -98,13 +98,20 @@ def main() -> None:
         # rb_overflow == 0 is re-verified on device below.
         from pointnerf2studio_tpu.models.fast_render import slab_hit_mask
         if rb_env == "auto":
-            hits = slab_hit_mask(
-                scene.campos, raydirs, scene.near, scene.far,
-                cfg.query.z_depth_dim, scene.grid.ranges_min,
-                scene.grid.dims, cfg.query.scaled_vsize)
-            per_chunk = hits[: n_chunks * chunk].reshape(
-                n_chunks, chunk).sum(-1).max()
-            rb = min(chunk, (int(per_chunk) + W + 1023) // 1024 * 1024)
+            try:
+                hits = slab_hit_mask(
+                    scene.campos, raydirs, scene.near, scene.far,
+                    cfg.query.z_depth_dim, scene.grid.ranges_min,
+                    scene.grid.dims, cfg.query.scaled_vsize)
+                per_chunk = hits[: n_chunks * chunk].reshape(
+                    n_chunks, chunk).sum(-1).max()
+                rb = min(chunk,
+                         (int(per_chunk) + W + 1023) // 1024 * 1024)
+            except Exception as e:   # auto-sizing must never kill bench
+                import sys
+                print(f"bench: rb auto-sizing failed ({e}); off",
+                      file=sys.stderr)
+                rb = chunk
         else:
             rb = int(rb_env)
         if rb < chunk:
@@ -120,10 +127,16 @@ def main() -> None:
         if dw_env == "auto":
             from pointnerf2studio_tpu.models.fast_render import (
                 measured_depth_window)
-            dw = measured_depth_window(
-                scene.campos, raydirs, scene.near, scene.far,
-                cfg.query.z_depth_dim, scene.grid.ranges_min,
-                scene.grid.dims, cfg.query.scaled_vsize)
+            try:
+                dw = measured_depth_window(
+                    scene.campos, raydirs, scene.near, scene.far,
+                    cfg.query.z_depth_dim, scene.grid.ranges_min,
+                    scene.grid.dims, cfg.query.scaled_vsize)
+            except Exception as e:   # auto-sizing must never kill bench
+                import sys
+                print(f"bench: dw auto-sizing failed ({e}); off",
+                      file=sys.stderr)
+                dw = cfg.query.z_depth_dim
         else:
             dw = int(dw_env)
         if dw < cfg.query.z_depth_dim:
@@ -131,42 +144,69 @@ def main() -> None:
                 cfg, query=dataclasses.replace(cfg.query,
                                                depth_window=dw))
 
+    # The fat cache is independent of the dw/rb reducers, so it is
+    # built once and reused across fallback attempts below.
     cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
                                        near=scene.near, far=scene.far)
     jax.block_until_ready(cache.rows)
 
     mesh = make_mesh()
-    render = make_sharded_fast_render(cfg, mesh)
     near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
 
-    def run_chunk(i):
-        rays = jax.lax.dynamic_slice_in_dim(raydirs, i * chunk, chunk)
-        return render(scene.params, scene.cloud.Rw2c, cache, scene.campos,
-                      scene.camrotc2w, rays, near, far, rmin, svs)
+    def make_run_chunk(c):
+        render = make_sharded_fast_render(c, mesh)
+
+        def run_chunk(i):
+            rays = jax.lax.dynamic_slice_in_dim(raydirs, i * chunk, chunk)
+            return render(scene.params, scene.cloud.Rw2c, cache,
+                          scene.campos, scene.camrotc2w, rays, near, far,
+                          rmin, svs)
+
+        return run_chunk
 
     # Warmup / compile, plus a full untimed verification pass: the
-    # reducers' exactness counters must be zero on EVERY chunk.
-    def assert_exact(out, tag):
+    # reducers' exactness counters must be zero on EVERY chunk. A
+    # tripped counter means the auto-sizing under-measured on this
+    # hardware — degrade to the safe config (drop the offending
+    # reducer and re-verify) rather than fail the bench outright.
+    class _Inexact(Exception):
+        def __init__(self, which, msg):
+            super().__init__(msg)
+            self.which = which
+
+    def assert_exact(c, out, tag):
         if out.dw_overflow is not None:
             n = int(jax.device_get(out.dw_overflow))
-            assert n == 0, (
-                f"{tag}: depth_window={cfg.query.depth_window} dropped "
-                f"{n} in-box samples — bench would be inexact")
+            if n:
+                raise _Inexact("depth_window", (
+                    f"{tag}: depth_window={c.query.depth_window} dropped "
+                    f"{n} in-box samples — bench would be inexact"))
         if out.rb_overflow is not None:
             n = int(jax.device_get(out.rb_overflow))
-            assert n == 0, (
-                f"{tag}: ray_budget={cfg.query.ray_budget} dropped {n} "
-                f"box-hitting rays — bench would be inexact")
+            if n:
+                raise _Inexact("ray_budget", (
+                    f"{tag}: ray_budget={c.query.ray_budget} dropped {n} "
+                    f"box-hitting rays — bench would be inexact"))
 
-    for i in range(n_chunks):
-        assert_exact(run_chunk(i), f"chunk {i}")
+    import sys
+    for _attempt in range(3):
+        run_chunk = make_run_chunk(cfg)
+        try:
+            for i in range(n_chunks):
+                assert_exact(cfg, run_chunk(i), f"chunk {i}")
+            break
+        except _Inexact as e:
+            print(f"bench: {e}; retrying without {e.which}",
+                  file=sys.stderr)
+            cfg = dataclasses.replace(
+                cfg, query=dataclasses.replace(cfg.query, **{e.which: 0}))
 
     t0 = time.perf_counter()
     for i in range(n_chunks):
         out = run_chunk(i)
     out.coarse_raycolor.block_until_ready()
     dt = time.perf_counter() - t0
-    assert_exact(out, f"chunk {n_chunks - 1}")
+    assert_exact(cfg, out, f"chunk {n_chunks - 1}")
 
     rays_per_sec = n_chunks * chunk / dt
     print(json.dumps({

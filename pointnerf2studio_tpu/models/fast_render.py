@@ -908,12 +908,18 @@ def measured_depth_window(campos, raydirs, near, far, D: int,
 
 
 def slab_hit_mask(campos, raydirs, near, far, D: int,
-                  ranges_min, dims, scaled_vsize) -> np.ndarray:
+                  ranges_min, dims, scaled_vsize,
+                  jitter: float = 0.0) -> np.ndarray:
     """[R] bool: which rays the fast path's ray packing treats as
     box-hitting (the same conservative slab test + one-sample margin as
     fast_render_rays' ray_budget branch). Size QueryConfig.ray_budget
     from the max per-chunk count; rb_overflow == 0 re-verifies on
-    device. Pure NumPy."""
+    device. Pure NumPy.
+
+    `jitter` (the TRAIN path's stratified-jitter fraction) widens the
+    far margin by jitter/2 * (far - near): jittered segment lengths
+    cumsum, so the last midpoint can overshoot far by that much —
+    matches fast_train_render's ray_budget branch."""
     rd = np.asarray(raydirs, np.float32)
     cp = np.asarray(campos, np.float32).reshape(3)
     rmin = np.asarray(ranges_min, np.float32).reshape(3)
@@ -929,8 +935,9 @@ def slab_hit_mask(campos, raydirs, near, far, D: int,
     tb = (rmax - cp) * inv
     t_enter = np.minimum(ta, tb).max(-1)
     t_exit = np.maximum(ta, tb).min(-1)
+    far_slack = np.float32(jitter) * np.float32(0.5) * (far - near) + step
     return ((t_exit + step >= t_enter)
-            & (t_exit >= near - step) & (t_enter <= far + step))
+            & (t_exit >= near - step) & (t_enter <= far + far_slack))
 
 
 def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,

@@ -159,6 +159,8 @@ def fast_train_render(
     key: Optional[jax.Array] = None,
     training: bool = True,
     bg_ray_colors: Optional[jnp.ndarray] = None,
+    jitter_u: Optional[jnp.ndarray] = None,   # [R, D] precomputed
+                                              # jitter draws (rb path)
 ) -> RenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -177,12 +179,83 @@ def fast_train_render(
     near = jnp.asarray(near, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
     qslot_flat = geo.coor_2_qslot.reshape(-1)
+    jit_amount = cfg.train.jitter if training else 0.0
+
+    if q.ray_budget > 0:
+        # ---- ray packing (the eval fast path's rb reducer, made
+        # differentiable): only box-hitting rays enter the front-end.
+        # A miss ray has qs == -1 at every sample, renders exact
+        # background (a constant — zero gradient), and occupies no
+        # compacted slots, so packing the first RB hitting rays and
+        # scattering per-ray outputs back is EXACT (forward AND
+        # gradients) while rb_overflow == 0. Jitter is drawn on the
+        # FULL ray set and gathered so packing is bit-exact vs the
+        # unpacked path under the same key. Per-slot loss tensors
+        # (conf/pnt_mask/weight) stay packed: the unpacked path's
+        # compacted axis holds exactly the same hit-ray slots.
+        import dataclasses as _dc
+        RB = min(q.ray_budget, R)
+        rmax = ranges_min + jnp.array(dims, jnp.float32) * scaled_vsize
+        step_t = (far - near) / D
+        safe = jnp.where(jnp.abs(raydirs) < 1e-9,
+                         jnp.where(raydirs >= 0, 1e-9, -1e-9), raydirs)
+        inv = 1.0 / safe
+        ta = (ranges_min - campos) * inv
+        tb = (rmax - campos) * inv
+        t_enter = jnp.max(jnp.minimum(ta, tb), -1)
+        t_exit = jnp.min(jnp.maximum(ta, tb), -1)
+        # margins: jittered segment lengths cumsum, so the LAST
+        # midpoint can overshoot far by up to jitter/2 * (far - near);
+        # the first midpoint never precedes near. One extra sample
+        # spacing on both ends for float safety.
+        far_slack = jit_amount * 0.5 * (far - near) + step_t
+        hit = ((t_exit + step_t >= t_enter)
+               & (t_exit >= near - step_t)
+               & (t_enter <= far + far_slack))
+        iota = jnp.arange(R, dtype=jnp.int32)
+        top = jax.lax.top_k(jnp.where(hit, -iota, -(R + 1)), RB)[0]
+        valid = top >= -R
+        ray_ids = jnp.where(valid, -top, 0)
+        rb_overflow = jnp.maximum(jnp.sum(hit.astype(jnp.int32)) - RB, 0)
+
+        u_full = None
+        if jit_amount > 0.0 and key is not None and jitter_u is None:
+            u_full = jax.random.uniform(key, (R, D), dtype=jnp.float32)
+        elif jitter_u is not None:
+            u_full = jitter_u
+
+        cfg0 = _dc.replace(cfg, query=_dc.replace(q, ray_budget=0))
+        sub = fast_train_render(
+            params, points, geo, campos, camrotc2w, raydirs[ray_ids],
+            near, far, cfg0, ranges_min, scaled_vsize, key=key,
+            training=training,
+            bg_ray_colors=(None if bg_ray_colors is None
+                           else bg_ray_colors[ray_ids]),
+            jitter_u=(None if u_full is None else u_full[ray_ids]))
+
+        ids_s = jnp.where(valid, ray_ids, R)    # padding rows drop
+        bg = (bg_ray_colors if bg_ray_colors is not None
+              else jnp.broadcast_to(
+                  jnp.asarray(cfg.bg_color, jnp.float32), (R, 3)))
+        color = bg.astype(jnp.float32).at[ids_s].set(
+            sub.coarse_raycolor, mode="drop")
+        ray_mask = jnp.zeros((R,), jnp.bool_).at[ids_s].set(
+            sub.ray_mask, mode="drop")
+        acc = jnp.zeros((R,), sub.acc.dtype).at[ids_s].set(
+            sub.acc, mode="drop")
+        depth = jnp.zeros((R,), sub.depth.dtype).at[ids_s].set(
+            sub.depth, mode="drop")
+        return RenderOutput(
+            coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
+            depth=depth, conf_coefficient=sub.conf_coefficient,
+            pnt_mask=sub.pnt_mask, weight=sub.weight,
+            rb_overflow=rb_overflow)
 
     raygen = (near_far_disparity_linear_ray_generation if cfg.inverse
               else near_far_linear_ray_generation)
     raypos, _, _ = raygen(
         campos, raydirs, D, near=near, far=far,
-        jitter=cfg.train.jitter if training else 0.0, key=key)  # [R, D, 3]
+        jitter=jit_amount, key=key, jitter_u=jitter_u)  # [R, D, 3]
 
     gc = jnp.floor((raypos - ranges_min) / scaled_vsize).astype(jnp.int32)
     inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
@@ -430,6 +503,11 @@ def make_fast_train_step(cfg: PointNerfConfig):
                 training=True, bg_ray_colors=bg_rgb)
             total, aux = compute_losses(out, gt_rgb, cfg.train,
                                         gt_mask=gt_mask)
+            if out.rb_overflow is not None:
+                # observability: nonzero = box-hitting rays (and their
+                # gradients) were dropped this step — raise ray_budget
+                aux = {**aux,
+                       "rb_overflow": out.rb_overflow.astype(jnp.float32)}
             return total, aux
 
         (_, aux), (g_params, g_points) = jax.value_and_grad(

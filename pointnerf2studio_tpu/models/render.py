@@ -56,6 +56,11 @@ class RenderOutput:
                                           # (sparse loss)
     # prob-mode outputs (point growing; zeros unless prob=True —
     # reference: neural_points_volumetric_model.py:331-362)
+    # fast_train ray packing only: number of box-hitting rays dropped
+    # because the batch had more than QueryConfig.ray_budget of them
+    # (nonzero = raise the budget; gradients silently lose those rays).
+    # None when ray packing is off.
+    rb_overflow: Optional[jnp.ndarray] = None
     ray_max_shading_opacity: Optional[jnp.ndarray] = None   # [R]
     ray_max_sample_loc_w: Optional[jnp.ndarray] = None      # [R, 3]
     shading_avg_color: Optional[jnp.ndarray] = None         # [R, 3]

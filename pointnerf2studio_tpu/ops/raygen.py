@@ -25,8 +25,14 @@ def near_far_linear_ray_generation(
     far: jnp.ndarray | float,
     jitter: float = 0.0,
     key: Optional[jax.Array] = None,
+    jitter_u: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Generate per-ray world-space sample positions.
+
+    `jitter_u` optionally supplies the per-sample uniform draws
+    ([..., R, D] in [0, 1)) in place of drawing from `key` — used by
+    the ray-packed train path, which draws jitter for the FULL ray set
+    and gathers packed rows so packing stays bit-exact.
 
     Returns:
       raypos:  [..., R, D, 3] sample positions (D = num_samples)
@@ -44,8 +50,10 @@ def near_far_linear_ray_generation(
     tvals = jnp.linspace(0.0, 1.0, D + 1, dtype=dtype)
     tvals = near * (1.0 - tvals) + far * tvals                     # [D+1]
     base_seg = tvals[1:] - tvals[:-1]                              # [D]
-    if jitter > 0.0 and key is not None:
-        u = jax.random.uniform(key, (B, R, D), dtype=dtype)
+    if jitter > 0.0 and (key is not None or jitter_u is not None):
+        u = (jitter_u.reshape(B, R, D).astype(dtype)
+             if jitter_u is not None
+             else jax.random.uniform(key, (B, R, D), dtype=dtype))
         seg = base_seg * (1.0 + jitter * (u - 0.5))
         end_ts = near + jnp.cumsum(seg, axis=-1)                   # [B, R, D]
         end_ts = jnp.concatenate(
@@ -86,6 +94,7 @@ def near_far_disparity_linear_ray_generation(
     far: jnp.ndarray | float,
     jitter: float = 0.0,
     key: Optional[jax.Array] = None,
+    jitter_u: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Samples linear in disparity (1/t), the `opt.inverse` path
     (reference: diff_ray_marching.py:144-192, selected by
@@ -100,8 +109,11 @@ def near_far_disparity_linear_ray_generation(
     tvals = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)
     tvals = 1.0 / (1.0 / near * (1.0 - tvals) + 1.0 / far * tvals)
     base_seg = tvals[1:] - tvals[:-1]
-    if jitter > 0.0 and key is not None:
-        u = jax.random.uniform(key, (B, R, num_samples), dtype=dtype)
+    if jitter > 0.0 and (key is not None or jitter_u is not None):
+        u = (jitter_u.reshape(B, R, num_samples).astype(dtype)
+             if jitter_u is not None
+             else jax.random.uniform(key, (B, R, num_samples),
+                                     dtype=dtype))
         seg = base_seg * (1.0 + jitter * (u - 0.5))
         out = _march_from_segments(campos, raydir, seg, near, dtype)
     else:

@@ -211,6 +211,72 @@ def test_packed_composite_train_matches_grid(scene):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_ray_budget_train_exact(scene):
+    """QueryConfig.ray_budget on the TRAIN path: with jitter drawn on
+    the full ray set and gathered, the packed forward is bit-exact vs
+    the unpacked path, gradients match, rb_overflow == 0 at a
+    sufficient budget and counts drops at an insufficient one."""
+    from pointnerf2studio_tpu.models.fast_render import slab_hit_mask
+    from pointnerf2studio_tpu.train.loss import compute_losses
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 6.0)  # wide FOV:
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)  # some miss
+    R = rays.shape[0]
+    hits = int(slab_hit_mask(s.campos, rays, s.near, s.far,
+                             s.cfg.query.z_depth_dim, rmin,
+                             geo.coor_2_qslot.shape, svs,
+                             jitter=s.cfg.train.jitter).sum())
+    assert 0 < hits < R, "scene must have both hit and miss rays"
+    RB = (hits + 15) // 16 * 16
+    cfg_rb = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, ray_budget=RB))
+    key = jax.random.PRNGKey(3)
+
+    base = fast_train_render(s.params, s.cloud, geo, s.campos,
+                             s.camrotc2w, rays, s.near, s.far, s.cfg,
+                             rmin, svs, key=key, training=True)
+    out = fast_train_render(s.params, s.cloud, geo, s.campos,
+                            s.camrotc2w, rays, s.near, s.far, cfg_rb,
+                            rmin, svs, key=key, training=True)
+    assert int(out.rb_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(base.ray_mask))
+    np.testing.assert_array_equal(np.asarray(out.coarse_raycolor),
+                                  np.asarray(base.coarse_raycolor))
+    np.testing.assert_array_equal(np.asarray(out.acc),
+                                  np.asarray(base.acc))
+    np.testing.assert_array_equal(np.asarray(out.depth),
+                                  np.asarray(base.depth))
+
+    gt = jnp.asarray(
+        np.random.default_rng(5).random((R, 3)), jnp.float32)
+
+    def loss(pt, cfg):
+        points = s.cloud.with_trainable(pt)
+        o = fast_train_render(s.params, points, geo, s.campos,
+                              s.camrotc2w, rays, s.near, s.far, cfg,
+                              rmin, svs, key=key, training=True)
+        return compute_losses(o, gt, s.cfg.train)[0]
+
+    l_rb, g_rb = jax.value_and_grad(loss)(s.cloud.trainable(), cfg_rb)
+    l_b, g_b = jax.value_and_grad(loss)(s.cloud.trainable(), s.cfg)
+    np.testing.assert_allclose(float(l_rb), float(l_b), rtol=1e-6)
+    for k in g_rb:
+        np.testing.assert_allclose(np.asarray(g_rb[k]),
+                                   np.asarray(g_b[k]),
+                                   rtol=1e-5, atol=1e-8)
+
+    # an insufficient budget is observable, not silent
+    cfg_small = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query,
+                                         ray_budget=max(hits - 8, 1)))
+    out2 = fast_train_render(s.params, s.cloud, geo, s.campos,
+                             s.camrotc2w, rays, s.near, s.far,
+                             cfg_small, rmin, svs, key=key,
+                             training=True)
+    assert int(out2.rb_overflow) > 0
+
+
 def test_gradients_reach_attributes(scene):
     """Point attributes receive nonzero grads through the fast path."""
     s = scene

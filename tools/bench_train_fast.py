@@ -19,59 +19,151 @@ from pointnerf2studio_tpu.train.trainer import create_train_state
 
 
 def main():
-    fast_chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    # argv[3]: "onehot" (default), "topk", or "topk-packed"
-    mode = sys.argv[3] if len(sys.argv) > 3 else "onehot"
+    # positional args keep the old queue-item syntax; flags extend it:
+    #   --chair      chair scene at reference geometry (D=400, [2, 6]),
+    #                rays pixel-sampled from a full 800x800 frame so
+    #                the miss fraction is realistic (~45-55%)
+    #   --rb <n|auto> train-path ray packing (auto sizes from the max
+    #                per-batch slab-hit count of the benched batches)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    chair = "--chair" in sys.argv
+    rb = None
+    if "--rb" in sys.argv:
+        rb = sys.argv[sys.argv.index("--rb") + 1]
+        args = [a for a in args if a != rb]
+    fast_chunk = int(args[0]) if len(args) > 0 else 4096
+    budget = int(args[1]) if len(args) > 1 else 8
+    # args[2]: "onehot" (default), "topk", or "topk-packed"
+    mode = args[2] if len(args) > 2 else "onehot"
     compact = "topk" if mode.startswith("topk") else "onehot"
     composite = "packed" if mode.endswith("packed") else "grid"
     cfg = PointNerfConfig(
         query=QueryConfig(
             vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
-            SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
+            SR=80, K=8, P=12, max_o=700_000,
+            z_depth_dim=400 if chair else 180,
             compact_budget=budget, use_cache=False,
             fast_chunk=fast_chunk, compact_mode=compact,
             composite_mode=composite),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
     t0 = time.time()
-    scene = make_sphere_scene(n_points=558_000, cfg=cfg)
+    if chair:
+        from pointnerf2studio_tpu.data.synthetic import make_chair_scene
+        scene = make_chair_scene(n_points=558_000, cfg=cfg)
+    else:
+        scene = make_sphere_scene(n_points=558_000, cfg=cfg)
     geo, rmin, svs = make_geo_scene(cfg, scene.cloud, scene.grid)
     jax.block_until_ready(geo.rows)
     print(f"scene+geo build {time.time()-t0:.0f}s", flush=True)
 
     B = 4096
-    rd0 = camera_rays(scene.campos, scene.camrotc2w, 8, 512, 320.0)
     ray_vars = []
-    for i in range(4):
-        r = rd0 + 1e-4 * jax.random.normal(jax.random.PRNGKey(i), rd0.shape)
-        r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
-        ray_vars.append(jax.block_until_ready(
-            jnp.concatenate([r] * (B // r.shape[0] + 1))[:B]))
+    if chair:
+        # reference sampling: 4096 random pixels of an 800x800 frame
+        frame = camera_rays(scene.campos, scene.camrotc2w, 800, 800,
+                            1111.1)
+        import numpy as np
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            idx = rng.choice(frame.shape[0], B, replace=False)
+            ray_vars.append(jax.block_until_ready(frame[idx]))
+        near, far = jnp.asarray(2.0), jnp.asarray(6.0)
+    else:
+        rd0 = camera_rays(scene.campos, scene.camrotc2w, 8, 512, 320.0)
+        for i in range(4):
+            r = rd0 + 1e-4 * jax.random.normal(
+                jax.random.PRNGKey(i), rd0.shape)
+            r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+            ray_vars.append(jax.block_until_ready(
+                jnp.concatenate([r] * (B // r.shape[0] + 1))[:B]))
+        near, far = jnp.asarray(1.1), jnp.asarray(2.9)
     gt = jnp.full((B, 3), 0.4, jnp.float32)
-    near, far = jnp.asarray(1.1), jnp.asarray(2.9)
 
-    step_fn = make_fast_train_step(cfg)
+    if rb is not None:
+        import dataclasses
+
+        from pointnerf2studio_tpu.models.fast_render import slab_hit_mask
+        if rb == "auto":
+            hits = max(int(slab_hit_mask(
+                scene.campos, rv, float(near), float(far),
+                cfg.query.z_depth_dim, rmin, geo.coor_2_qslot.shape,
+                svs, jitter=cfg.train.jitter).sum()) for rv in ray_vars)
+            # training batches vary step to step: leave 25% headroom
+            rbn = min(B, (int(hits * 1.25) + 255) // 256 * 256)
+        else:
+            rbn = int(rb)
+        print(f"ray_budget={rbn} of B={B}", flush=True)
+        if rbn < B:
+            cfg = dataclasses.replace(
+                cfg, query=dataclasses.replace(cfg.query, ray_budget=rbn))
+
     state = create_train_state(scene.params, scene.cloud, cfg)
 
-    state, aux = step_fn(state, geo, rmin, svs, scene.campos,
-                         scene.camrotc2w, ray_vars[0], gt, near, far,
-                         jax.random.PRNGKey(0))
+    # --fwd: forward + loss only (no autodiff); --grad: value_and_grad
+    # without the optimizer update. Together with the full step these
+    # decompose the step cost into forward / backward / optimizer.
+    stage = ("fwd" if "--fwd" in sys.argv
+             else "grad" if "--grad" in sys.argv else "full")
+    if stage == "full":
+        step_fn = make_fast_train_step(cfg)
+    else:
+        from pointnerf2studio_tpu.models.fast_train import (
+            fast_train_render)
+        from pointnerf2studio_tpu.train.loss import compute_losses
+
+        def loss_fn(params, pt, st, rays, key):
+            points = st.points.with_trainable(pt)
+            out = fast_train_render(
+                params, points, geo, scene.campos, scene.camrotc2w,
+                rays, near, far, cfg, rmin, svs, key=key, training=True)
+            return compute_losses(out, gt, cfg.train)[0]
+
+        if stage == "fwd":
+            @jax.jit
+            def step_fn(st, *_ignored, rays=None, key=None):
+                total = loss_fn(st.params, st.points.trainable(), st,
+                                rays, key)
+                return st, {"total": total}
+        else:
+            @jax.jit
+            def step_fn(st, *_ignored, rays=None, key=None):
+                total, grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(
+                        st.params, st.points.trainable(), st, rays, key)
+                # fold the grads into the loss scalar so nothing is DCE'd
+                gsum = sum(jnp.sum(jnp.abs(g))
+                           for g in jax.tree.leaves(grads))
+                return st, {"total": total + 0.0 * gsum}
+
+    def call(s):
+        if stage == "full":
+            return step_fn(state, geo, rmin, svs, scene.campos,
+                           scene.camrotc2w, ray_vars[s % 4], gt, near,
+                           far, jax.random.PRNGKey(s))
+        return step_fn(state, rays=ray_vars[s % 4],
+                       key=jax.random.PRNGKey(s))
+
+    state, aux = call(0)
     jax.block_until_ready(aux["total"])
-    print(f"compiled (+{time.time()-t0:.0f}s)", flush=True)
+    print(f"compiled (+{time.time()-t0:.0f}s) stage={stage}", flush=True)
 
     n = 30
     t1 = time.perf_counter()
     for s in range(n):
-        state, aux = step_fn(state, geo, rmin, svs, scene.campos,
-                             scene.camrotc2w, ray_vars[s % 4], gt, near,
-                             far, jax.random.PRNGKey(s))
+        state, aux = call(s)
     jax.block_until_ready(aux["total"])
     dt = (time.perf_counter() - t1) / n
-    print(f"fast train step ch={fast_chunk} b={budget} {mode}: "
+    tag = (("chair " if chair else "") + ("rb " if rb is not None else "")
+           + (f"{stage}-only " if stage != "full" else ""))
+    print(f"fast train step {tag}ch={fast_chunk} b={budget} {mode}: "
           f"{dt*1e3:.1f} ms "
           f"-> {1/dt:.1f} it/s, {B/dt:,.0f} rays/s "
           f"(legacy r1: 13.0 it/s; reference ~6-7 it/s)")
+    if "rb_overflow" in aux:
+        n_over = int(jax.device_get(aux["rb_overflow"]))
+        print(f"rb_overflow (last step): {n_over} "
+              f"{'OK' if n_over == 0 else 'DROPPED RAYS — inexact'}")
 
 
 if __name__ == "__main__":

@@ -329,6 +329,20 @@ VARIANTS = {
                            composite_mode="packed", depth_window=-2,
                            ray_budget=-2),
                   None),
+    # pack/M-scaling lever composed with dw+rb (PERF.md item 3):
+    # rb already shrinks M via R; budget 5/6 shrinks it further
+    "tkpcb6dwrbm": ("b6 ch=4096 topk packed dw+rb measured",
+                    base_cfg(fast_chunk=4096, compact_budget=6,
+                             compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2),
+                    None),
+    "tkpcb5dwrbm": ("b5 ch=4096 topk packed dw+rb measured",
+                    base_cfg(fast_chunk=4096, compact_budget=5,
+                             compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2),
+                    None),
     # chair-geometry windows (D=400; box-diagonal chord bound ~288)
     "tkpcdw240": ("b8 ch=4096 topk packed dw=240",
                   base_cfg(fast_chunk=4096, compact_mode="topk",

@@ -4,7 +4,21 @@
 # item = variant key (e2e timing), "check:<key>" (exactness), or
 #        "stage:<name>" (probe_topk_pack stage).
 log=$1; shift
-for it in "$@"; do
+# Items can be edited while the queue waits for a TPU claim (the
+# watcher exec's this script only once a claim lands):
+#  - tools/queue_override.txt, if present, REPLACES the argv items
+#    (full reorder control at claim time);
+#  - tools/queue_extra.txt items are appended either way.
+items="$*"
+if [ -f "$(dirname "$0")/queue_override.txt" ]; then
+  items=$(grep -v '^#' "$(dirname "$0")/queue_override.txt" | tr '\n' ' ')
+  echo "==== queue_override.txt in effect" >> "$log"
+fi
+extra=""
+if [ -f "$(dirname "$0")/queue_extra.txt" ]; then
+  extra=$(grep -v '^#' "$(dirname "$0")/queue_extra.txt" | tr '\n' ' ')
+fi
+for it in $items $extra; do
   echo "==== $it $(date +%H:%M:%S)" >> "$log"
   case "$it" in
     check:*) timeout 1800 python tools/check_variant_exact.py "${it#check:}" >> "$log" 2>&1 ;;
