@@ -71,7 +71,8 @@ class FatCache:
     Rebuild whenever points OR their attributes change (eval-time
     structure; training uses the thin cache + differentiable gathers).
     """
-    coor_2_qslot: jnp.ndarray      # [gx, gy, gz] int32, -1 = not query
+    coor_2_qslot: Optional[jnp.ndarray]  # [gx, gy, gz] int32, -1 = not
+                                         # query; None in hash mode
     rows: jnp.ndarray              # [max_q, C*ROWW] f32
     n_q: jnp.ndarray               # [] int32
     # occupancy extra-dilated for the two-level sample test (see
@@ -81,6 +82,12 @@ class FatCache:
     # meta separated, payload channel-major; None in "xla" mode
     kmeta: Optional[jnp.ndarray] = None        # [max_q, C] int32
     kpay: Optional[jnp.ndarray] = None         # [max_q, PK, C] bf16
+    # sparse front-end (ops/hash_grid.py) for huge-extent scenes whose
+    # dense [gx, gy, gz] qslot table would not fit HBM: the bucketized
+    # hash table replaces coor_2_qslot (one row gather either way) and
+    # logical_dims carries the voxel bounds that are no longer a shape
+    hash_table: Optional[jnp.ndarray] = None   # [B, S*5] int32
+    logical_dims: Optional[jnp.ndarray] = None  # [3] int32
 
     @property
     def cand(self) -> int:
@@ -193,6 +200,127 @@ def build_fat_cache(
         coarse_occ=coarse_occ)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "max_q", "cand_cap", "chunk"))
+def build_fat_cache_hash(
+    hg,                         # ops/hash_grid.HashGrid
+    cloud: NeuralPointCloud,
+    kernel_size: Tuple[int, int, int],
+    max_q: int,
+    cand_cap: int = 64,
+    chunk: int = 32768,
+) -> FatCache:
+    """Fat candidate cache over a sparse HashGrid (huge-extent scenes).
+
+    Same rows as build_fat_cache — qslot numbering, candidate ordering
+    and payload packing are identical (the hash build's (x, y, z)
+    lexicographic qslots equal the dense row-major cumsum), so the two
+    caches are interchangeable where both fit; only the voxel->qslot
+    front-end lookup differs (table row gather vs dense gather).
+    coarse_step and knn_mode="fused" stay dense-only for now.
+    """
+    from pointnerf2studio_tpu.ops.hash_grid import W as HW
+    from pointnerf2studio_tpu.ops.hash_grid import hash_lookup
+
+    offs_np, shells_np = neighbor_offsets(kernel_size)
+    offsets = jnp.asarray(offs_np)
+    shells = jnp.asarray(shells_np)
+    V = offsets.shape[0]
+    P = hg.occ_2_pnts.shape[1]
+    C = min(cand_cap, V * P)
+    xyz = cloud.xyz
+    N = xyz.shape[0]
+
+    # qslot -> voxel coords, scattered straight out of the bucket table
+    tbl = hg.table.reshape(-1, HW)                       # [B*S, 5]
+    qv = tbl[:, 4]
+    live = (tbl[:, 0] >= 0) & (qv >= 0) & (qv < max_q)
+    dest = jnp.where(live, qv, max_q)
+    q_coor = jnp.full((max_q, 3), -1, jnp.int32).at[
+        dest[:, None],
+        jnp.broadcast_to(jnp.arange(3), (tbl.shape[0], 3)),
+    ].set(tbl[:, :3], mode="drop")
+    q_live = jnp.zeros((max_q,), jnp.bool_).at[dest].set(
+        live, mode="drop")
+    center_w = (hg.ranges_min
+                + (q_coor.astype(jnp.float32) + 0.5) * hg.scaled_vsize)
+
+    attrs = jnp.concatenate(
+        [cloud.points_embeding, cloud.points_conf, cloud.points_dir,
+         cloud.points_color], -1).astype(jnp.bfloat16)   # [N, 39]
+
+    def one_chunk(args):
+        # identical packing tail to build_fat_cache's one_chunk; only
+        # the neighbor-voxel occ lookup goes through the hash table
+        qc, cw, live_c = args
+        B = qc.shape[0]
+        nb = qc[:, None, :] + offsets[None]              # [B, V, 3]
+        _, slot, _ = hash_lookup(hg, nb)
+        slot_ok = live_c[:, None] & (slot >= 0)
+        cand = hg.occ_2_pnts[jnp.where(slot_ok, slot, 0)]  # [B, V, P]
+        ok = slot_ok[..., None] & (cand >= 0)
+        cxyz = xyz[jnp.clip(cand, 0, N - 1)]
+        d2c = jnp.sum((cxyz - cw[:, None, None, :]) ** 2, -1)
+        sh = jnp.broadcast_to(shells[None, :, None], cand.shape)
+        okf = ok.reshape(B, V * P)
+        key = (sh.reshape(B, V * P).astype(jnp.float32) * 1e12
+               + jnp.minimum(d2c.reshape(B, V * P), 1e9))
+        key = jnp.where(okf, key, jnp.inf)
+        _, top = jax.lax.top_k(-key, C)
+        sel_ok = jnp.take_along_axis(okf, top, -1)
+        sel_pidx = jnp.take_along_axis(cand.reshape(B, V * P), top, -1)
+        sel_sh = jnp.take_along_axis(sh.reshape(B, V * P), top, -1)
+        meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
+        sel_xyz = jnp.take_along_axis(
+            cxyz.reshape(B, V * P, 3), top[..., None], 1)
+        rel = (sel_xyz - cw[:, None, :]).astype(jnp.bfloat16)
+        sel_attr = attrs[jnp.clip(sel_pidx, 0, N - 1)]
+        payload = jnp.concatenate([
+            rel, sel_attr,
+            jnp.zeros((B, C, PAYW - 42), jnp.bfloat16)], -1)
+        payload_p = jax.lax.bitcast_convert_type(
+            payload.reshape(B, C, PAYW // 2, 2), jnp.float32)
+        pack = jnp.concatenate([
+            jax.lax.bitcast_convert_type(meta, jnp.float32)[..., None],
+            payload_p,
+        ], -1)
+        return pack.reshape(B, C * ROWW)
+
+    padded = (max_q + chunk - 1) // chunk * chunk
+    pad = padded - max_q
+    rows = jax.lax.map(one_chunk, (
+        jnp.pad(q_coor, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
+        jnp.pad(center_w, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
+        jnp.pad(q_live, (0, pad)).reshape(-1, chunk)))
+
+    return FatCache(
+        coor_2_qslot=None,
+        rows=rows.reshape(padded, C * ROWW)[:max_q],
+        n_q=hg.n_q,
+        hash_table=hg.table,
+        logical_dims=hg.dims,
+    )
+
+
+def make_hash_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
+                         hg, max_q: Optional[int] = None):
+    """Build the hash-backed fat cache; returns (cache, rmin, svs) —
+    drop-in for make_fast_scene on huge-extent scenes."""
+    if max_q is None:
+        nq = int(jax.device_get(hg.n_q))
+        max_q = (nq + 32767) // 32768 * 32768
+    if cfg.query.coarse_step > 1:
+        raise NotImplementedError(
+            "coarse_step needs a dense coarse-occupancy grid; off in "
+            "hash mode")
+    if cfg.query.knn_mode == "fused":
+        raise NotImplementedError("knn_mode='fused' is dense-only")
+    cache = build_fat_cache_hash(hg, cloud, cfg.query.kernel_size,
+                                 max_q, cfg.query.cand_cap)
+    return cache, hg.ranges_min, hg.scaled_vsize
+
+
 def onehot_select_qd(keep, rank, qs, d_true, BP):
     """Compact per-ray (qslot, d) pairs into the first BP slots via
     one-hot MXU einsums.
@@ -266,9 +394,19 @@ def fast_render_rays(
     BP = q.ray_slot_budget or min(SR, 32)
     budget = q.compact_budget if q.compact_budget > 0 else SR
     M = min(R * budget, R * D)
-    dims = cache.coor_2_qslot.shape
-    gy, gz = dims[1], dims[2]
-    dims_arr = jnp.array(dims, jnp.int32)
+    hash_mode = cache.hash_table is not None
+    if hash_mode:
+        # sparse front-end: voxel bounds are a device value, never a
+        # shape (ops/hash_grid.py); the qslot lookup goes through the
+        # bucket table instead of a dense [gx, gy, gz] gather
+        dims_arr = cache.logical_dims
+        dims_f = cache.logical_dims.astype(jnp.float32)
+        gy = gz = None
+    else:
+        dims = cache.coor_2_qslot.shape
+        gy, gz = dims[1], dims[2]
+        dims_arr = jnp.array(dims, jnp.int32)
+        dims_f = jnp.array(dims, jnp.float32)
 
     near = jnp.asarray(near, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
@@ -287,7 +425,7 @@ def fast_render_rays(
         import dataclasses as _dc
         RB = min(q.ray_budget, R)   # == R keeps the output pytree
                                     # static (rb_overflow present)
-        rmax = ranges_min + jnp.array(dims, jnp.float32) * scaled_vsize
+        rmax = ranges_min + dims_f * scaled_vsize
         safe = jnp.where(jnp.abs(raydirs) < 1e-9,
                          jnp.where(raydirs >= 0, 1e-9, -1e-9), raydirs)
         inv = 1.0 / safe
@@ -332,7 +470,8 @@ def fast_render_rays(
             depth=depth, win_overflow=sub.win_overflow,
             dw_overflow=sub.dw_overflow, rb_overflow=rb_overflow)
 
-    qslot_flat = cache.coor_2_qslot.reshape(-1)
+    qslot_flat = (None if hash_mode
+                  else cache.coor_2_qslot.reshape(-1))
 
     def _voxelize(pos):
         gc = jnp.floor((pos - ranges_min) / scaled_vsize).astype(jnp.int32)
@@ -340,6 +479,18 @@ def fast_render_rays(
         gcc = jnp.clip(gc, 0, dims_arr - 1)
         fi = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
         return fi, inb
+
+    def _qs_lookup(pos):
+        """sample position -> (qslot or -1, in-bounds mask); the dense
+        table gather or (hash mode) one bucket-table row gather."""
+        if hash_mode:
+            from pointnerf2studio_tpu.ops.hash_grid import table_qslot
+            gc = jnp.floor(
+                (pos - ranges_min) / scaled_vsize).astype(jnp.int32)
+            inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
+            return table_qslot(cache.hash_table, gc, inb), inb
+        fi, inb = _voxelize(pos)
+        return jnp.where(inb, qslot_flat[jnp.where(inb, fi, 0)], -1), inb
 
     use_coarse = (q.coarse_step > 1 and cache.coor_2_qslot is not None
                   and cache.coarse_occ is not None
@@ -375,8 +526,7 @@ def fast_render_rays(
             # samples past the window coverage, win_overflow counts
             # positive windows past BW (as before).
             DW = q.depth_window
-            rmax = (ranges_min
-                    + jnp.array(dims, jnp.float32) * scaled_vsize)
+            rmax = ranges_min + dims_f * scaled_vsize
             safe = jnp.where(jnp.abs(raydirs) < 1e-9,
                              jnp.where(raydirs >= 0, 1e-9, -1e-9),
                              raydirs)
@@ -443,7 +593,7 @@ def fast_render_rays(
         # (~7 ns/row, the largest stage of the step) with no window
         # budgets to overflow.
         DW = min(q.depth_window, D)
-        rmax = ranges_min + jnp.array(dims, jnp.float32) * scaled_vsize
+        rmax = ranges_min + dims_f * scaled_vsize
         safe = jnp.where(jnp.abs(raydirs) < 1e-9,
                          jnp.where(raydirs >= 0, 1e-9, -1e-9), raydirs)
         inv = 1.0 / safe
@@ -464,19 +614,17 @@ def fast_render_rays(
             hit_box, jnp.maximum(d_hi - (d0 + DW - 1), 0), 0))
         d_true = d0[:, None] + jnp.arange(DW, dtype=jnp.int32)  # [R, DW]
         t_f = near + (d_true.astype(jnp.float32) + 0.5) * step_t
-        ffid, finb = _voxelize(
-            campos + raydirs[:, None, :] * t_f[..., None])
-        qs = jnp.where(finb, qslot_flat[jnp.where(finb, ffid, 0)], -1)
+        qs, _ = _qs_lookup(campos + raydirs[:, None, :] * t_f[..., None])
         Dax = DW
         win_overflow = None
     else:
         t_mid = near + (jnp.arange(D, dtype=jnp.float32) + 0.5) * step_t
-        fidx, inb = _voxelize(
-            campos + raydirs[:, None, :] * t_mid[None, :, None])
+        pos_mid = campos + raydirs[:, None, :] * t_mid[None, :, None]
         if debug_ablate == "qslot":
+            fidx, inb = _voxelize(pos_mid)
             qs = jnp.where(inb, fidx % 97, -1)  # fake: no table gather
         else:
-            qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
+            qs, _ = _qs_lookup(pos_mid)
         d_true = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), (R, D))
         Dax = D
         win_overflow = None

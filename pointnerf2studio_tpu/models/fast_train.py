@@ -55,9 +55,14 @@ GEOW = 4      # f32 words per candidate: bitcast(meta), xyz_rel f32 x3
 @struct.dataclass
 class GeoCache:
     """Geometry-only candidate rows (see FatCache for the eval twin)."""
-    coor_2_qslot: jnp.ndarray      # [gx, gy, gz] int32, -1 = not query
+    coor_2_qslot: Optional[jnp.ndarray]  # [gx, gy, gz] int32, -1 = not
+                                         # query; None in hash mode
     rows: jnp.ndarray              # [max_q, C*GEOW] f32
     n_q: jnp.ndarray               # [] int32
+    # sparse front-end for huge-extent scenes (ops/hash_grid.py; same
+    # contract as FatCache.hash_table/logical_dims)
+    hash_table: Optional[jnp.ndarray] = None    # [B, S*5] int32
+    logical_dims: Optional[jnp.ndarray] = None  # [3] int32
 
     @property
     def cand(self) -> int:
@@ -144,6 +149,102 @@ def build_geo_cache(
         n_q=n_q)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "max_q", "cand_cap", "chunk"))
+def build_geo_cache_hash(
+    hg,                          # ops/hash_grid.HashGrid
+    xyz: jnp.ndarray,
+    kernel_size: Tuple[int, int, int],
+    max_q: int,
+    cand_cap: int = 64,
+    chunk: int = 32768,
+) -> GeoCache:
+    """Geometry cache over a sparse HashGrid — rows identical to
+    build_geo_cache (same qslot numbering and candidate ordering; see
+    models/fast_render.build_fat_cache_hash for the argument)."""
+    from pointnerf2studio_tpu.ops.hash_grid import W as HW
+    from pointnerf2studio_tpu.ops.hash_grid import hash_lookup
+
+    offs_np, shells_np = neighbor_offsets(kernel_size)
+    offsets = jnp.asarray(offs_np)
+    shells = jnp.asarray(shells_np)
+    V = offsets.shape[0]
+    P = hg.occ_2_pnts.shape[1]
+    C = min(cand_cap, V * P)
+    N = xyz.shape[0]
+
+    tbl = hg.table.reshape(-1, HW)
+    qv = tbl[:, 4]
+    live = (tbl[:, 0] >= 0) & (qv >= 0) & (qv < max_q)
+    dest = jnp.where(live, qv, max_q)
+    q_coor = jnp.full((max_q, 3), -1, jnp.int32).at[
+        dest[:, None],
+        jnp.broadcast_to(jnp.arange(3), (tbl.shape[0], 3)),
+    ].set(tbl[:, :3], mode="drop")
+    q_live = jnp.zeros((max_q,), jnp.bool_).at[dest].set(
+        live, mode="drop")
+    center_w = (hg.ranges_min
+                + (q_coor.astype(jnp.float32) + 0.5) * hg.scaled_vsize)
+
+    def one_chunk(args):
+        # identical packing tail to build_geo_cache's one_chunk; only
+        # the neighbor occ lookup goes through the hash table
+        qc, cw, live_c = args
+        B = qc.shape[0]
+        nb = qc[:, None, :] + offsets[None]
+        _, slot, _ = hash_lookup(hg, nb)
+        slot_ok = live_c[:, None] & (slot >= 0)
+        cand = hg.occ_2_pnts[jnp.where(slot_ok, slot, 0)]    # [B, V, P]
+        ok = slot_ok[..., None] & (cand >= 0)
+        cxyz = xyz[jnp.clip(cand, 0, N - 1)]
+        d2c = jnp.sum((cxyz - cw[:, None, None, :]) ** 2, -1)
+        sh = jnp.broadcast_to(shells[None, :, None], cand.shape)
+        okf = ok.reshape(B, V * P)
+        key = (sh.reshape(B, V * P).astype(jnp.float32) * 1e12
+               + jnp.minimum(d2c.reshape(B, V * P), 1e9))
+        key = jnp.where(okf, key, jnp.inf)
+        _, top = jax.lax.top_k(-key, C)
+        sel_ok = jnp.take_along_axis(okf, top, -1)
+        sel_pidx = jnp.take_along_axis(cand.reshape(B, V * P), top, -1)
+        sel_sh = jnp.take_along_axis(sh.reshape(B, V * P), top, -1)
+        meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
+        sel_xyz = jnp.take_along_axis(
+            cxyz.reshape(B, V * P, 3), top[..., None], 1)
+        rel = sel_xyz - cw[:, None, :]                       # f32
+        pack = jnp.concatenate([
+            jax.lax.bitcast_convert_type(meta, jnp.float32)[..., None],
+            rel,
+        ], -1)
+        return pack.reshape(B, C * GEOW)
+
+    padded = (max_q + chunk - 1) // chunk * chunk
+    pad = padded - max_q
+    rows = jax.lax.map(one_chunk, (
+        jnp.pad(q_coor, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
+        jnp.pad(center_w, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
+        jnp.pad(q_live, (0, pad)).reshape(-1, chunk)))
+
+    return GeoCache(
+        coor_2_qslot=None,
+        rows=rows.reshape(padded, C * GEOW)[:max_q],
+        n_q=hg.n_q,
+        hash_table=hg.table,
+        logical_dims=hg.dims,
+    )
+
+
+def make_hash_geo_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
+                        hg, max_q: Optional[int] = None):
+    """Hash-backed geometry cache; drop-in for make_geo_scene on
+    huge-extent scenes. Returns (geo, ranges_min, scaled_vsize)."""
+    if max_q is None:
+        nq = int(jax.device_get(hg.n_q))
+        max_q = (nq + 32767) // 32768 * 32768
+    geo = build_geo_cache_hash(hg, cloud.xyz, cfg.query.kernel_size,
+                               max_q, cfg.query.cand_cap)
+    return geo, hg.ranges_min, hg.scaled_vsize
+
+
 def fast_train_render(
     params,
     points: NeuralPointCloud,
@@ -171,14 +272,24 @@ def fast_train_render(
     M = min(R * budget, R * D)
     radius2 = q.radius_limit ** 2
     CAND = geo.cand
-    dims = geo.coor_2_qslot.shape
-    gy, gz = dims[1], dims[2]
-    dims_arr = jnp.array(dims, jnp.int32)
+    hash_mode = geo.hash_table is not None
+    if hash_mode:
+        # sparse front-end: logical bounds are a device value, qslot
+        # lookups go through the bucket table (ops/hash_grid.py)
+        dims_arr = geo.logical_dims
+        dims_f = geo.logical_dims.astype(jnp.float32)
+        gy = gz = None
+        qslot_flat = None
+    else:
+        dims = geo.coor_2_qslot.shape
+        gy, gz = dims[1], dims[2]
+        dims_arr = jnp.array(dims, jnp.int32)
+        dims_f = jnp.array(dims, jnp.float32)
+        qslot_flat = geo.coor_2_qslot.reshape(-1)
     num_shells = (q.kernel_size[0] + 1) // 2
 
     near = jnp.asarray(near, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
-    qslot_flat = geo.coor_2_qslot.reshape(-1)
     jit_amount = cfg.train.jitter if training else 0.0
 
     if q.ray_budget > 0:
@@ -195,7 +306,7 @@ def fast_train_render(
         # compacted axis holds exactly the same hit-ray slots.
         import dataclasses as _dc
         RB = min(q.ray_budget, R)
-        rmax = ranges_min + jnp.array(dims, jnp.float32) * scaled_vsize
+        rmax = ranges_min + dims_f * scaled_vsize
         step_t = (far - near) / D
         safe = jnp.where(jnp.abs(raydirs) < 1e-9,
                          jnp.where(raydirs >= 0, 1e-9, -1e-9), raydirs)
@@ -259,9 +370,13 @@ def fast_train_render(
 
     gc = jnp.floor((raypos - ranges_min) / scaled_vsize).astype(jnp.int32)
     inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
-    gcc = jnp.clip(gc, 0, dims_arr - 1)
-    fidx = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
-    qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
+    if hash_mode:
+        from pointnerf2studio_tpu.ops.hash_grid import table_qslot
+        qs = table_qslot(geo.hash_table, gc, inb)
+    else:
+        gcc = jnp.clip(gc, 0, dims_arr - 1)
+        fidx = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
+        qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
 
     mask = qs >= 0
     ray_hit = jnp.any(mask, axis=-1)
