@@ -311,6 +311,16 @@ def build_grid_from_points(
     xyz_min = np.asarray(jnp.min(jnp.where(alive3, xyz, big), axis=0))
     xyz_max = np.asarray(jnp.max(jnp.where(alive3, xyz, -big), axis=0))
     ranges_min, dims = compute_grid_geometry(xyz_min, xyz_max, cfg)
+    nvox = int(dims[0]) * int(dims[1]) * int(dims[2])
+    if nvox > 2**31 - 1 or nvox * 4 > 4 * 2**30:
+        # two dense int32 tables of this size would blow HBM (and flat
+        # voxel ids overflow int32) — fail with a pointer instead of an
+        # opaque allocator error
+        raise ValueError(
+            f"dense grid dims {dims} = {nvox:,} voxels exceed the dense "
+            f"table budget; use the sparse grid for this extent "
+            f"(ops/hash_grid.build_hash_grid_from_points + "
+            f"make_hash_fast_scene / make_hash_geo_scene)")
     grid = build_grid(
         xyz, alive,
         jnp.asarray(ranges_min), jnp.asarray(cfg.scaled_vsize, jnp.float32),

@@ -83,8 +83,22 @@ def main():
         scene = make_chair_scene(n_points=558_000, cfg=cfg0)
     else:
         scene = make_sphere_scene(n_points=558_000, cfg=cfg0)
-    cache, rmin, svs = make_fast_scene(cfg0, scene.cloud, scene.grid,
-                                       near=scene.near, far=scene.far)
+    if which.endswith("hash"):
+        # sparse front-end: same rows, qslot lookups via the bucket
+        # table (ops/hash_grid.py) — times the hash lookup vs the
+        # dense table gather at bench scale
+        from pointnerf2studio_tpu.models.fast_render import (
+            make_hash_fast_scene)
+        from pointnerf2studio_tpu.ops.hash_grid import (
+            build_hash_grid_from_points)
+        hgr = build_hash_grid_from_points(
+            scene.cloud.xyz, scene.cloud.alive, cfg0.query)
+        print(f"hash grid: B={hgr.n_buckets} S={hgr.bucket_slots} "
+              f"n_q={int(hgr.n_q)}", flush=True)
+        cache, rmin, svs = make_hash_fast_scene(cfg0, scene.cloud, hgr)
+    else:
+        cache, rmin, svs = make_fast_scene(cfg0, scene.cloud, scene.grid,
+                                           near=scene.near, far=scene.far)
     jax.block_until_ready(cache.rows)
     print(f"setup {time.time()-t0:.0f}s", flush=True)
 
@@ -352,6 +366,17 @@ VARIANTS = {
                   base_cfg(fast_chunk=4096, compact_mode="topk",
                            composite_mode="packed", depth_window=288),
                   None),
+    # sparse front-end timing (cache built by the which.endswith("hash")
+    # branch in main(); cfg must avoid dense-only features)
+    "tkpchash": ("b8 ch=4096 topk packed HASH front-end",
+                 base_cfg(fast_chunk=4096, compact_mode="topk",
+                          composite_mode="packed"),
+                 None),
+    "tkpcdwrbmhash": ("b8 ch=4096 topk packed dw+rb HASH",
+                      base_cfg(fast_chunk=4096, compact_mode="topk",
+                               composite_mode="packed", depth_window=-2,
+                               ray_budget=-2),
+                      None),
     "tksb": ("b8 ch=4096 topk scatterback-skip",
              base_cfg(fast_chunk=4096, compact_mode="topk"),
              "scatterback"),
