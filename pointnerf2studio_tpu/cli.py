@@ -79,14 +79,19 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
-    from pointnerf2studio_tpu.ops.grid import build_grid_from_points
+    from pointnerf2studio_tpu.ops.hash_grid import (
+        HashGrid, build_query_grid)
     from pointnerf2studio_tpu.train.evaluator import evaluate_dataset
     from pointnerf2studio_tpu.utils import checkpoint_io as cio
 
     cfg, train_ds, eval_ds = _load_scene(args)
     params, points = cio.load_reference_checkpoint(
         _latest_ckpt(args.checkpoint))
-    grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
+    grid = build_query_grid(points.xyz, points.alive, cfg.query)
+    if isinstance(grid, HashGrid) and not args.fast:
+        print("hash-grid scene: the legacy eval path is dense-only; "
+              "rendering through the fast path")
+        args.fast = True
     views = list(range(args.eval_views)) if args.eval_views else None
     m = evaluate_dataset(cfg, params, points, grid, eval_ds, views=views,
                          out_dir=args.out, save_images=bool(args.out),
@@ -97,17 +102,19 @@ def cmd_eval(args):
 
 
 def cmd_render_video(args):
-    from pointnerf2studio_tpu.ops.grid import build_grid_from_points
+    from pointnerf2studio_tpu.ops.hash_grid import (
+        HashGrid, build_query_grid)
     from pointnerf2studio_tpu.train.evaluator import render_video
     from pointnerf2studio_tpu.utils import checkpoint_io as cio
 
     cfg, train_ds, _ = _load_scene(args)
     params, points = cio.load_reference_checkpoint(
         _latest_ckpt(args.checkpoint))
-    grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
+    grid = build_query_grid(points.xyz, points.alive, cfg.query)
+    fast = args.fast or isinstance(grid, HashGrid)
     path = render_video(cfg, params, points, grid, train_ds.intrinsics,
                         train_ds.hw, train_ds.near, train_ds.far,
-                        args.out, n_frames=args.frames, fast=args.fast)
+                        args.out, n_frames=args.frames, fast=fast)
     print("wrote", path)
 
 

@@ -38,6 +38,13 @@ class QueryConfig:
     NN: int = 2
     # Pad dense grid dims up to a multiple of this to stabilize jit caches.
     grid_dim_pad: int = 32
+    # Voxel-grid backend: "dense" ([gx, gy, gz] tables, the default for
+    # object-scale scenes), "hash" (the sparse bucket table of
+    # ops/hash_grid.py for T&T/ScanNet-scale extents whose dense tables
+    # would not fit HBM), or "auto" (dense while feasible, else hash).
+    # Hash mode requires the fast train/eval paths (legacy render,
+    # prob-mode growing, coarse_step and fused knn are dense-only).
+    grid_mode: str = "auto"
     # Average valid shading slots per ray the MLP tower is provisioned
     # for: the render step sorts (ray, slot) pairs by validity and only
     # the first R*compact_budget reach the K-NN + MXU (the TPU

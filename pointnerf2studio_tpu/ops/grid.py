@@ -110,6 +110,15 @@ def compute_grid_geometry(
     return lo, (int(dims[0]), int(dims[1]), int(dims[2]))
 
 
+def dense_dims_feasible(dims) -> bool:
+    """Whether [gx, gy, gz] dense int32 tables are representable and
+    affordable: flat voxel ids must fit int32 and one table must stay
+    under ~4 GB (two are allocated per grid plus the caches' qslot
+    table). Beyond this, use ops/hash_grid.py."""
+    nvox = int(dims[0]) * int(dims[1]) * int(dims[2])
+    return nvox <= 2**31 - 1 and nvox * 4 <= 4 * 2**30
+
+
 def voxel_coords(
     xyz: jnp.ndarray, ranges_min: jnp.ndarray, scaled_vsize: jnp.ndarray
 ) -> jnp.ndarray:
@@ -311,15 +320,14 @@ def build_grid_from_points(
     xyz_min = np.asarray(jnp.min(jnp.where(alive3, xyz, big), axis=0))
     xyz_max = np.asarray(jnp.max(jnp.where(alive3, xyz, -big), axis=0))
     ranges_min, dims = compute_grid_geometry(xyz_min, xyz_max, cfg)
-    nvox = int(dims[0]) * int(dims[1]) * int(dims[2])
-    if nvox > 2**31 - 1 or nvox * 4 > 4 * 2**30:
+    if not dense_dims_feasible(dims):
         # two dense int32 tables of this size would blow HBM (and flat
         # voxel ids overflow int32) — fail with a pointer instead of an
         # opaque allocator error
         raise ValueError(
-            f"dense grid dims {dims} = {nvox:,} voxels exceed the dense "
-            f"table budget; use the sparse grid for this extent "
-            f"(ops/hash_grid.build_hash_grid_from_points + "
+            f"dense grid dims {dims} exceed the dense table budget; "
+            f"use the sparse grid for this extent (grid_mode='hash' / "
+            f"'auto', or ops/hash_grid.build_hash_grid_from_points + "
             f"make_hash_fast_scene / make_hash_geo_scene)")
     grid = build_grid(
         xyz, alive,

@@ -292,6 +292,33 @@ def suggest_buckets(n_entries: int, bucket_slots: int = 16) -> int:
     return max(1024, int(2 ** int(np.ceil(np.log2(target)))))
 
 
+def build_query_grid(xyz: jnp.ndarray, alive: jnp.ndarray,
+                     cfg: QueryConfig):
+    """Grid-backend selector (QueryConfig.grid_mode): returns a dense
+    PointGrid or a sparse HashGrid. "auto" picks dense while the dense
+    tables are feasible (ops/grid.dense_dims_feasible) and falls back
+    to the hash grid for huge extents. Consumers branch with
+    `isinstance(grid, HashGrid)`."""
+    from pointnerf2studio_tpu.ops.grid import (
+        build_grid_from_points, dense_dims_feasible)
+
+    mode = cfg.grid_mode
+    if mode == "dense":
+        return build_grid_from_points(xyz, alive, cfg)
+    if mode == "hash":
+        return build_hash_grid_from_points(xyz, alive, cfg)
+    if mode != "auto":
+        raise ValueError(f"unknown grid_mode {mode!r}")
+    big = jnp.float32(1e30)
+    alive3 = alive[:, None]
+    xyz_min = np.asarray(jnp.min(jnp.where(alive3, xyz, big), axis=0))
+    xyz_max = np.asarray(jnp.max(jnp.where(alive3, xyz, -big), axis=0))
+    _, dims = compute_grid_geometry(xyz_min, xyz_max, cfg)
+    if dense_dims_feasible(dims):
+        return build_grid_from_points(xyz, alive, cfg)
+    return build_hash_grid_from_points(xyz, alive, cfg)
+
+
 def build_hash_grid_from_points(
     xyz: jnp.ndarray, alive: jnp.ndarray, cfg: QueryConfig,
     bucket_slots: int = 16, max_attempts: int = 4,

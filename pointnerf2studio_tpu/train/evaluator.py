@@ -46,15 +46,23 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
     from pointnerf2studio_tpu.models.fast_render import (
         fast_render_rays, make_fast_scene, suggest_depth_window)
 
+    from pointnerf2studio_tpu.ops.hash_grid import HashGrid
+
     if cfg.query.depth_window < 0:
         # auto: clip the per-sample lookup to the grid-box chord bound
         # (exact — covers any chord; dw_overflow is still checked)
-        dw = suggest_depth_window(grid.dims, cfg.query.scaled_vsize,
+        dw = suggest_depth_window(np.asarray(grid.dims),
+                                  cfg.query.scaled_vsize,
                                   near, far, cfg.query.z_depth_dim)
         cfg = dataclasses.replace(
             cfg, query=dataclasses.replace(cfg.query, depth_window=dw))
-    cache, rmin, svs = make_fast_scene(cfg, points, grid,
-                                       near=near, far=far)
+    if isinstance(grid, HashGrid):
+        from pointnerf2studio_tpu.models.fast_render import (
+            make_hash_fast_scene)
+        cache, rmin, svs = make_hash_fast_scene(cfg, points, grid)
+    else:
+        cache, rmin, svs = make_fast_scene(cfg, points, grid,
+                                           near=near, far=far)
     Rw2c = points.Rw2c
     checked: List[int] = []
 
@@ -148,6 +156,9 @@ def evaluate_dataset(
     precomputed from `bg_src_dataset` (the train split's images;
     reference test_bg_info, train_ft.py:604-612).
     """
+    from pointnerf2studio_tpu.ops.hash_grid import HashGrid
+    if isinstance(grid, HashGrid):
+        fast = True        # the legacy chunk renderer is dense-only
     if fast:
         render_chunk = make_fast_chunk_fn(cfg, points, grid,
                                           dataset.near, dataset.far)
@@ -215,7 +226,10 @@ def render_video(
 ) -> str:
     """Spherical-path video (reference: run/render_vid.py)."""
     from pointnerf2studio_tpu.data.blender import pixel_raydirs
+    from pointnerf2studio_tpu.ops.hash_grid import HashGrid
 
+    if isinstance(grid, HashGrid):
+        fast = True        # the legacy chunk renderer is dense-only
     render_chunk = (make_fast_chunk_fn(cfg, points, grid, near, far)
                     if fast else make_render_chunk_fn(cfg))
     h, w = hw

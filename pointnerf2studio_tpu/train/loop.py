@@ -23,7 +23,6 @@ from pointnerf2studio_tpu.data.blender import BlenderDataset, PixelSampler
 from pointnerf2studio_tpu.models import neural_points as npts
 from pointnerf2studio_tpu.models.aggregator import AggregatorParams
 from pointnerf2studio_tpu.models.neural_points import NeuralPointCloud
-from pointnerf2studio_tpu.ops.grid import build_grid_from_points
 from pointnerf2studio_tpu.train.evaluator import evaluate_dataset
 from pointnerf2studio_tpu.train.trainer import (
     TrainState, create_train_state, make_train_step)
@@ -77,8 +76,26 @@ def fit(
                 os.path.join(out_dir, "ckpt"), last, state)
             start_step = last + 1
             print(f"resumed from step {last}")
-    grid = build_grid_from_points(
-        state.points.xyz, state.points.alive, cfg.query)
+    from pointnerf2studio_tpu.ops.hash_grid import (
+        HashGrid, build_query_grid)
+    grid = build_query_grid(state.points.xyz, state.points.alive,
+                            cfg.query)
+    is_hash = isinstance(grid, HashGrid)
+    if is_hash:
+        # the sparse grid serves only the fast paths (see
+        # QueryConfig.grid_mode); fail actionably up front
+        if not cfg.train.fast_path:
+            raise ValueError(
+                "grid_mode resolved to the sparse hash grid, which "
+                "requires TrainConfig.fast_path=True (the legacy train "
+                "step needs dense tables)")
+        if cfg.train.prob_freq > 0:
+            raise ValueError(
+                "point growing (prob_freq > 0) renders probes through "
+                "the legacy path, which is dense-only; set prob_freq=0 "
+                "for hash-grid scenes or use grid_mode='dense'")
+        # sharded fast training works as-is: the geo pytree (incl. the
+        # bucket table) is replicated per chip by the P() in_spec
 
     # Plane background: precompute per-view bg color maps once, index
     # them per batch by pixel id (reference: train_ft.py:604-612
@@ -93,9 +110,17 @@ def fit(
 
     use_fast = cfg.train.fast_path
     geo_state = {}
-    if use_fast:
+
+    def _make_geo(points, g):
+        if isinstance(g, HashGrid):
+            from pointnerf2studio_tpu.models.fast_train import (
+                make_hash_geo_scene)
+            return make_hash_geo_scene(cfg, points, g)
         from pointnerf2studio_tpu.models.fast_train import make_geo_scene
-        geo_state["geo"] = make_geo_scene(cfg, state.points, grid)
+        return make_geo_scene(cfg, points, g)
+
+    if use_fast:
+        geo_state["geo"] = _make_geo(state.points, grid)
     if mesh is not None and use_fast:
         from pointnerf2studio_tpu.parallel.sharding import (
             make_sharded_fast_train_step)
@@ -264,12 +289,9 @@ def fit(
                 and step <= t.prune_max_iter):
             pruned = npts.prune(state.points, t.prune_thresh)
             state = state.replace(points=pruned)
-            grid = build_grid_from_points(
-                pruned.xyz, pruned.alive, cfg.query)
+            grid = build_query_grid(pruned.xyz, pruned.alive, cfg.query)
             if use_fast:
-                from pointnerf2studio_tpu.models.fast_train import (
-                    make_geo_scene)
-                geo_state["geo"] = make_geo_scene(cfg, state.points, grid)
+                geo_state["geo"] = _make_geo(state.points, grid)
 
         # Probe holes + grow points (reference: train_ft.py:844-923).
         if t.prob_freq > 0 and step % t.prob_freq == 0:
@@ -297,9 +319,7 @@ def fit(
                 chunk=eval_chunk, opacity_thresh=t.prob_thresh,
                 prob_mul=t.prob_mul)
             if use_fast and n_new:
-                from pointnerf2studio_tpu.models.fast_train import (
-                    make_geo_scene)
-                geo_state["geo"] = make_geo_scene(cfg, state.points, grid)
+                geo_state["geo"] = _make_geo(state.points, grid)
             logger.flush(step, extra={"grown_points": n_new})
 
         if save_freq and step % save_freq == 0:
@@ -309,7 +329,7 @@ def fit(
         if eval_freq and step % eval_freq == 0 and eval_dataset is not None:
             m = evaluate_dataset(
                 cfg, state.params, state.points, grid, eval_dataset,
-                views=eval_views, chunk=eval_chunk,
+                views=eval_views, chunk=eval_chunk, fast=is_hash,
                 bg_src_dataset=dataset if bg_maps is not None else None)
             logger.flush(step, extra={f"eval_{k}": v for k, v in m.items()})
 
@@ -321,7 +341,7 @@ def fit(
     if eval_dataset is not None:
         metrics = evaluate_dataset(
             cfg, state.params, state.points, grid, eval_dataset,
-            views=eval_views, chunk=eval_chunk,
+            views=eval_views, chunk=eval_chunk, fast=is_hash,
             bg_src_dataset=dataset if bg_maps is not None else None)
         logger.flush(max_steps, extra={f"final_{k}": v
                                        for k, v in metrics.items()})

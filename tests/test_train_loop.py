@@ -47,6 +47,55 @@ def toy_dataset(teacher_scene):
         near=s.near, far=s.far, split="train")
 
 
+def test_fit_hash_grid_matches_dense(teacher_scene, toy_dataset, tmp_path):
+    """fit() with grid_mode='hash' (sparse bucket-table grid) produces
+    the same training trajectory as the dense grid: the hash GeoCache
+    rows and qslot numbering are identical, so with the same seed every
+    step is bit-equal."""
+    s = teacher_scene
+    base = dataclasses.replace(
+        s.cfg, train=dataclasses.replace(
+            s.cfg.train, rays_per_batch=128, fast_path=True,
+            prune_iter=0, prob_freq=0))
+    student = init_aggregator_params(jax.random.PRNGKey(9), base.agg)
+    student["density_head"][0]["bias"] = (
+        student["density_head"][0]["bias"] + 5.0)
+
+    results = {}
+    for mode in ("dense", "hash"):
+        cfg = dataclasses.replace(
+            base, query=dataclasses.replace(base.query, grid_mode=mode))
+        res = fit(cfg, toy_dataset, student, s.cloud,
+                  str(tmp_path / mode), max_steps=8, print_freq=4,
+                  save_freq=0, seed=3)
+        results[mode] = res.state
+    for a, b in zip(jax.tree.leaves(results["dense"].params),
+                    jax.tree.leaves(results["hash"].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(results["dense"].points.points_embeding),
+        np.asarray(results["hash"].points.points_embeding))
+
+
+def test_fit_hash_grid_rejects_legacy_and_growth(teacher_scene,
+                                                 toy_dataset, tmp_path):
+    s = teacher_scene
+    cfg = dataclasses.replace(
+        s.cfg,
+        query=dataclasses.replace(s.cfg.query, grid_mode="hash"),
+        train=dataclasses.replace(s.cfg.train, rays_per_batch=128,
+                                  fast_path=False, prob_freq=0))
+    with pytest.raises(ValueError, match="fast_path"):
+        fit(cfg, toy_dataset, s.params, s.cloud, str(tmp_path / "x"),
+            max_steps=1, save_freq=0)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, fast_path=True,
+                                       prob_freq=5))
+    with pytest.raises(ValueError, match="prob_freq"):
+        fit(cfg2, toy_dataset, s.params, s.cloud, str(tmp_path / "y"),
+            max_steps=1, save_freq=0)
+
+
 def test_fit_reduces_loss_and_checkpoints(teacher_scene, toy_dataset, tmp_path):
     s = teacher_scene
     cfg = dataclasses.replace(
