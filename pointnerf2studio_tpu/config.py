@@ -222,7 +222,7 @@ class AggregatorConfig:
     fused_decode2: bool = False
     # Aggregation weight kernel (reference `agg_distance_kernel`,
     # point_aggregators.py:353-483): linear | numlinear | quadric |
-    # numquadric | avg | trilinear | sh_intrp | gau_intrp.
+    # numquadric | avg | trilinear | sh_intrp | gau_intrp | feat_intrp.
     agg_distance_kernel: str = "linear"
     # Normalize weights over K (skipped for trilinear / num* kernels,
     # which normalize internally — point_aggregators.py:818-819).
@@ -232,6 +232,16 @@ class AggregatorConfig:
     sh_degree: int = 4
     sh_act: str = "sigmoid"            # sigmoid | tanh
     sh_dist_func: str = "sh_linear"    # sh_linear | sh_quadric
+    # feat_intrp: learned aggregation weights — sigmoid(MLP([PE(world
+    # delta, weight_xyz_freq), emb[..., :weight_feat_dim]])). The
+    # reference declares this MLP's architecture in init only
+    # (point_aggregators.py:226-237: two halving Linear+act layers +
+    # Linear(1)+Sigmoid over 2*weight_xyz_freq*3 + weight_feat_dim
+    # inputs, consuming weight_feat_dim embedding channels per the
+    # in_channels bookkeeping at :277) and never wires a forward
+    # branch; this is the implied forward.
+    weight_xyz_freq: int = 2
+    weight_feat_dim: int = 8
     # Legacy aggregator folds the confidence straight-through clamp into
     # the aggregation weight (point_aggregators.py:826-829); the studio
     # model only regularizes conf in the loss (studio_model.py:288-292).
@@ -251,6 +261,8 @@ class AggregatorConfig:
             return self.point_features_dim - self.sh_degree ** 2
         if self.agg_distance_kernel == "gau_intrp":
             return self.point_features_dim - 7
+        if self.agg_distance_kernel == "feat_intrp":
+            return self.point_features_dim - self.weight_feat_dim
         return self.point_features_dim
 
 

@@ -23,7 +23,7 @@ reference's torch checkpoints and shardable with jax.sharding.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,13 +64,20 @@ def _mlp_dims(cfg: AggregatorConfig) -> Dict[str, List[Tuple[int, int]]]:
         dims += [(width, width)] * (n - 1)
         return dims
 
-    return {
+    dims = {
         "mlp_base": tower(base_in, cfg.hidden_size, cfg.num_mlp_base_layers),
         "mlp_head": tower(head_in, cfg.hidden_size, cfg.num_mlp_head_layers),
         "mlp_color": tower(color_in, cfg.hidden_size_color, cfg.num_color_layers),
         "density_head": [(cfg.hidden_size, 1)],
         "color_head": [(cfg.hidden_size_color, 3)],
     }
+    if cfg.agg_distance_kernel == "feat_intrp":
+        # learned-weight MLP (reference point_aggregators.py:226-237):
+        # two halving layers + a scalar sigmoid head
+        w_in = 2 * cfg.weight_xyz_freq * 3 + cfg.weight_feat_dim
+        half = w_in // 2
+        dims["feat_weight_mlp"] = [(w_in, half), (half, half), (half, 1)]
+    return dims
 
 
 def init_aggregator_params(key: jax.Array, cfg: AggregatorConfig) -> AggregatorParams:
@@ -135,11 +142,12 @@ def aggregation_weight(
     dists: jnp.ndarray,       # [..., K, >=3] (world delta in [..., :3])
     pnt_mask: jnp.ndarray,    # [..., K] bool
     grid_vox_sz: float,       # scaled voxel edge (trilinear/gau footprint)
+    params: Optional[AggregatorParams] = None,  # feat_intrp MLP weights
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-neighbor aggregation weights for all reference kernels
     (reference: point_aggregators.py:353-483 + the normalization at
     :818-819). Returns (weights [..., K], remaining embedding) — the
-    sh/gau kernels consume a prefix of the embedding channels.
+    sh/gau/feat kernels consume a prefix of the embedding channels.
     """
     kind = cfg.agg_distance_kernel
     mask = pnt_mask.astype(dists.dtype)
@@ -190,6 +198,27 @@ def aggregation_weight(
         emb = emb[..., 7:]
         local = world2local_dist(dists[..., :3], radii, rot)
         w = mask * scale * jnp.exp(-0.5 * jnp.sum(jnp.square(local), -1))
+    elif kind == "feat_intrp":
+        # learned weights: sigmoid(MLP([PE(world delta), feat prefix]))
+        # (reference point_aggregators.py:226-237,277 — init-only there,
+        # forward implied; LeakyReLU act per the canonical scene
+        # configs' act_type, dev_scripts/w_n360/chair_points.sh:64)
+        if params is None or "feat_weight_mlp" not in params:
+            raise ValueError(
+                "feat_intrp needs aggregator params (feat_weight_mlp)")
+        wf, emb = (emb[..., :cfg.weight_feat_dim],
+                   emb[..., cfg.weight_feat_dim:])
+        pe = positional_encoding(dists[..., :3].astype(jnp.float32),
+                                 cfg.weight_xyz_freq)
+        x = jnp.concatenate([pe, wf.astype(jnp.float32)], axis=-1)
+        layers = params["feat_weight_mlp"]
+        for lyr in layers[:-1]:
+            x = jax.nn.leaky_relu(
+                x @ lyr["kernel"].astype(x.dtype)
+                + lyr["bias"].astype(x.dtype), 0.01)
+        x = (x @ layers[-1]["kernel"].astype(x.dtype)
+             + layers[-1]["bias"].astype(x.dtype))
+        w = mask * jax.nn.sigmoid(x[..., 0]).astype(dists.dtype)
     else:
         raise ValueError(f"unknown agg_distance_kernel: {kind}")
 

@@ -939,7 +939,8 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             emb2 = emb
         else:
             weight, emb2 = aggregation_weight(
-                cfg.agg, emb, dists, pnt_mask, max(q.scaled_vsize))
+                cfg.agg, emb, dists, pnt_mask, max(q.scaled_vsize),
+                params=params)
             if cfg.agg.conf_in_weight:
                 weight = weight * conf
         vd = jnp.sum(rd_sel[..., :, None] * Rw2c, axis=-2)

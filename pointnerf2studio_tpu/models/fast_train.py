@@ -477,7 +477,8 @@ def fast_train_render(
              nei_pers[..., 2] - lp[..., 2]], -1)
         dists = jnp.concatenate([nxyz - locs[:, None, :], pdist], -1)
         weight, emb2 = aggregation_weight(
-            cfg.agg, emb, dists, pnt_mask, max(q.scaled_vsize))
+            cfg.agg, emb, dists, pnt_mask, max(q.scaled_vsize),
+            params=params)
         conf_c = conf_gradient_clamp(conf) if training else conf
         if cfg.agg.conf_in_weight:
             weight = weight * conf_c

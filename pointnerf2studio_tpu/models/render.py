@@ -170,7 +170,8 @@ def render_rays(
 
     grid_vox_sz = max(q.scaled_vsize)
     weight, emb = aggregation_weight(
-        cfg.agg, neigh["embeding"], dists, pnt_mask, grid_vox_sz)
+        cfg.agg, neigh["embeding"], dists, pnt_mask, grid_vox_sz,
+        params=params)
     conf = conf_gradient_clamp(neigh["conf"][..., 0]) if training else \
         neigh["conf"][..., 0]
     if cfg.agg.conf_in_weight:

@@ -91,6 +91,42 @@ class TestWeightKernels:
         assert np.all(w >= 0) and np.all(w[~MASK] == 0)
         np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
 
+    def test_feat_intrp_learned_weights(self):
+        """feat_intrp: sigmoid(MLP([PE(world delta), feat prefix]))
+        consuming weight_feat_dim embedding channels (reference
+        point_aggregators.py:226-237,277 — init-only upstream, the
+        forward is the implied one)."""
+        import jax
+        cfg = AggregatorConfig(agg_distance_kernel="feat_intrp")
+        params = init_aggregator_params(jax.random.PRNGKey(3), cfg)
+        # declared tower: 20 -> 10 -> 10 -> 1
+        dims = [(lyr["kernel"].shape) for lyr in params["feat_weight_mlp"]]
+        assert dims == [(20, 10), (10, 10), (10, 1)]
+        assert cfg.shading_feature_dim == 32 - 8
+        w, emb = aggregation_weight(
+            cfg, jnp.asarray(EMB), jnp.asarray(DISTS), jnp.asarray(MASK),
+            VOX, params=params)
+        w, emb = np.asarray(w), np.asarray(emb)
+        assert emb.shape[-1] == 24
+        assert np.all(w[~MASK] == 0) and np.all(w >= 0)
+        # numpy oracle
+        from pointnerf2studio_tpu.ops.encoding import positional_encoding
+        pe = np.asarray(positional_encoding(jnp.asarray(DISTS[..., :3]), 2))
+        x = np.concatenate([pe, EMB[..., :8]], -1)
+        for lyr in params["feat_weight_mlp"][:-1]:
+            x = x @ np.asarray(lyr["kernel"]) + np.asarray(lyr["bias"])
+            x = np.where(x > 0, x, 0.01 * x)
+        lyr = params["feat_weight_mlp"][-1]
+        x = x @ np.asarray(lyr["kernel"]) + np.asarray(lyr["bias"])
+        ref = MASK / (1 + np.exp(-x[..., 0]))
+        np.testing.assert_allclose(w, normed(ref), rtol=1e-4)
+
+    def test_feat_intrp_requires_params(self):
+        cfg = AggregatorConfig(agg_distance_kernel="feat_intrp")
+        with pytest.raises(ValueError, match="feat_weight_mlp"):
+            aggregation_weight(cfg, jnp.asarray(EMB), jnp.asarray(DISTS),
+                               jnp.asarray(MASK), VOX)
+
     def test_param_dims_follow_consumed_channels(self):
         import jax
         cfg = AggregatorConfig(agg_distance_kernel="sh_intrp", sh_degree=4)
