@@ -111,10 +111,24 @@ def init_cloud_from_points(
         mode, std_s = point_noise.split("_")
         std = float(std_s)
         if std > 0.0:
+            # N-changing variants first (host-side; reference
+            # neural_points.py:681-688): "add" keeps the originals and
+            # appends a jittered copy, "double" jitters a doubled set
+            doubled = mode in ("pointuniformadd", "pointuniformdouble")
+            keep_originals = mode == "pointuniformadd"
+            if doubled:
+                mode = "pointuniform"
+                if color is not None:
+                    color = np.concatenate([color, color], 0)
+            base = xyz
+            if doubled and not keep_originals:
+                xyz = np.concatenate([xyz, xyz], 0)
             xyz = np.asarray(npts.jitter_points(
                 jax.random.PRNGKey(seed + 1), jnp.asarray(xyz),
                 jnp.ones((xyz.shape[0],), bool), std, mode=mode),
                 np.float32)
+            if keep_originals:
+                xyz = np.concatenate([base, xyz], 0)
     if ranges is not None:
         r = np.asarray(ranges, np.float32)
         keep = np.all((xyz >= r[:3]) & (xyz <= r[3:]), axis=-1)

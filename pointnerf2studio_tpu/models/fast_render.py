@@ -97,7 +97,7 @@ class FatCache:
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_size", "max_q", "cand_cap", "chunk",
-                     "coarse_dilate"))
+                     "coarse_dilate", "layout"))
 def build_fat_cache(
     grid: PointGrid,
     cloud: NeuralPointCloud,
@@ -106,8 +106,17 @@ def build_fat_cache(
     cand_cap: int = 64,
     chunk: int = 32768,
     coarse_dilate: int = 0,
+    layout: str = "rows",
 ) -> FatCache:
-    """Build the fat candidate cache (once per point/attr change)."""
+    """Build the fat candidate cache (once per point/attr change).
+
+    layout="rows" emits the packed f32 `rows` the XLA select path
+    consumes; layout="fused" emits the kernel-facing (kmeta, kpay)
+    pair for knn_mode="fused" DIRECTLY — never materializing `rows`
+    (rows + kpay together at chair scale exceed v5e HBM; the packed
+    layouts are ~92 vs ~100 bytes/candidate, so either alone fits
+    wherever the other does). In fused layout `rows` is a 1-row
+    placeholder kept only for the `cand` shape property."""
     offs_np, shells_np = neighbor_offsets(kernel_size)
     offsets = jnp.asarray(offs_np)
     shells = jnp.asarray(shells_np)
@@ -169,6 +178,13 @@ def build_fat_cache(
         payload = jnp.concatenate([
             rel, sel_attr,
             jnp.zeros((B, C, PAYW - 42), jnp.bfloat16)], -1)   # [B, C, 44]
+        if layout == "fused":
+            # kernel-facing: meta separate, payload channel-major and
+            # padded to PK sublanes (same bytes pack_kernel_cache
+            # would produce from the rows layout — bit-compat tested)
+            from pointnerf2studio_tpu.ops.fused_select import PK
+            pay = jnp.pad(payload, ((0, 0), (0, 0), (0, PK - PAYW)))
+            return meta, jnp.transpose(pay, (0, 2, 1))
         payload_p = jax.lax.bitcast_convert_type(
             payload.reshape(B, C, PAYW // 2, 2), jnp.float32)
         pack = jnp.concatenate([
@@ -179,10 +195,19 @@ def build_fat_cache(
 
     padded = (max_q + chunk - 1) // chunk * chunk
     pad = padded - max_q
-    rows = jax.lax.map(one_chunk, (
+    map_args = (
         jnp.pad(q_coor, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
         jnp.pad(center_w, ((0, pad), (0, 0))).reshape(-1, chunk, 3),
-        jnp.pad(q_live, (0, pad)).reshape(-1, chunk)))
+        jnp.pad(q_live, (0, pad)).reshape(-1, chunk))
+    if layout == "fused":
+        from pointnerf2studio_tpu.ops.fused_select import PK
+        kmeta, kpay = jax.lax.map(one_chunk, map_args)
+        kmeta = kmeta.reshape(padded, C)[:max_q]
+        kpay = kpay.reshape(padded, PK, C)[:max_q]
+        rows = jnp.zeros((1, C * ROWW), jnp.float32)
+    else:
+        rows = jax.lax.map(one_chunk, map_args)
+        kmeta = kpay = None
 
     coarse_occ = None
     if coarse_dilate > 0:
@@ -195,9 +220,12 @@ def build_fat_cache(
 
     return FatCache(
         coor_2_qslot=coor_2_qslot,
-        rows=rows.reshape(padded, C * ROWW)[:max_q],
+        rows=(rows if layout == "fused"
+              else rows.reshape(padded, C * ROWW)[:max_q]),
         n_q=n_q,
-        coarse_occ=coarse_occ)
+        coarse_occ=coarse_occ,
+        kmeta=kmeta,
+        kpay=kpay)
 
 
 @functools.partial(
@@ -836,6 +864,13 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
 
     use_fused_sel = (q.knn_mode == "fused" and cache.kmeta is not None
                      and debug_ablate is None)
+    if (cache.kmeta is not None and not use_fused_sel
+            and cache.rows.shape[0] == 1 and cache.kmeta.shape[0] > 1):
+        # fused-layout caches carry only a placeholder `rows`; the XLA
+        # select path would silently read garbage from it
+        raise ValueError(
+            "cache was built with layout='fused' (placeholder rows); "
+            "ablate/XLA-select probes need a layout='rows' cache")
 
     def chunk_body(args):
         qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
@@ -1111,14 +1146,10 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
         coarse_dilate = math.ceil(
             (cfg.query.coarse_step - 1) / 2 * dt
             / min(cfg.query.scaled_vsize))
-    cache = build_fat_cache(grid, cloud, cfg.query.kernel_size, max_q,
-                            cfg.query.cand_cap,
-                            coarse_dilate=coarse_dilate)
-    if cfg.query.knn_mode == "fused":
-        from pointnerf2studio_tpu.ops.fused_select import (
-            pack_kernel_cache)
-        kmeta, kpay = jax.jit(pack_kernel_cache)(cache.rows)
-        cache = cache.replace(kmeta=kmeta, kpay=kpay)
+    cache = build_fat_cache(
+        grid, cloud, cfg.query.kernel_size, max_q, cfg.query.cand_cap,
+        coarse_dilate=coarse_dilate,
+        layout="fused" if cfg.query.knn_mode == "fused" else "rows")
     return cache, grid.ranges_min, grid.scaled_vsize
 
 

@@ -66,3 +66,27 @@ def test_pack_kernel_cache_roundtrip(scene):
     kp = np.asarray(kpay).view(np.uint16)
     np.testing.assert_array_equal(
         np.transpose(kp, (0, 2, 1))[:, :, :PAYW], pay_ref)
+
+
+def test_direct_fused_layout_matches_packed_rows(scene):
+    """layout='fused' (built without ever materializing rows — the
+    rows+kpay double residency OOMed v5e at chair scale) must emit
+    bit-identical kmeta/kpay to pack_kernel_cache(rows)."""
+    import dataclasses as dc
+
+    from pointnerf2studio_tpu.ops.fused_select import pack_kernel_cache
+
+    s = scene
+    cache, _, _ = make_fast_scene(s.cfg, s.cloud, s.grid)
+    kmeta_ref, kpay_ref = jax.jit(pack_kernel_cache)(cache.rows)
+
+    cfg_f = dc.replace(
+        s.cfg, query=dc.replace(s.cfg.query, knn_mode="fused"))
+    cache_f, _, _ = make_fast_scene(cfg_f, s.cloud, s.grid)
+    assert cache_f.rows.shape[0] == 1          # placeholder only
+    assert cache_f.cand == cache.cand
+    np.testing.assert_array_equal(
+        np.asarray(cache_f.kmeta), np.asarray(kmeta_ref))
+    np.testing.assert_array_equal(
+        np.asarray(cache_f.kpay).view(np.uint16),
+        np.asarray(kpay_ref).view(np.uint16))

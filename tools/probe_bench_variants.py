@@ -99,7 +99,8 @@ def main():
     else:
         cache, rmin, svs = make_fast_scene(cfg0, scene.cloud, scene.grid,
                                            near=scene.near, far=scene.far)
-    jax.block_until_ready(cache.rows)
+    jax.block_until_ready(
+        cache.kpay if cache.kpay is not None else cache.rows)
     print(f"setup {time.time()-t0:.0f}s", flush=True)
 
     R = 65536
