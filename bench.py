@@ -90,6 +90,69 @@ def main() -> None:
     total = raydirs.shape[0]
     n_chunks = total // chunk
 
+    # ---- frame mode (default): frame-level ray packing + span-tiered
+    # depth windows (fast_render.render_frame). Misses never enter the
+    # pipeline; each dense chunk compiles at the smallest sufficient
+    # depth-window tier. Exact (CPU-verified bit-identical vs the raw
+    # order; on-device dw_overflow asserted every frame). BENCH_FRAME=0
+    # restores the per-chunk rb/dw path for continuity probes.
+    if os.environ.get("BENCH_FRAME", "1") == "1" and not sphere:
+        from pointnerf2studio_tpu.models.fast_render import render_frame
+
+        mesh = make_mesh()
+        near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
+        cache, rmin, svs = make_fast_scene(
+            cfg, scene.cloud, scene.grid, near=scene.near,
+            far=scene.far)
+        jax.block_until_ready(
+            cache.kpay if cache.kpay is not None else cache.rows)
+
+        def render_maker(c):
+            render = make_sharded_fast_render(c, mesh)
+
+            def fn(rays, bg):
+                return render(scene.params, scene.cloud.Rw2c, cache,
+                              scene.campos, scene.camrotc2w, rays,
+                              near, far, rmin, svs)
+
+            return fn
+
+        rd_np = np.asarray(jax.device_get(raydirs), np.float32)
+
+        def run_frame(programs, tier_quant):
+            return render_frame(
+                scene.params, scene.cloud.Rw2c, cache, scene.campos,
+                scene.camrotc2w, raydirs, scene.near, scene.far, cfg,
+                rmin, svs, chunk=chunk, render_maker=render_maker,
+                program_cache=programs, tier_quant=tier_quant,
+                host_rays=rd_np)
+
+        import sys
+        for tier_quant in (32, 10 ** 6):   # 10^6 => full-D tiers
+            programs = {}
+            out = run_frame(programs, tier_quant)   # warmup + verify
+            out.coarse_raycolor.block_until_ready()
+            n_of = (0 if out.dw_overflow is None
+                    else int(jax.device_get(out.dw_overflow)))
+            if n_of == 0:
+                t0 = time.perf_counter()
+                out = run_frame(programs, tier_quant)
+                out.coarse_raycolor.block_until_ready()
+                dt = time.perf_counter() - t0
+                rays_per_sec = total / dt
+                print(json.dumps({
+                    "metric": "render_rays_per_sec",
+                    "value": round(rays_per_sec, 1),
+                    "unit": "rays/s",
+                    "vs_baseline": round(
+                        rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                }))
+                return
+            print(f"bench: frame tiers dropped {n_of} in-box samples; "
+                  f"retrying with full-depth tiers", file=sys.stderr)
+        print("bench: frame mode inexact; falling back to chunk loop",
+              file=sys.stderr)
+
     rb_env = os.environ.get("BENCH_RB", "auto")
     if rb_env not in ("", "0"):
         # Ray packing: the front-end processes only box-hitting rays.

@@ -1058,16 +1058,13 @@ def suggest_depth_window(dims, scaled_vsize, near, far, D: int,
     return min(D, int(math.ceil(diag / step)) + slack)
 
 
-def measured_depth_window(campos, raydirs, near, far, D: int,
-                          ranges_min, dims, scaled_vsize,
-                          slack: int = 4) -> int:
-    """Tight static depth-window length for a KNOWN set of rays: the
-    max in-box sample span over `raydirs`, via the same slab test the
-    jitted clip uses (fast_render_rays' use_dwin branch), plus slack.
-    Tighter than suggest_depth_window's any-chord diagonal bound (the
-    diagonal chord only occurs for rays nearly aligned with it);
-    FastRenderOutput.dw_overflow == 0 still verifies coverage at run
-    time. Pure NumPy — callable before any jit."""
+def frame_ray_spans(campos, raydirs, near, far, D: int,
+                    ranges_min, dims, scaled_vsize):
+    """NumPy per-ray in-box sample spans: (span [R] int64, hit [R]
+    bool), via the same slab test the jitted depth-window clip uses
+    (fast_render_rays' use_dwin branch). `hit` matches the ray_budget
+    branch's conservative one-sample-margin slab test, so a False ray
+    renders exact background. Pure NumPy — callable before any jit."""
     rd = np.asarray(raydirs, np.float64)
     cp = np.asarray(campos, np.float64).reshape(3)
     rmin = np.asarray(ranges_min, np.float64).reshape(3)
@@ -1086,8 +1083,26 @@ def measured_depth_window(campos, raydirs, near, far, D: int,
     d_hi = np.minimum(
         np.ceil((np.minimum(t_exit, far) - near) / step - 0.5),
         D - 1).astype(np.int64)
-    hit = (t_exit >= t_enter) & (d_hi >= 0)
-    span = np.where(hit, d_hi - np.maximum(d_lo, 0) + 1, 0)
+    span_hit = (t_exit >= t_enter) & (d_hi >= 0)
+    span = np.where(span_hit, d_hi - np.maximum(d_lo, 0) + 1, 0)
+    # conservative hit (one-sample margin, == fast_render_rays'
+    # ray_budget test): a superset of span_hit
+    hit = ((t_exit + step >= t_enter)
+           & (t_exit >= near - step) & (t_enter <= far + step))
+    return span, hit
+
+
+def measured_depth_window(campos, raydirs, near, far, D: int,
+                          ranges_min, dims, scaled_vsize,
+                          slack: int = 4) -> int:
+    """Tight static depth-window length for a KNOWN set of rays: the
+    max in-box sample span over `raydirs`, plus slack. Tighter than
+    suggest_depth_window's any-chord diagonal bound (the diagonal
+    chord only occurs for rays nearly aligned with it);
+    FastRenderOutput.dw_overflow == 0 still verifies coverage at run
+    time. Pure NumPy — callable before any jit."""
+    span, _ = frame_ray_spans(campos, raydirs, near, far, D,
+                              ranges_min, dims, scaled_vsize)
     return int(min(D, int(span.max(initial=0)) + slack))
 
 
@@ -1160,3 +1175,121 @@ def fast_render_rays_jit(params, Rw2c, cache, campos, camrotc2w, raydirs,
     return fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
                             raydirs, near, far, cfg, ranges_min,
                             scaled_vsize, bg_ray_colors=bg_ray_colors)
+
+
+def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
+                 near, far, cfg: PointNerfConfig, ranges_min,
+                 scaled_vsize, *, chunk: int = 65536,
+                 render_maker=None, bg_ray_colors=None,
+                 dw_slack: int = 4, tier_quant: int = 32,
+                 program_cache: Optional[dict] = None,
+                 host_rays: Optional[np.ndarray] = None):
+    """Full-frame render with frame-level ray packing + span-tiered
+    depth windows. EXACT (same outputs as rendering the raw ray order
+    with depth_window off) while every chunk's dw_overflow == 0.
+
+    A frame's rays come from ONE camera, so ~40-55% miss the grid box
+    entirely (chair geometry) and the rest have widely varying in-box
+    chord lengths. Per-65k-dispatch packing (QueryConfig.ray_budget)
+    can only exploit the slack WITHIN a chunk; packing at frame level
+    removes whole chunks instead:
+
+      1. slab-test every ray (pure NumPy math, frame_ray_spans);
+      2. sort: box-hitting rays first, ascending in-box span — miss
+         rays render exact background and never enter the pipeline;
+      3. render ceil(n_hit/chunk) dense chunks, each compiled at the
+         smallest depth-window tier (multiples of `tier_quant`)
+         covering its max span + slack — span-sorted order makes the
+         early chunks' tiers small;
+      4. scatter per-ray outputs back through the sort permutation.
+
+    `render_maker(cfg) -> fn(raydirs_chunk, bg_chunk_or_None)` builds
+    the per-tier chunk renderer (the bench passes the shard_map'd
+    renderer); tiers are memoized in `program_cache` (pass a dict to
+    reuse compiled programs across frames, e.g. video rendering).
+    Counters: returned dw_overflow/win_overflow are summed over
+    chunks; rb_overflow is None (packing happens out here — the
+    conservative slab test makes a dropped ray impossible, not merely
+    counted).
+    """
+    import dataclasses as _dc
+
+    q = cfg.query
+    D = q.z_depth_dim
+    Rtot = raydirs.shape[0]
+    if cache.coor_2_qslot is not None:
+        dims = cache.coor_2_qslot.shape
+    else:
+        dims = tuple(int(x) for x in jax.device_get(cache.logical_dims))
+    # the packing math is host-side NumPy; callers with a host copy of
+    # the rays skip a device pull (significant over a remote tunnel)
+    rd_np = (np.asarray(host_rays, np.float32) if host_rays is not None
+             else np.asarray(jax.device_get(raydirs), np.float32))
+    cp_np = np.asarray(jax.device_get(campos), np.float32)
+    span, hit = frame_ray_spans(cp_np, rd_np, near, far, D,
+                                jax.device_get(ranges_min), dims,
+                                jax.device_get(scaled_vsize))
+    # miss rays last; hits ascending span
+    order = np.lexsort((span, ~hit))
+    n_hit = int(hit.sum())
+
+    bg = (bg_ray_colors if bg_ray_colors is not None
+          else jnp.broadcast_to(
+              jnp.asarray(cfg.bg_color, jnp.float32), (Rtot, 3)))
+    color = jnp.asarray(bg, jnp.float32)
+    ray_mask = jnp.zeros((Rtot,), jnp.bool_)
+    acc = jnp.zeros((Rtot,), jnp.float32)
+    depth = jnp.zeros((Rtot,), jnp.float32)
+    dw_of = win_of = None
+
+    n_chunks = (n_hit + chunk - 1) // chunk
+    if n_chunks:
+        n_used = n_chunks * chunk
+        if n_used > Rtot:
+            # pad with duplicates of the last ordered rays: identical
+            # outputs scatter to identical targets — exact
+            order = np.concatenate(
+                [order, order[Rtot - (n_used - Rtot):]])
+        perm = jnp.asarray(order[:n_used], jnp.int32)
+        rays_p = jnp.asarray(raydirs)[perm]
+        bg_p = (jnp.asarray(bg_ray_colors)[perm]
+                if bg_ray_colors is not None else None)
+        span_sorted = span[order[:n_used]]
+
+        if render_maker is None:
+            def render_maker(c):
+                def fn(rays, bgc):
+                    return fast_render_rays_jit(
+                        params, Rw2c, cache, campos, camrotc2w, rays,
+                        near, far, c, ranges_min, scaled_vsize,
+                        bg_ray_colors=bgc)
+                return fn
+
+        programs = program_cache if program_cache is not None else {}
+        for i in range(n_chunks):
+            smax = int(span_sorted[i * chunk:(i + 1) * chunk].max())
+            tier = min(D, -(-(smax + dw_slack) // tier_quant)
+                       * tier_quant)
+            dw = tier if tier < D else 0
+            if (dw, chunk) not in programs:
+                cfg_t = _dc.replace(cfg, query=_dc.replace(
+                    q, depth_window=dw, ray_budget=0))
+                programs[(dw, chunk)] = render_maker(cfg_t)
+            sl = slice(i * chunk, (i + 1) * chunk)
+            res = programs[(dw, chunk)](
+                rays_p[sl], None if bg_p is None else bg_p[sl])
+            ids = perm[sl]
+            color = color.at[ids].set(res.coarse_raycolor)
+            ray_mask = ray_mask.at[ids].set(res.ray_mask)
+            acc = acc.at[ids].set(res.acc.astype(jnp.float32))
+            depth = depth.at[ids].set(res.depth.astype(jnp.float32))
+            if res.dw_overflow is not None:
+                dw_of = (res.dw_overflow if dw_of is None
+                         else dw_of + res.dw_overflow)
+            if res.win_overflow is not None:
+                win_of = (res.win_overflow if win_of is None
+                          else win_of + res.win_overflow)
+
+    return FastRenderOutput(
+        coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
+        win_overflow=win_of, dw_overflow=dw_of, rb_overflow=None)

@@ -66,17 +66,21 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
     Rw2c = points.Rw2c
     checked: List[int] = []
 
+    # cache/Rw2c are jit ARGUMENTS, not closure constants: closed-over
+    # arrays ship as literals to the (remote) compiler — the fat cache
+    # at chair scale is hundreds of MB and trips the compile-request
+    # size limit (STATUS.md measurement rule 2).
     @jax.jit
-    def jfn(params, _points, _grid, campos, camrotc2w, raydirs, near, far,
-            bg_rgb=None):
-        out = fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
+    def jfn(params, cache_, Rw2c_, campos, camrotc2w, raydirs, near,
+            far, bg_rgb=None):
+        out = fast_render_rays(params, Rw2c_, cache_, campos, camrotc2w,
                                raydirs, near, far, cfg, rmin, svs,
                                bg_ray_colors=bg_rgb)
         return (out.coarse_raycolor, out.ray_mask, out.depth, out.acc,
                 out.win_overflow, out.dw_overflow, out.rb_overflow)
 
-    def fn(*args, **kw):
-        c, m, d, a, ov, dov, rov = jfn(*args, **kw)
+    def fn(params, _points, _grid, *args, **kw):
+        c, m, d, a, ov, dov, rov = jfn(params, cache, Rw2c, *args, **kw)
         if (ov is not None or dov is not None or rov is not None) \
                 and not checked:
             checked.append(1)
@@ -98,6 +102,53 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
         return c, m, d, a
 
     return fn
+
+
+def make_fast_frame_renderer(cfg: PointNerfConfig, points, grid,
+                             near: float, far: float,
+                             chunk: int = 65536, tier_quant: int = 32):
+    """Full-frame fast renderer: frame-level ray packing + span-tiered
+    depth windows (fast_render.render_frame — miss rays never enter
+    the pipeline; each chunk compiles at the smallest sufficient
+    depth-window tier). Exact vs the plain fast path. Compiled tier
+    programs are shared across frames via a program cache.
+
+    Returns `render(params, campos, camrotc2w, raydirs, bg=None)`
+    -> FastRenderOutput over the full ray set."""
+    import dataclasses
+
+    from pointnerf2studio_tpu.models.fast_render import (
+        make_fast_scene, make_hash_fast_scene, render_frame)
+    from pointnerf2studio_tpu.ops.hash_grid import HashGrid
+
+    # depth_window/ray_budget are managed per tier by render_frame
+    cfg = dataclasses.replace(cfg, query=dataclasses.replace(
+        cfg.query, depth_window=0, ray_budget=0))
+    if isinstance(grid, HashGrid):
+        cache, rmin, svs = make_hash_fast_scene(cfg, points, grid)
+    else:
+        cache, rmin, svs = make_fast_scene(cfg, points, grid,
+                                           near=near, far=far)
+    Rw2c = points.Rw2c
+    programs: Dict = {}
+    warned: List[int] = []
+
+    def render(params, campos, camrotc2w, raydirs, bg=None):
+        out = render_frame(
+            params, Rw2c, cache, jnp.asarray(campos),
+            jnp.asarray(camrotc2w), jnp.asarray(raydirs), near, far,
+            cfg, rmin, svs, chunk=chunk, bg_ray_colors=bg,
+            program_cache=programs, tier_quant=tier_quant)
+        if out.dw_overflow is not None and not warned:
+            warned.append(1)
+            n_of = int(jax.device_get(out.dw_overflow))
+            if n_of > 0:
+                print(f"WARNING: frame depth-window tiers dropped "
+                      f"{n_of} in-box samples on the first frame — "
+                      f"results are NOT exact")
+        return out
+
+    return render
 
 
 def render_image(
@@ -146,20 +197,27 @@ def evaluate_dataset(
     out_dir: Optional[str] = None,
     save_images: bool = False,
     fast: bool = False,
+    frame: bool = True,
     bg_src_dataset: Optional[BlenderDataset] = None,
 ) -> Dict[str, float]:
     """PSNR/SSIM/RMSE over dataset views (reference report_metrics).
 
     `fast=True` renders through the fat-cache fast path (eval-only
-    semantics: per-ray slot cap `ray_slot_budget`, bf16 attributes).
-    With `cfg.bgmodel` = "plane", per-view plane backgrounds are
-    precomputed from `bg_src_dataset` (the train split's images;
-    reference test_bg_info, train_ft.py:604-612).
+    semantics: per-ray slot cap `ray_slot_budget`, bf16 attributes);
+    `frame=True` (default) additionally applies frame-level ray
+    packing + span-tiered depth windows (exact; `frame=False` keeps
+    the plain chunk loop). With `cfg.bgmodel` = "plane", per-view
+    plane backgrounds are precomputed from `bg_src_dataset` (the train
+    split's images; reference test_bg_info, train_ft.py:604-612).
     """
     from pointnerf2studio_tpu.ops.hash_grid import HashGrid
     if isinstance(grid, HashGrid):
         fast = True        # the legacy chunk renderer is dense-only
-    if fast:
+    frame_render = None
+    if fast and frame:
+        frame_render = make_fast_frame_renderer(
+            cfg, points, grid, dataset.near, dataset.far, chunk=chunk)
+    elif fast:
         render_chunk = make_fast_chunk_fn(cfg, points, grid,
                                           dataset.near, dataset.far)
     else:
@@ -174,13 +232,27 @@ def evaluate_dataset(
             points_xyz=jnp.asarray(np.asarray(points.xyz)[alive]),
             src_dataset=bg_src_dataset)
     per: Dict[str, List[float]] = {}
+    h, w = dataset.hw
     for v in views:
         rays = dataset.full_image_rays(v)
         bg_v = None if bg_maps is None else bg_maps[v].reshape(-1, 3)
-        out = render_image(render_chunk, params, points, grid,
-                           dataset.campos(v), dataset.camrotc2w(v), rays,
-                           dataset.hw, dataset.near, dataset.far, chunk,
-                           bg_colors=bg_v)
+        if frame_render is not None:
+            bg_j = (None if bg_v is None else
+                    jnp.asarray(np.asarray(bg_v, np.float32)))
+            o = frame_render(params, dataset.campos(v),
+                             dataset.camrotc2w(v), rays, bg=bg_j)
+            out = {
+                "coarse_raycolor":
+                    np.asarray(o.coarse_raycolor).reshape(h, w, 3),
+                "ray_mask": np.asarray(o.ray_mask).reshape(h, w),
+                "depth": np.asarray(o.depth).reshape(h, w),
+                "acc": np.asarray(o.acc).reshape(h, w),
+            }
+        else:
+            out = render_image(render_chunk, params, points, grid,
+                               dataset.campos(v), dataset.camrotc2w(v),
+                               rays, dataset.hw, dataset.near,
+                               dataset.far, chunk, bg_colors=bg_v)
         gt = dataset.images[v]
         m = M.compute_all(out["coarse_raycolor"], gt)
         for k, val in m.items():

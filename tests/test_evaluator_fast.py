@@ -49,3 +49,20 @@ def test_fast_eval_matches_legacy(setup):
     assert slow["psnr"] > 40
     assert fast["psnr"] > 32, fast
     assert abs(fast["ssim"] - slow["ssim"]) < 0.05
+
+
+def test_frame_mode_matches_chunk_mode(setup):
+    """Default frame-level packing (frame=True) is exact vs the plain
+    fast chunk loop (different static chunk shapes allow 1-ulp
+    reassociation wiggle only)."""
+    s, ds = setup
+    fr = evaluate_dataset(s.cfg, s.params, s.cloud, s.grid, ds,
+                          chunk=192, fast=True, frame=True)
+    ch = evaluate_dataset(s.cfg, s.params, s.cloud, s.grid, ds,
+                          chunk=192, fast=True, frame=False)
+    # both re-render the dataset's own imagery: PSNR lands at ~139 dB
+    # (max pixel error ~1e-7), where a fraction of a dB is ulp noise —
+    # require near-identity, not dB-equality at that altitude
+    assert min(fr["psnr"], ch["psnr"]) > 60, (fr, ch)
+    assert abs(fr["ssim"] - ch["ssim"]) < 1e-4, (fr, ch)
+    assert abs(fr["rmse"] - ch["rmse"]) < 1e-5, (fr, ch)

@@ -341,3 +341,64 @@ def test_fast_sharded_matches_single(scene):
         np.asarray(single.coarse_raycolor), atol=2e-2)
     np.testing.assert_array_equal(
         np.asarray(shard.ray_mask), np.asarray(single.ray_mask))
+
+
+def test_render_frame_matches_unpacked(scene):
+    """Frame-level ray packing + span-tiered depth windows must be
+    bit-identical to the plain fast path on the raw ray order —
+    including a ragged tail (Rtot not a chunk multiple), padded
+    duplicate rays, per-ray plane-background colors, and miss rays."""
+    from pointnerf2studio_tpu.models.fast_render import render_frame
+
+    s = scene
+    rays = _rays(s, h=25, w=24)     # 600 rays: ragged vs chunk=256
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    bg = jnp.asarray(
+        np.random.default_rng(0).random((600, 3)), jnp.float32)
+
+    ref = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs, bg_ray_colors=bg)
+    hit_frac = float(np.asarray(ref.ray_mask).mean())
+    assert 0.05 < hit_frac < 0.95   # both hits and misses exercised
+
+    progs = {}
+    out = render_frame(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs, chunk=128, render_maker=None,
+        bg_ray_colors=bg, program_cache=progs, tier_quant=8)
+
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(ref.ray_mask))
+    # different static chunk shapes let XLA reassociate the weighted
+    # sums -> 1-ulp wiggle on hit rays (on-chip dw chaincheck is
+    # bit-exact at matched shapes); miss rays must be exactly bg
+    np.testing.assert_allclose(np.asarray(out.coarse_raycolor),
+                               np.asarray(ref.coarse_raycolor),
+                               rtol=0, atol=3e-7)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               rtol=0, atol=3e-7)
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               np.asarray(ref.depth), rtol=0, atol=1e-5)
+    miss = ~np.asarray(ref.ray_mask)
+    np.testing.assert_array_equal(
+        np.asarray(out.coarse_raycolor)[miss], np.asarray(bg)[miss])
+    if out.dw_overflow is not None:
+        assert int(out.dw_overflow) == 0
+    # span-sorted tiers: at least one chunk compiled below full D
+    assert any(dw > 0 for dw, _ in progs), list(progs)
+
+
+def test_render_frame_all_miss(scene):
+    """A frame whose rays all miss the box is pure background with no
+    rendered chunks."""
+    from pointnerf2studio_tpu.models.fast_render import render_frame
+
+    s = scene
+    rays = -_rays(s, h=8, w=8)      # camera looks away
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    out = render_frame(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs, chunk=32)
+    assert not bool(np.asarray(out.ray_mask).any())
+    np.testing.assert_array_equal(np.asarray(out.coarse_raycolor), 1.0)

@@ -112,25 +112,28 @@ def main():
             fast_train_render)
         from pointnerf2studio_tpu.train.loss import compute_losses
 
-        def loss_fn(params, pt, st, rays, key):
+        # geo/campos/gt/... are jit ARGUMENTS (closed-over arrays ship
+        # as literals to the remote compiler -> HTTP 413 at chair scale)
+        def loss_fn(params, pt, st, geo_, cpos, crot, gt_, rays, key):
             points = st.points.with_trainable(pt)
             out = fast_train_render(
-                params, points, geo, scene.campos, scene.camrotc2w,
+                params, points, geo_, cpos, crot,
                 rays, near, far, cfg, rmin, svs, key=key, training=True)
-            return compute_losses(out, gt, cfg.train)[0]
+            return compute_losses(out, gt_, cfg.train)[0]
 
         if stage == "fwd":
             @jax.jit
-            def step_fn(st, *_ignored, rays=None, key=None):
+            def step_fn(st, geo_, cpos, crot, gt_, rays, key):
                 total = loss_fn(st.params, st.points.trainable(), st,
-                                rays, key)
+                                geo_, cpos, crot, gt_, rays, key)
                 return st, {"total": total}
         else:
             @jax.jit
-            def step_fn(st, *_ignored, rays=None, key=None):
+            def step_fn(st, geo_, cpos, crot, gt_, rays, key):
                 total, grads = jax.value_and_grad(
                     loss_fn, argnums=(0, 1))(
-                        st.params, st.points.trainable(), st, rays, key)
+                        st.params, st.points.trainable(), st,
+                        geo_, cpos, crot, gt_, rays, key)
                 # fold the grads into the loss scalar so nothing is DCE'd
                 gsum = sum(jnp.sum(jnp.abs(g))
                            for g in jax.tree.leaves(grads))
@@ -141,8 +144,8 @@ def main():
             return step_fn(state, geo, rmin, svs, scene.campos,
                            scene.camrotc2w, ray_vars[s % 4], gt, near,
                            far, jax.random.PRNGKey(s))
-        return step_fn(state, rays=ray_vars[s % 4],
-                       key=jax.random.PRNGKey(s))
+        return step_fn(state, geo, scene.campos, scene.camrotc2w, gt,
+                       ray_vars[s % 4], jax.random.PRNGKey(s))
 
     state, aux = call(0)
     jax.block_until_ready(aux["total"])
