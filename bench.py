@@ -118,6 +118,9 @@ def main() -> None:
             return fn
 
         rd_np = np.asarray(jax.device_get(raydirs), np.float32)
+        # optional low-compaction-budget tier with exact deferred
+        # retry (BENCH_BT=N; cb_overflow re-renders tripped chunks)
+        bt = int(os.environ.get("BENCH_BT", "0"))
 
         def run_frame(programs, tier_quant):
             return render_frame(
@@ -125,15 +128,16 @@ def main() -> None:
                 scene.camrotc2w, raydirs, scene.near, scene.far, cfg,
                 rmin, svs, chunk=chunk, render_maker=render_maker,
                 program_cache=programs, tier_quant=tier_quant,
-                host_rays=rd_np)
+                budget_tier=bt, host_rays=rd_np)
 
         import sys
         for tier_quant in (32, 10 ** 6):   # 10^6 => full-D tiers
             programs = {}
             out = run_frame(programs, tier_quant)   # warmup + verify
             out.coarse_raycolor.block_until_ready()
-            n_of = (0 if out.dw_overflow is None
-                    else int(jax.device_get(out.dw_overflow)))
+            n_of = sum(
+                int(jax.device_get(c)) for c in
+                (out.dw_overflow, out.cb_overflow) if c is not None)
             if n_of == 0:
                 t0 = time.perf_counter()
                 out = run_frame(programs, tier_quant)

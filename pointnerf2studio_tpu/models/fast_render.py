@@ -391,6 +391,11 @@ class FastRenderOutput:
     # batch had more than QueryConfig.ray_budget of them (nonzero =
     # raise the budget). None when ray packing is off.
     rb_overflow: Optional[jnp.ndarray] = None
+    # compact_budget only: number of valid samples dropped because the
+    # batch had more than M = R * compact_budget of them (nonzero =
+    # raise the budget). None when M cannot overflow (budget >= the
+    # per-ray column cap).
+    cb_overflow: Optional[jnp.ndarray] = None
 
 
 def fast_render_rays(
@@ -496,7 +501,8 @@ def fast_render_rays(
         return FastRenderOutput(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, win_overflow=sub.win_overflow,
-            dw_overflow=sub.dw_overflow, rb_overflow=rb_overflow)
+            dw_overflow=sub.dw_overflow, rb_overflow=rb_overflow,
+            cb_overflow=sub.cb_overflow)
 
     qslot_flat = (None if hash_mode
                   else cache.coor_2_qslot.reshape(-1))
@@ -709,6 +715,9 @@ def fast_render_rays(
         # internal cumsum)
         pack_end = jnp.cumsum(cnt)
         pack_cnt = cnt
+        # exactness counter for the M budget (free: pack_end exists)
+        cb_overflow = (jnp.maximum(pack_end[-1] - M, 0)
+                       if M < R * min(SR, BP, Dax) else None)
     else:
         mask = qs >= 0
         ray_hit = jnp.any(mask, axis=-1)
@@ -732,6 +741,8 @@ def fast_render_rays(
             jnp.maximum(q_sel, 0), mode="drop")
         total = jnp.minimum(jnp.sum(cnt), M)
         mask_c = jnp.arange(M, dtype=jnp.int32) < total
+        cb_overflow = (jnp.maximum(jnp.sum(cnt) - M, 0)
+                       if M < R * min(SR, BP, Dax) else None)
 
     if pshard_axis is not None:
         # point-sharded fat cache: this device owns qslot slab
@@ -786,7 +797,7 @@ def fast_render_rays(
         return FastRenderOutput(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, win_overflow=win_overflow,
-            dw_overflow=dw_overflow)
+            dw_overflow=dw_overflow, cb_overflow=cb_overflow)
 
     # ---- grid composite: scatter to [R, BP] slots ----
     if debug_ablate == "scatterback":
@@ -828,7 +839,8 @@ def fast_render_rays(
     color = jnp.where(ray_mask[:, None], color, bg)
     return FastRenderOutput(
         coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
-        win_overflow=win_overflow, dw_overflow=dw_overflow)
+        win_overflow=win_overflow, dw_overflow=dw_overflow,
+        cb_overflow=cb_overflow)
 
 
 def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
@@ -1182,6 +1194,7 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
                  scaled_vsize, *, chunk: int = 65536,
                  render_maker=None, bg_ray_colors=None,
                  dw_slack: int = 4, tier_quant: int = 32,
+                 budget_tier: int = 0,
                  program_cache: Optional[dict] = None,
                  host_rays: Optional[np.ndarray] = None):
     """Full-frame render with frame-level ray packing + span-tiered
@@ -1211,6 +1224,13 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
     chunks; rb_overflow is None (packing happens out here — the
     conservative slab test makes a dropped ray impossible, not merely
     counted).
+
+    `budget_tier` > 0 (and < cfg.query.compact_budget) additionally
+    renders every chunk at that lower compaction budget first and
+    re-renders any chunk whose cb_overflow counter tripped at the full
+    budget — still exact, one deferred device sync for the counters.
+    Span-sorted order makes low-span chunks pass the low budget; only
+    the dense tail pays the retry.
     """
     import dataclasses as _dc
 
@@ -1240,7 +1260,7 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
     ray_mask = jnp.zeros((Rtot,), jnp.bool_)
     acc = jnp.zeros((Rtot,), jnp.float32)
     depth = jnp.zeros((Rtot,), jnp.float32)
-    dw_of = win_of = None
+    dw_of = win_of = cb_of = None
 
     n_chunks = (n_hit + chunk - 1) // chunk
     if n_chunks:
@@ -1266,19 +1286,52 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
                 return fn
 
         programs = program_cache if program_cache is not None else {}
+
+        def get_program(dw, b):
+            if (dw, chunk, b) not in programs:
+                cfg_t = _dc.replace(cfg, query=_dc.replace(
+                    q, depth_window=dw, ray_budget=0,
+                    compact_budget=b))
+                programs[(dw, chunk, b)] = render_maker(cfg_t)
+            return programs[(dw, chunk, b)]
+
+        b_full = q.compact_budget if q.compact_budget > 0 else q.SR
+        b_cap = min(q.SR, q.ray_slot_budget or min(q.SR, 32))
+        b_lo = (budget_tier if 0 < budget_tier < b_full else b_full)
+        results, dws = [], []
         for i in range(n_chunks):
             smax = int(span_sorted[i * chunk:(i + 1) * chunk].max())
             tier = min(D, -(-(smax + dw_slack) // tier_quant)
                        * tier_quant)
             dw = tier if tier < D else 0
-            if (dw, chunk) not in programs:
-                cfg_t = _dc.replace(cfg, query=_dc.replace(
-                    q, depth_window=dw, ray_budget=0))
-                programs[(dw, chunk)] = render_maker(cfg_t)
+            dws.append(dw)
             sl = slice(i * chunk, (i + 1) * chunk)
-            res = programs[(dw, chunk)](
-                rays_p[sl], None if bg_p is None else bg_p[sl])
-            ids = perm[sl]
+            results.append(get_program(dw, b_lo)(
+                rays_p[sl], None if bg_p is None else bg_p[sl]))
+        # Budget escalation: re-render any chunk whose cb_overflow
+        # counter tripped at a doubled budget, up to the per-ray
+        # column cap (where M cannot overflow). One deferred device
+        # sync per escalation level — usually zero or one. Unlike the
+        # plain chunk loop (which merely REPORTS cb_overflow), frame
+        # renders never drop samples to the M cap.
+        b_now = b_lo
+        while b_now < b_cap:
+            pend = [i for i, r in enumerate(results)
+                    if r.cb_overflow is not None]
+            if not pend:
+                break
+            cbs = jax.device_get([results[i].cb_overflow
+                                  for i in pend])
+            trip = [i for i, c in zip(pend, cbs) if int(c) > 0]
+            if not trip:
+                break
+            b_now = min(max(2 * b_now, b_full), b_cap)
+            for i in trip:
+                sl = slice(i * chunk, (i + 1) * chunk)
+                results[i] = get_program(dws[i], b_now)(
+                    rays_p[sl], None if bg_p is None else bg_p[sl])
+        for i, res in enumerate(results):
+            ids = perm[i * chunk:(i + 1) * chunk]
             color = color.at[ids].set(res.coarse_raycolor)
             ray_mask = ray_mask.at[ids].set(res.ray_mask)
             acc = acc.at[ids].set(res.acc.astype(jnp.float32))
@@ -1289,7 +1342,11 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
             if res.win_overflow is not None:
                 win_of = (res.win_overflow if win_of is None
                           else win_of + res.win_overflow)
+            if res.cb_overflow is not None:
+                cb_of = (res.cb_overflow if cb_of is None
+                         else cb_of + res.cb_overflow)
 
     return FastRenderOutput(
         coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
-        win_overflow=win_of, dw_overflow=dw_of, rb_overflow=None)
+        win_overflow=win_of, dw_overflow=dw_of, rb_overflow=None,
+        cb_overflow=cb_of)

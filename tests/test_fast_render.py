@@ -386,7 +386,60 @@ def test_render_frame_matches_unpacked(scene):
     if out.dw_overflow is not None:
         assert int(out.dw_overflow) == 0
     # span-sorted tiers: at least one chunk compiled below full D
-    assert any(dw > 0 for dw, _ in progs), list(progs)
+    assert any(dw > 0 for dw, _, _ in progs), list(progs)
+
+
+def test_cb_overflow_counter(scene):
+    """The compact-budget (M cap) exactness counter: 0 at an ample
+    budget, positive when the budget is too small for the batch's
+    valid-sample total."""
+    s = scene
+    rays = _rays(s)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+
+    def run(budget):
+        cfg = dataclasses.replace(s.cfg, query=dataclasses.replace(
+            s.cfg.query, compact_budget=budget))
+        return fast_render_rays_jit(
+            s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w,
+            rays, s.near, s.far, cfg, rmin, svs)
+
+    ample = run(12)
+    assert ample.cb_overflow is not None
+    assert int(ample.cb_overflow) == 0
+    tight = run(1)
+    assert int(tight.cb_overflow) > 0
+    # at the per-ray column cap the M budget cannot overflow
+    assert run(16).cb_overflow is None
+
+
+def test_render_frame_budget_tier_exact(scene):
+    """A low starting compaction budget must escalate (cb_overflow
+    retry) and still produce the plain fast path's outputs."""
+    from pointnerf2studio_tpu.models.fast_render import render_frame
+
+    s = scene
+    rays = _rays(s, h=25, w=24)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    ref = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+
+    progs = {}
+    out = render_frame(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs, chunk=128,
+        program_cache=progs, tier_quant=8, budget_tier=1)
+
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(ref.ray_mask))
+    np.testing.assert_allclose(np.asarray(out.coarse_raycolor),
+                               np.asarray(ref.coarse_raycolor),
+                               rtol=0, atol=3e-7)
+    if out.cb_overflow is not None:
+        assert int(out.cb_overflow) == 0
+    budgets = {b for _, _, b in progs}
+    assert 1 in budgets and max(budgets) > 1, budgets
 
 
 def test_render_frame_all_miss(scene):
