@@ -82,7 +82,8 @@ def main() -> None:
         n_points=558_000 if not smoke else 30_000, cfg=cfg)
 
     H = W = 800 if not smoke else 64
-    chunk = 65_536 if not smoke else 1_024
+    chunk = int(os.environ.get("BENCH_CHUNK", "0")) or (
+        65_536 if not smoke else 1_024)
     # NeRF-Synthetic camera_angle_x = 0.6911 -> focal 1111.1 at 800 px;
     # the sphere keeps the r1 focal for number continuity.
     focal = 800.0 if sphere else 1111.1
@@ -122,18 +123,22 @@ def main() -> None:
         # retry (BENCH_BT=N; cb_overflow re-renders tripped chunks)
         bt = int(os.environ.get("BENCH_BT", "0"))
 
-        def run_frame(programs, tier_quant):
+        import sys
+
+        def run_frame(programs, tier_quant, verbose=False):
             return render_frame(
                 scene.params, scene.cloud.Rw2c, cache, scene.campos,
                 scene.camrotc2w, raydirs, scene.near, scene.far, cfg,
                 rmin, svs, chunk=chunk, render_maker=render_maker,
                 program_cache=programs, tier_quant=tier_quant,
-                budget_tier=bt, host_rays=rd_np)
+                budget_tier=bt, host_rays=rd_np, verbose=verbose)
 
-        import sys
+        print(f"bench: frame cache ready t={time.strftime('%H:%M:%S')}",
+              file=__import__('sys').stderr, flush=True)
         for tier_quant in (32, 10 ** 6):   # 10^6 => full-D tiers
             programs = {}
-            out = run_frame(programs, tier_quant)   # warmup + verify
+            out = run_frame(programs, tier_quant,
+                            verbose=True)          # warmup + verify
             out.coarse_raycolor.block_until_ready()
             n_of = sum(
                 int(jax.device_get(c)) for c in

@@ -398,6 +398,29 @@ class FastRenderOutput:
     cb_overflow: Optional[jnp.ndarray] = None
 
 
+def has_cb_overflow(q) -> bool:
+    """Whether fast_render_rays emits a cb_overflow counter for this
+    query config (i.e. the M = R*compact_budget cap can drop samples).
+    Mirrors the Dax branch structure so shard_map out_specs can be
+    declared without tracing."""
+    D = q.z_depth_dim
+    SR = q.SR
+    BP = q.ray_slot_budget or min(SR, 32)
+    budget = q.compact_budget if q.compact_budget > 0 else SR
+    if q.coarse_step > 1:
+        S = q.coarse_step
+        DS = -(-D // S)
+        BW = min(q.coarse_win_budget, DS)
+        if q.depth_window > 0:
+            BW = min(BW, min(DS, q.depth_window // S + 1))
+        Dax = BW * S
+    elif q.depth_window > 0:
+        Dax = min(q.depth_window, D)
+    else:
+        Dax = D
+    return min(budget, D) < min(SR, BP, Dax)
+
+
 def fast_render_rays(
     params: AggregatorParams,
     Rw2c: jnp.ndarray,              # [3, 3] global rotation
@@ -1196,7 +1219,8 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
                  dw_slack: int = 4, tier_quant: int = 32,
                  budget_tier: int = 0,
                  program_cache: Optional[dict] = None,
-                 host_rays: Optional[np.ndarray] = None):
+                 host_rays: Optional[np.ndarray] = None,
+                 verbose: bool = False):
     """Full-frame render with frame-level ray packing + span-tiered
     depth windows. EXACT (same outputs as rendering the raw ray order
     with depth_window off) while every chunk's dw_overflow == 0.
@@ -1289,6 +1313,13 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
 
         def get_program(dw, b):
             if (dw, chunk, b) not in programs:
+                if verbose:
+                    import sys as _sys
+                    import time as _time
+                    print(f"render_frame: building tier dw={dw} "
+                          f"budget={b} chunk={chunk} "
+                          f"t={_time.strftime('%H:%M:%S')}",
+                          file=_sys.stderr, flush=True)
                 cfg_t = _dc.replace(cfg, query=_dc.replace(
                     q, depth_window=dw, ray_budget=0,
                     compact_budget=b))

@@ -140,9 +140,10 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     come back replicated.
     """
     from pointnerf2studio_tpu.models.fast_render import (
-        FastRenderOutput, fast_render_rays)
+        FastRenderOutput, fast_render_rays, has_cb_overflow)
 
     q = cfg.query
+    has_cb = has_cb_overflow(q)
     has_win = q.coarse_step > 1
     # dw composes with coarse windows (fast_render.py): the counter is
     # present unless coarse is on AND the window covers all of D
@@ -162,7 +163,8 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
         depth=P("rays"),
         win_overflow=P() if has_win else None,
         dw_overflow=P() if has_dw else None,
-        rb_overflow=P() if has_rb else None)
+        rb_overflow=P() if has_rb else None,
+        cb_overflow=P() if has_cb else None)
     fn = _shard_map(
         local, mesh,
         in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P(), P(), P()),
@@ -173,7 +175,8 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
 def _psum_counters(out):
     """Sum a FastRenderOutput's scalar exactness counters over the rays
     axis so they come back replicated (shard_map helpers)."""
-    for f in ("win_overflow", "dw_overflow", "rb_overflow"):
+    for f in ("win_overflow", "dw_overflow", "rb_overflow",
+              "cb_overflow"):
         v = getattr(out, f)
         if v is not None:
             out = out.replace(**{f: jax.lax.psum(v, "rays")})
@@ -196,7 +199,7 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
     multiple of the points-axis size (shard_fat_cache). Signature
     matches make_sharded_fast_render."""
     from pointnerf2studio_tpu.models.fast_render import (
-        FastRenderOutput, FatCache, fast_render_rays)
+        FastRenderOutput, FatCache, fast_render_rays, has_cb_overflow)
 
     pts = _points_axis(mesh)
     assert pts is not None, "mesh needs a 'points' axis"
@@ -205,6 +208,7 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
         "knn_mode='fused' + point-sharded cache not wired yet (the "
         "kernel-facing kmeta/kpay arrays would need the same slab "
         "padding as rows)")
+    has_cb = has_cb_overflow(q)
     has_win = q.coarse_step > 1
     # dw composes with coarse windows (fast_render.py): the counter is
     # present unless coarse is on AND the window covers all of D
@@ -227,7 +231,8 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
         depth=P("rays"),
         win_overflow=P() if has_win else None,
         dw_overflow=P() if has_dw else None,
-        rb_overflow=P() if has_rb else None)
+        rb_overflow=P() if has_rb else None,
+        cb_overflow=P() if has_cb else None)
     fn = _shard_map(
         local, mesh,
         in_specs=(P(), P(), cache_specs, P(), P(), P("rays"), P(), P(),

@@ -295,27 +295,54 @@ def render_video(
     intrinsics: np.ndarray, hw, near: float, far: float,
     out_path: str, n_frames: int = 60, radius: float = 4.0,
     chunk: int = 4096, fps: int = 30, fast: bool = False,
+    frame: bool = True,
 ) -> str:
-    """Spherical-path video (reference: run/render_vid.py)."""
+    """Spherical-path video (reference: run/render_vid.py).
+
+    `fast=True` uses the frame renderer by default: the compiled
+    depth-window tier programs are shared across all frames, and each
+    frame's miss rays (large on an orbiting path) skip the pipeline.
+    """
     from pointnerf2studio_tpu.data.blender import pixel_raydirs
     from pointnerf2studio_tpu.ops.hash_grid import HashGrid
 
     if isinstance(grid, HashGrid):
         fast = True        # the legacy chunk renderer is dense-only
-    render_chunk = (make_fast_chunk_fn(cfg, points, grid, near, far)
-                    if fast else make_render_chunk_fn(cfg))
+    frame_render = None
+    if fast and frame:
+        frame_render = make_fast_frame_renderer(cfg, points, grid,
+                                                near, far, chunk=chunk)
+    else:
+        render_chunk = (make_fast_chunk_fn(cfg, points, grid, near, far)
+                        if fast else make_render_chunk_fn(cfg))
     h, w = hw
     i, j = np.meshgrid(np.arange(w), np.arange(h))
     xy = np.stack([i, j], -1).reshape(-1, 2)
     frames = []
     for pose in spherical_poses(n_frames, radius=radius):
         rays = pixel_raydirs(xy, intrinsics, pose[:3, :3])
-        out = render_image(render_chunk, params, points, grid,
-                           pose[:3, 3], pose[:3, :3], rays, hw,
-                           near, far, chunk)
+        if frame_render is not None:
+            o = frame_render(params, pose[:3, 3], pose[:3, :3], rays)
+            out = {"coarse_raycolor":
+                   np.asarray(o.coarse_raycolor).reshape(h, w, 3)}
+        else:
+            out = render_image(render_chunk, params, points, grid,
+                               pose[:3, 3], pose[:3, :3], rays, hw,
+                               near, far, chunk)
         frames.append((np.clip(out["coarse_raycolor"], 0, 1) * 255
                        ).astype(np.uint8))
     import imageio
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    imageio.mimwrite(out_path, frames, fps=fps, quality=8)
-    return out_path
+    if out_path.endswith(".gif"):
+        imageio.mimwrite(out_path, frames, duration=1000.0 / fps,
+                         loop=0)
+        return out_path
+    try:
+        imageio.mimwrite(out_path, frames, fps=fps, quality=8)
+        return out_path
+    except (ValueError, ImportError):
+        # no ffmpeg/pyav backend in this environment: fall back to GIF
+        alt = os.path.splitext(out_path)[0] + ".gif"
+        print(f"no video backend for {out_path}; writing {alt}")
+        imageio.mimwrite(alt, frames, duration=1000.0 / fps, loop=0)
+        return alt
