@@ -135,7 +135,11 @@ def main() -> None:
 
         print(f"bench: frame cache ready t={time.strftime('%H:%M:%S')}",
               file=__import__('sys').stderr, flush=True)
-        for tier_quant in (32, 10 ** 6):   # 10^6 => full-D tiers
+        # BENCH_TQ trades steady-state rows for warmup compiles: each
+        # depth tier is a separate XLA program (~11 min each on the
+        # remote compiler), so quant 64 halves the warmup vs 32
+        tq0 = int(os.environ.get("BENCH_TQ", "32"))
+        for tier_quant in (tq0, 10 ** 6):   # 10^6 => full-D tiers
             programs = {}
             out = run_frame(programs, tier_quant,
                             verbose=True)          # warmup + verify

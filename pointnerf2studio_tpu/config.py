@@ -300,6 +300,15 @@ class TrainConfig:
     # (different RNG stream). Other modes / mesh runs use the host
     # sampler regardless.
     device_sampling: bool = True
+    # Optimizer steps folded into ONE dispatch (lax.scan) in the
+    # device-sampling path: K steps amortize the per-call dispatch
+    # latency (~5 ms on a remote-tunnel backend — a large fraction of
+    # a ~20-50 ms step). Semantically exact: the scan replays the same
+    # per-step PRNG split sequence as K single dispatches, so the
+    # trajectory is bit-identical (tests/test_train_loop.py).
+    # Print/prune/grow/save/eval cadences fire at the first dispatch
+    # boundary at-or-after their step (granularity K-1 late at most).
+    steps_per_dispatch: int = 1
     zero_epsilon: float = 1e-3
     zero_one_loss_weight: float = 1e-4
     jitter: float = 0.3

@@ -71,7 +71,11 @@ def fit(
     start_step = 1
     if resume:
         last = cio.latest_step(os.path.join(out_dir, "ckpt"))
-        if last is not None and last < max_steps:
+        if last is not None:
+            # also restore a FINISHED run (last >= max_steps): the
+            # loop below is then a no-op and fit() returns the trained
+            # state — re-running an eval-after-train driver must not
+            # retrain from scratch
             state = cio.restore_train_state(
                 os.path.join(out_dir, "ckpt"), last, state)
             start_step = last + 1
@@ -210,51 +214,84 @@ def fit(
             return view, campos_all[view], camrot, dirs, gt, bgc, gtm, sub
 
         if use_fast:
-            @jax.jit
-            def dev_step(st, key, geo, rmin_a, svs_a, imgs, alph, bgm,
+            def _one_dev(st, sub, geo, rmin_a, svs_a, imgs, alph, bgm,
                          campos_all, camrot_all):
-                view, campos, camrot, dirs, gt, bgc, gtm, sub = (
-                    _dev_sample(key, imgs, alph, bgm, campos_all,
+                view, campos, camrot, dirs, gt, bgc, gtm, sub2 = (
+                    _dev_sample(sub, imgs, alph, bgm, campos_all,
                                 camrot_all))
                 kw = {} if gtm is None else {"gt_mask": gtm}
                 st2, aux = fast_step(st, geo, rmin_a, svs_a, campos,
                                      camrot, dirs, gt, near_d, far_d,
-                                     sub, bg_rgb=bgc, **kw)
+                                     sub2, bg_rgb=bgc, **kw)
                 return st2, aux, view
         else:
-            @jax.jit
-            def dev_step(st, key, grid_a, imgs, alph, bgm, campos_all,
+            def _one_dev(st, sub, grid_a, imgs, alph, bgm, campos_all,
                          camrot_all):
-                view, campos, camrot, dirs, gt, bgc, gtm, sub = (
-                    _dev_sample(key, imgs, alph, bgm, campos_all,
+                view, campos, camrot, dirs, gt, bgc, gtm, sub2 = (
+                    _dev_sample(sub, imgs, alph, bgm, campos_all,
                                 camrot_all))
                 bg_args = () if bgc is None else (bgc,)
                 kw = {} if gtm is None else {"gt_mask": gtm}
                 st2, aux = step_fn(st, grid_a, campos, camrot, dirs,
-                                   gt, near_d, far_d, sub, *bg_args,
+                                   gt, near_d, far_d, sub2, *bg_args,
                                    **kw)
                 return st2, aux, view
 
-    for step in range(start_step, max_steps + 1):
-        key, sub = jax.random.split(key)
+        def _make_dev_step(k_inner):
+            # k_inner optimizer steps per dispatch (lax.scan): the
+            # per-step PRNG split (key, sub = split(key)) runs INSIDE,
+            # replaying exactly the single-dispatch loop's sequence —
+            # the trajectory is bit-identical for any k_inner
+            # (TrainConfig.steps_per_dispatch).
+            @jax.jit
+            def dev_step(st, key, *args):
+                if k_inner == 1:
+                    key2, sub = jax.random.split(key)
+                    st2, aux, view = _one_dev(st, sub, *args)
+                    return st2, key2, aux, view
+
+                def body(carry, _):
+                    st_c, key_c = carry
+                    key_c, sub = jax.random.split(key_c)
+                    st2, aux, view = _one_dev(st_c, sub, *args)
+                    return (st2, key_c), (aux, view)
+
+                (st2, key2), (auxs, views) = jax.lax.scan(
+                    body, (st, key), None, length=k_inner)
+                return st2, key2, auxs, views
+            return dev_step
+
+        K = max(1, int(t.steps_per_dispatch))
+        dev_step_K = _make_dev_step(K)
+        dev_step_1 = dev_step_K if K == 1 else _make_dev_step(1)
+
+    step = start_step
+    while step <= max_steps:
         if use_dev:
+            # the per-step key advance happens inside dev_step
+            k_eff = K if step + K - 1 <= max_steps else 1
+            ds = dev_step_K if k_eff != 1 else dev_step_1
             if use_fast:
                 geo, rmin_g, svs_g = geo_state["geo"]
-                state, aux, view_dev = dev_step(
-                    state, sub, geo, jnp.asarray(rmin_g),
+                state, key, aux, view_dev = ds(
+                    state, key, geo, jnp.asarray(rmin_g),
                     jnp.asarray(svs_g), imgs_d, alph_d, bgm_d,
                     campos_d, camrot_d)
             else:
-                state, aux, view_dev = dev_step(
-                    state, sub, grid, imgs_d, alph_d, bgm_d,
+                state, key, aux, view_dev = ds(
+                    state, key, grid, imgs_d, alph_d, bgm_d,
                     campos_d, camrot_d)
             logger.accumulate({k: v for k, v in aux.items()})
             if (t.prob_freq > 0
                     and "ray_miss_coarse_raycolor_loss" in aux):
+                # scalar (k_eff == 1) or [k_eff]-stacked device pairs;
+                # converted at probe time
                 miss_pairs.append(
                     (view_dev, aux["ray_miss_coarse_raycolor_loss"]))
             b = None
         else:
+            k_eff = 1
+            key, sub = jax.random.split(key)
             b = sampler.next_batch()
             bg_args = ()
             if bg_maps is not None:
@@ -279,14 +316,23 @@ def fit(
                 miss_rank[b["view"]] = (
                     aux["ray_miss_coarse_raycolor_loss"])
 
-        if step % print_freq == 0:
+        # with k_eff steps per dispatch, cadences fire at the first
+        # dispatch boundary at-or-after their step (a cadence crossing
+        # within the window); k_eff == 1 reduces to `step % freq == 0`
+        s0, step = step, step + k_eff
+        s_end = step - 1
+
+        def crossed(freq):
+            return freq and (s_end // freq) > ((s0 - 1) // freq)
+
+        if crossed(print_freq):
             n_alive = int(np.asarray(state.points.num_alive))
-            logger.flush(step, extra={"n_points": n_alive})
+            logger.flush(s_end, extra={"n_points": n_alive})
 
         # Prune low-confidence points + rebuild the grid
         # (reference: train_ft.py:834-842 -> NeuralPoints.prune).
-        if (t.prune_iter > 0 and step % t.prune_iter == 0
-                and step <= t.prune_max_iter):
+        if (t.prune_iter > 0 and crossed(t.prune_iter)
+                and s0 <= t.prune_max_iter):
             pruned = npts.prune(state.points, t.prune_thresh)
             state = state.replace(points=pruned)
             grid = build_query_grid(pruned.xyz, pruned.alive, cfg.query)
@@ -294,12 +340,15 @@ def fit(
                 geo_state["geo"] = _make_geo(state.points, grid)
 
         # Probe holes + grow points (reference: train_ft.py:844-923).
-        if t.prob_freq > 0 and step % t.prob_freq == 0:
+        if t.prob_freq > 0 and crossed(t.prob_freq):
             from pointnerf2studio_tpu.train.grow import probe_and_grow
             n_views = max(1, dataset.num_views // t.prob_num_step)
             if miss_pairs:
                 for v, l in jax.device_get(miss_pairs):
-                    miss_rank[int(v)] = float(l)
+                    # scalar (1/dispatch) or [k]-stacked entries
+                    for vi, li in zip(np.atleast_1d(v),
+                                      np.atleast_1d(l)):
+                        miss_rank[int(vi)] = float(li)
                 miss_pairs.clear()
             if miss_rank:
                 # worst ray-miss frames first; random fill-up (the
@@ -311,7 +360,7 @@ def fit(
             else:
                 probe_views = []
             if len(probe_views) < n_views:
-                rest = [v for v in np.random.default_rng(step).permutation(
+                rest = [v for v in np.random.default_rng(s_end).permutation(
                     dataset.num_views) if v not in probe_views]
                 probe_views += list(rest[:n_views - len(probe_views)])
             state, grid, n_new = probe_and_grow(
@@ -320,18 +369,19 @@ def fit(
                 prob_mul=t.prob_mul)
             if use_fast and n_new:
                 geo_state["geo"] = _make_geo(state.points, grid)
-            logger.flush(step, extra={"grown_points": n_new})
+            logger.flush(s_end, extra={"grown_points": n_new})
 
-        if save_freq and step % save_freq == 0:
-            save_checkpoint(out_dir, state, step)
-            last_saved = step
+        if save_freq and crossed(save_freq):
+            save_checkpoint(out_dir, state, s_end)
+            last_saved = s_end
 
-        if eval_freq and step % eval_freq == 0 and eval_dataset is not None:
+        if crossed(eval_freq) and eval_dataset is not None:
             m = evaluate_dataset(
                 cfg, state.params, state.points, grid, eval_dataset,
                 views=eval_views, chunk=eval_chunk, fast=is_hash,
                 bg_src_dataset=dataset if bg_maps is not None else None)
-            logger.flush(step, extra={f"eval_{k}": v for k, v in m.items()})
+            logger.flush(s_end, extra={f"eval_{k}": v
+                                       for k, v in m.items()})
 
     if last_saved != max_steps:
         # the cadence save may already have written this exact step —

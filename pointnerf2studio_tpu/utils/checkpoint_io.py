@@ -165,6 +165,11 @@ def save_train_state(ckpt_dir: str, state, step: int) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    if os.path.isdir(path):
+        # idempotent re-save (orbax refuses existing destinations):
+        # a crashed-then-restarted run may hit the same save step
+        import shutil
+        shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state)
     ckptr.wait_until_finished()

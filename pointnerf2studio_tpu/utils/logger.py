@@ -48,7 +48,10 @@ class Logger:
             acc = jax.device_get(dict(self._acc))
         except Exception:
             acc = self._acc
-        avg = {k: float(np.mean([float(x) for x in v]))
+        # entries are scalars or [k]-stacked arrays (multi-step
+        # dispatch windows); uniform window lengths keep this an exact
+        # per-step mean
+        avg = {k: float(np.mean([np.mean(np.asarray(x)) for x in v]))
                for k, v in acc.items() if v}
         for k in list(avg):
             if k.endswith("raycolor_loss"):

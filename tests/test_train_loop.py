@@ -203,6 +203,38 @@ def test_alter_step_alternates_optimizers(teacher_scene, toy_dataset):
             assert d_points > 0 and d_fields == 0, (d_fields, d_points)
 
 
+def test_steps_per_dispatch_trajectory_exact(teacher_scene, toy_dataset,
+                                             tmp_path):
+    """K optimizer steps per dispatch (lax.scan) must be bit-identical
+    to K single dispatches: the scan replays the same per-step PRNG
+    split sequence. Also exercises the ragged tail (max_steps not a
+    multiple of K) and stacked-aux logging."""
+    s = teacher_scene
+
+    def run(k, out):
+        cfg = dataclasses.replace(
+            s.cfg, train=dataclasses.replace(
+                s.cfg.train, rays_per_batch=64, fast_path=True,
+                prune_iter=0, prob_freq=0, steps_per_dispatch=k))
+        student = init_aggregator_params(jax.random.PRNGKey(9), cfg.agg)
+        return fit(cfg, toy_dataset, student, s.cloud,
+                   str(tmp_path / out), max_steps=6, save_freq=0,
+                   print_freq=3, seed=5)
+
+    r1 = run(1, "k1")
+    r4 = run(4, "k4")
+    assert int(np.asarray(r4.state.step)) == 6
+    np.testing.assert_array_equal(
+        np.asarray(r4.state.points.points_embeding),
+        np.asarray(r1.state.points.points_embeding))
+    np.testing.assert_array_equal(
+        np.asarray(r4.state.points.points_conf),
+        np.asarray(r1.state.points.points_conf))
+    for a, b in zip(jax.tree.leaves(r4.state.params),
+                    jax.tree.leaves(r1.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_resumes_from_checkpoint(tmp_path):
     """fit() restores the latest orbax checkpoint and continues from
     the saved step (reference auto-resume, train_ft.py:542-546)."""
@@ -234,3 +266,14 @@ def test_fit_resumes_from_checkpoint(tmp_path):
     r2 = fit(cfg, ds, scene.params, scene.cloud, out, max_steps=4,
              save_freq=0, print_freq=100)
     assert int(np.asarray(r2.state.step)) == 4
+    # re-running a FINISHED run (max_steps == saved step) must restore
+    # and return WITHOUT retraining (eval-after-train drivers re-call
+    # fit); saves are idempotent if a crashed run re-hits a save step
+    r3 = fit(cfg, ds, scene.params, scene.cloud, out, max_steps=4,
+             save_freq=0, print_freq=100)
+    assert int(np.asarray(r3.state.step)) == 4
+    np.testing.assert_array_equal(
+        np.asarray(r3.state.points.points_embeding),
+        np.asarray(r2.state.points.points_embeding))
+    from pointnerf2studio_tpu.utils import checkpoint_io as cio2
+    cio2.save_train_state(os.path.join(out, "ckpt"), r3.state, 4)

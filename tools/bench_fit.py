@@ -4,6 +4,7 @@ sampling, logging, and dispatch (tools/bench_train_fast.py measures
 the raw jitted step; the gap between the two is host overhead).
 
 Usage: python tools/bench_fit.py [steps] [--host-sampler] [--legacy]
+                                 [--spd K]   (steps per dispatch)
 """
 
 import os
@@ -21,6 +22,8 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     host_sampler = "--host-sampler" in sys.argv
     legacy = "--legacy" in sys.argv
+    spd = (int(sys.argv[sys.argv.index("--spd") + 1])
+           if "--spd" in sys.argv else 1)
 
     import jax
 
@@ -35,7 +38,8 @@ def main():
         cfg,
         train=dataclasses.replace(
             cfg.train, rays_per_batch=4096, fast_path=not legacy,
-            device_sampling=not host_sampler, prune_iter=0, prob_freq=0),
+            device_sampling=not host_sampler, prune_iter=0, prob_freq=0,
+            steps_per_dispatch=spd),
         near_plane=2.0, far_plane=6.0)
 
     t0 = time.time()
@@ -68,7 +72,8 @@ def main():
     # it_per_sec lines plus the crude total
     print(f"fit total: {steps} steps in {dt:.1f}s = {steps/dt:.2f} it/s "
           f"({'dev' if not host_sampler else 'host'}-sampler, "
-          f"{'legacy' if legacy else 'fast'} path)", flush=True)
+          f"{'legacy' if legacy else 'fast'} path, spd={spd})",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -83,8 +83,12 @@ def main():
                                   # flagship differentiable fast path
                                   # (trajectory-matched to legacy in
                                   # tests/test_fast_train.py); ~3x the
-                                  # legacy step rate at chair scale
-                                  fast_path=True))
+                                  # legacy step rate at chair scale.
+                                  # 8 steps/dispatch amortizes the
+                                  # remote-tunnel dispatch latency
+                                  # (bit-exact, test_train_loop.py)
+                                  fast_path=True,
+                                  steps_per_dispatch=8))
 
     t0 = time.time()
     train_ds = load_blender(args.data, "train", factor=args.factor)
@@ -147,9 +151,12 @@ def main():
         chunk=16384, out_dir=os.path.join(args.out, "eval_legacy"),
         save_images=True)
     print("legacy:", m_legacy, flush=True)
+    # frame=False: the frame renderer's per-tier programs would each
+    # recompile (~11 min/tier remotely); the plain fast chunk loop is
+    # ONE program and this is a correctness check, not a speed run
     m_fast = evaluate_dataset(
         cfg, state.params, state.points, grid, test_ds, views=views,
-        chunk=16384, fast=True,
+        chunk=16384, fast=True, frame=False,
         out_dir=os.path.join(args.out, "eval_fast"), save_images=True)
     print("fast:  ", m_fast, flush=True)
     report["legacy"] = m_legacy
