@@ -343,6 +343,43 @@ def test_fast_sharded_matches_single(scene):
         np.asarray(shard.ray_mask), np.asarray(single.ray_mask))
 
 
+def test_render_frame_sharded_matches_single(scene):
+    """render_frame driven by the shard_map renderer (the bench's
+    configuration) matches the single-device frame render on the
+    8-device virtual mesh."""
+    from pointnerf2studio_tpu.models.fast_render import render_frame
+    from pointnerf2studio_tpu.parallel.sharding import (
+        make_mesh, make_sharded_fast_render)
+
+    s = scene
+    rays = _rays(s, 16, 16)    # 256 rays; chunk 64 / 8 devices
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    near_j, far_j = jnp.asarray(s.near), jnp.asarray(s.far)
+    mesh = make_mesh(8)
+
+    def render_maker(c):
+        render = make_sharded_fast_render(c, mesh)
+
+        def fn(rays_c, bg):
+            return render(s.params, s.cloud.Rw2c, cache, s.campos,
+                          s.camrotc2w, rays_c, near_j, far_j, rmin, svs)
+
+        return fn
+
+    single = render_frame(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs, chunk=64, tier_quant=8)
+    shard = render_frame(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs, chunk=64, tier_quant=8,
+        render_maker=render_maker)
+    np.testing.assert_array_equal(np.asarray(shard.ray_mask),
+                                  np.asarray(single.ray_mask))
+    np.testing.assert_allclose(np.asarray(shard.coarse_raycolor),
+                               np.asarray(single.coarse_raycolor),
+                               atol=2e-2)
+
+
 def test_render_frame_matches_unpacked(scene):
     """Frame-level ray packing + span-tiered depth windows must be
     bit-identical to the plain fast path on the raw ray order —
