@@ -18,6 +18,59 @@ from pointnerf2studio_tpu.data.blender import BlenderDataset
 from pointnerf2studio_tpu.models.mvsnet.pointgen import MVSViewBatch
 
 
+def load_pair_list(path: str) -> List[List[int]]:
+    """Parse a finetune-init pair list -> [[ref, src, ...], ...].
+
+    Format (reference: nerf_synth_ft_dataset.py:279-289, shipped
+    artifact data/dtu_configs/dtu_finetune_init_pairs.txt): first line
+    is the pair count, then alternating lines of a reference-view id
+    and a comma-separated source-view list.
+    """
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    n = int(lines[0])
+    triples = []
+    for i in range(n):
+        ref = int(lines[1 + 2 * i])
+        srcs = [int(s) for s in lines[2 + 2 * i].split(",") if s]
+        triples.append([ref] + srcs)
+    return triples
+
+
+def load_mvsnet_pairs(path: str) -> List[List[int]]:
+    """Parse an MVSNet-style scored pair file -> [[ref, src...], ...]
+    with sources in file (score-ranked) order.
+
+    Format (shipped artifact data/dtu_configs/dtu_pairs.txt; the
+    standard MVSNet pair.txt layout): first line is the view count,
+    then per view an id line followed by
+    ``N src_0 score_0 src_1 score_1 ...``.
+    """
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    n = int(lines[0])
+    triples = []
+    for i in range(n):
+        ref = int(lines[1 + 2 * i])
+        tok = lines[2 + 2 * i].split()
+        n_src = int(tok[0])
+        srcs = [int(tok[1 + 2 * j]) for j in range(n_src)]
+        triples.append([ref] + srcs)
+    return triples
+
+
+def load_dtu_split_ids(pairs_th_path: str, scan: str, split: str) -> List[int]:
+    """View ids for a DTU scan/split from the shipped ``pairs.th``
+    (reference: nerf_synth_ft_dataset.py:296 —
+    ``torch.load('../data/dtu_configs/pairs.th')[f'{scan}_{split}']``)."""
+    import torch
+
+    table = torch.load(pairs_th_path, map_location="cpu",
+                       weights_only=False)
+    ids = table[f"{scan}_{split}"]
+    return [int(v) for v in np.asarray(ids).reshape(-1)]
+
+
 def camera_triangles(cam_xyz: np.ndarray) -> np.ndarray:
     """Triangulate the camera rig -> view triples [T, 3] int.
 
@@ -42,12 +95,17 @@ def build_view_batches(
     max_batches: Optional[int] = None,
     near_far_depth: Optional[Tuple[float, float]] = None,
     pairing: str = "nearest",
+    pair_file: Optional[str] = None,
 ) -> Tuple[List[MVSViewBatch], np.ndarray, np.ndarray, np.ndarray]:
     """-> (view batches, alpha maps, intrinsics [V,3,3], w2cs [V,4,4]).
 
     `pairing`: "nearest" picks the closest cameras per reference view;
     "triangles" reproduces the reference's BPA camera-rig
-    triangulation (one batch per triangle; requires num_src == 2).
+    triangulation (one batch per triangle; requires num_src == 2);
+    "file" reads `pair_file` — a finetune-init pair list or an
+    MVSNet-style scored pair file (auto-detected), truncating sources
+    to `num_src` (the reference's precomputed-pair path,
+    nerf_synth_ft_dataset.py:279-296).
 
     Alpha maps here are binary foreground masks derived from non-white
     pixels (the blender loader composites onto white; the reference
@@ -72,6 +130,24 @@ def build_view_batches(
             order = np.argsort(d)
             src = [v for v in order if v != r][:num_src]
             triples.append([r] + src)
+    elif pairing == "file":
+        if not pair_file:
+            raise ValueError("pairing='file' requires pair_file")
+        # auto-detect: MVSNet files have "N src score ..." source
+        # lines (odd token count, >= 3); init lists are comma-separated
+        with open(pair_file) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        if len(lines) >= 3 and "," not in lines[2] and \
+                len(lines[2].split()) >= 3:
+            triples = load_mvsnet_pairs(pair_file)
+        else:
+            triples = load_pair_list(pair_file)
+        triples = [t[: 1 + num_src] for t in triples]
+        for t in triples:
+            if max(t) >= V or len(t) < 1 + num_src:
+                raise ValueError(
+                    f"pair file {pair_file}: views {t} out of range "
+                    f"for a {V}-view dataset or too few sources")
     else:
         raise ValueError(f"unknown pairing {pairing!r}")
 

@@ -148,3 +148,61 @@ class TestCameraTriangles:
         # closed surface triangulation of V points: 2V - 4 triangles
         assert t.shape == (36, 3)
         assert set(np.unique(t)) == set(range(20))
+
+
+class TestPairFiles:
+    """Pair-list parsing against the reference's SHIPPED real artifacts
+    (the only real-data files in-tree; reference reads them at
+    nerf_synth_ft_dataset.py:121,279-296)."""
+
+    DTU_DIR = "/root/reference/pointnerf/data/dtu_configs"
+
+    def test_shipped_mvsnet_pairs(self):
+        from pointnerf2studio_tpu.data.mvs_batches import load_mvsnet_pairs
+        path = os.path.join(self.DTU_DIR, "dtu_pairs.txt")
+        if not os.path.exists(path):
+            pytest.skip("reference dtu_pairs.txt not present")
+        triples = load_mvsnet_pairs(path)
+        assert len(triples) == 49          # DTU rig has 49 views
+        for t in triples:
+            assert len(t) == 11            # ref + 10 scored sources
+            assert all(0 <= v < 49 for v in t)
+            assert t[0] not in t[1:]
+
+    def test_shipped_finetune_init_pairs(self):
+        from pointnerf2studio_tpu.data.mvs_batches import load_pair_list
+        path = os.path.join(self.DTU_DIR, "dtu_finetune_init_pairs.txt")
+        if not os.path.exists(path):
+            pytest.skip("reference dtu_finetune_init_pairs.txt absent")
+        triples = load_pair_list(path)
+        assert len(triples) == 16
+        assert all(len(t) == 5 for t in triples)   # ref + 4 sources
+        assert all(0 <= v < 49 for t in triples for v in t)
+
+    def test_shipped_pairs_th_splits(self):
+        from pointnerf2studio_tpu.data.mvs_batches import load_dtu_split_ids
+        path = os.path.join(self.DTU_DIR, "pairs.th")
+        if not os.path.exists(path):
+            pytest.skip("reference pairs.th not present")
+        # pairs.th keys scans from NeRF-Synthetic, LLFF, and DTU rigs
+        train = load_dtu_split_ids(path, "chair", "train")
+        test = load_dtu_split_ids(path, "chair", "test")
+        assert train and test
+        assert not (set(train) & set(test))
+        assert all(v >= 0 for v in train + test)
+
+    def test_file_pairing_builds_batches(self, blender_root):
+        from pointnerf2studio_tpu.data.mvs_batches import build_view_batches
+        ds = load_blender(str(blender_root), "train")
+        pf = os.path.join(str(blender_root), "pairs.txt")
+        with open(pf, "w") as f:
+            f.write("2\n0\n1,2\n3\n2,0\n")
+        batches, _, _, _ = build_view_batches(
+            ds, num_src=2, pairing="file", pair_file=pf)
+        assert len(batches) == 2
+        assert batches[0].images.shape[0] == 3
+        # out-of-range views must be rejected loudly
+        with open(pf, "w") as f:
+            f.write("1\n0\n9,2\n")
+        with pytest.raises(ValueError):
+            build_view_batches(ds, num_src=2, pairing="file", pair_file=pf)
