@@ -112,9 +112,14 @@ def cmd_render_video(args):
         _latest_ckpt(args.checkpoint))
     grid = build_query_grid(points.xyz, points.alive, cfg.query)
     fast = args.fast or isinstance(grid, HashGrid)
+    poses = None
+    if args.path == "interpolate":
+        from pointnerf2studio_tpu.train.evaluator import interpolated_poses
+        poses = interpolated_poses(train_ds.poses, n_views=args.frames)
     path = render_video(cfg, params, points, grid, train_ds.intrinsics,
                         train_ds.hw, train_ds.near, train_ds.far,
-                        args.out, n_frames=args.frames, fast=fast)
+                        args.out, n_frames=args.frames, fast=fast,
+                        poses=poses)
     print("wrote", path)
 
 
@@ -377,6 +382,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--frames", type=int, default=60)
     v.add_argument("--fast", action="store_true",
                    help="fat-cache fast render path (eval semantics)")
+    v.add_argument("--path", choices=("spherical", "interpolate"),
+                   default="spherical",
+                   help="camera path: spherical orbit, or the "
+                        "reference's dataset-pose interpolation "
+                        "(mvs_utils.gen_render_path)")
     v.set_defaults(fn=cmd_render_video)
 
     g = sub.add_parser("gen-points")

@@ -290,14 +290,55 @@ def spherical_poses(n_frames: int, radius: float = 4.0,
     return np.stack(poses)
 
 
+def interpolated_poses(c2ws: np.ndarray, n_views: int = 30) -> np.ndarray:
+    """Smooth render path interpolating the dataset cameras.
+
+    Reproduces the reference's `gen_render_path`
+    (mvs_utils.py:261-290): per consecutive camera pair (cyclic, last
+    back to first), emit `n_views // 3` frames linearly interpolating
+    xyz-euler angles and positions — total `len(c2ws) * (n_views // 3)`
+    c2w poses. Angle wrap is handled by shifting each frame's euler
+    angles within 180° of the previous frame's (the reference shifts
+    relative to frame 0 and only upward; nearest-wrap is the robust
+    form of the same intent).
+    """
+    from scipy.spatial.transform import Rotation
+
+    c2ws = np.asarray(c2ws, np.float64)
+    n = len(c2ws)
+    steps = max(n_views // 3, 1)
+    eulers, positions = [], []
+    for i in range(n):
+        e = Rotation.from_matrix(c2ws[i, :3, :3]).as_euler(
+            "xyz", degrees=True)
+        if i:
+            e += 360.0 * np.round((eulers[-1] - e) / 360.0)
+        eulers.append(e)
+        positions.append(c2ws[i, :3, 3])
+    w = np.linspace(1.0, 0.0, steps, endpoint=False)[:, None]
+    out = []
+    for i in range(n):
+        j = (i + 1) % n
+        for ang, pos in zip(w * eulers[i] + (1 - w) * eulers[j],
+                            w * positions[i] + (1 - w) * positions[j]):
+            m = np.eye(4, dtype=np.float32)
+            m[:3, :3] = Rotation.from_euler(
+                "xyz", ang, degrees=True).as_matrix()
+            m[:3, 3] = pos
+            out.append(m)
+    return np.stack(out)
+
+
 def render_video(
     cfg: PointNerfConfig, params, points, grid,
     intrinsics: np.ndarray, hw, near: float, far: float,
     out_path: str, n_frames: int = 60, radius: float = 4.0,
     chunk: int = 4096, fps: int = 30, fast: bool = False,
-    frame: bool = True,
+    frame: bool = True, poses: Optional[np.ndarray] = None,
 ) -> str:
-    """Spherical-path video (reference: run/render_vid.py).
+    """Spherical-path video (reference: run/render_vid.py); pass
+    `poses` ([F, 4, 4] c2w, e.g. from `interpolated_poses`) to render
+    an explicit camera path instead.
 
     `fast=True` uses the frame renderer by default: the compiled
     depth-window tier programs are shared across all frames, and each
@@ -319,7 +360,9 @@ def render_video(
     i, j = np.meshgrid(np.arange(w), np.arange(h))
     xy = np.stack([i, j], -1).reshape(-1, 2)
     frames = []
-    for pose in spherical_poses(n_frames, radius=radius):
+    if poses is None:
+        poses = spherical_poses(n_frames, radius=radius)
+    for pose in poses:
         rays = pixel_raydirs(xy, intrinsics, pose[:3, :3])
         if frame_render is not None:
             o = frame_render(params, pose[:3, 3], pose[:3, :3], rays)

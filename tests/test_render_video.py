@@ -65,3 +65,38 @@ def test_video_frame_renderer_matches_chunk(scene):
         np.asarray(o.ray_mask).reshape(h, w), out2["ray_mask"])
     np.testing.assert_allclose(img1, out2["coarse_raycolor"],
                                rtol=0, atol=3e-7)
+
+
+def test_interpolated_poses_match_endpoints():
+    from pointnerf2studio_tpu.train.evaluator import (
+        interpolated_poses, spherical_poses)
+    base = spherical_poses(6, radius=4.0)
+    out = interpolated_poses(base, n_views=30)   # 10 frames per pair
+    assert out.shape == (60, 4, 4)
+    # each segment starts exactly at its source camera
+    for i in range(6):
+        np.testing.assert_allclose(out[i * 10], base[i], atol=1e-5)
+    # rotations stay orthonormal and the path is continuous
+    for m in out:
+        np.testing.assert_allclose(m[:3, :3] @ m[:3, :3].T, np.eye(3),
+                                   atol=1e-5)
+    gaps = np.linalg.norm(np.diff(out[:, :3, 3], axis=0), axis=-1)
+    assert gaps.max() < 1.0
+
+
+def test_pfm_roundtrip(tmp_path):
+    from pointnerf2studio_tpu.utils.pfm import read_pfm, write_pfm
+    rng = np.random.default_rng(0)
+    depth = rng.uniform(0.5, 5.0, size=(7, 5)).astype(np.float32)
+    p = str(tmp_path / "d.pfm")
+    write_pfm(p, depth)
+    np.testing.assert_array_equal(read_pfm(p), depth)
+    rgb = rng.uniform(size=(4, 6, 3)).astype(np.float32)
+    write_pfm(p, rgb)
+    np.testing.assert_array_equal(read_pfm(p), rgb)
+    # big-endian + positive-scale variant (scale folds into values)
+    with open(p, "wb") as f:
+        f.write(b"Pf\n2 2\n2.0\n")
+        f.write(np.array([[3, 4], [1, 2]], ">f4").tobytes())
+    np.testing.assert_array_equal(
+        read_pfm(p), np.array([[2, 4], [6, 8]], np.float32))
