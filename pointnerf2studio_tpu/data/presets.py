@@ -24,6 +24,20 @@ NERF_SYNTH_SCENES = ("chair", "drums", "ficus", "hotdog", "lego",
                      "materials", "mic", "ship")
 SCANNET_SCENES = ("scene0101_04", "scene0241_01")
 TT_SCENES = ("Barn", "Caterpillar", "Family", "Ignatius", "Truck")
+COLMAP_SCENES = tuple("col_" + s for s in NERF_SYNTH_SCENES)
+
+# COLMAP-reconstruction crop ranges differ slightly from the GT-camera
+# ones (dev_scripts/w_colmap_n360/col_*_points.sh:53).
+COLMAP_RANGES: Dict[str, tuple] = {
+    "col_chair": (-0.721, -0.695, -0.995, 0.658, 0.706, 1.050),
+    "col_drums": (-1.126, -0.746, -0.492, 1.122, 0.962, 0.939),
+    "col_ficus": (-0.377, -0.858, -1.034, 0.555, 0.578, 1.141),
+    "col_hotdog": (-1.198, -1.286, -0.190, 1.198, 1.110, 0.312),
+    "col_lego": (-0.638, -1.141, -0.346, 0.634, 1.149, 1.141),
+    "col_materials": (-1.123, -0.759, -0.232, 1.072, 0.986, 0.200),
+    "col_mic": (-1.252, -0.910, -0.742, 0.767, 1.082, 1.151),
+    "col_ship": (-1.277, -1.300, -0.550, 1.371, 1.349, 0.729),
+}
 
 # Per-scene world-space crop ranges (dev_scripts/w_n360/*_points.sh).
 NERF_SYNTH_RANGES: Dict[str, tuple] = {
@@ -52,6 +66,34 @@ def nerf_synth_config(scene: str = "chair", **overrides) -> PointNerfConfig:
         train=TrainConfig(max_iterations=200_000, rays_per_batch=4096,
                           prune_thresh=0.1, prob_freq=10_001,
                           prob_thresh=0.7, prob_mul=0.4),
+        near_plane=2.0, far_plane=6.0,
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def colmap_config(scene: str = "col_chair", **overrides) -> PointNerfConfig:
+    """COLMAP-initialized NeRF-Synthetic family.
+
+    dev_scripts/w_colmap_n360/col_*_points.sh: same grid/query
+    hyperparameters as w_n360 but the cloud comes from a COLMAP
+    fused.ply (load_points=1; here `gen-points --from-ply`, view
+    triples via --pairing triangles), pruning is disabled
+    (prune_iter=-1), growth probes run longer (prob_num_step=50), and
+    batches are 70x70 pixel samples (random_sample_size=70).
+    """
+    ranges = COLMAP_RANGES.get(scene, (-1.3,) * 3 + (1.3,) * 3)
+    query = QueryConfig(
+        vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
+        kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+        ranges=ranges, z_depth_dim=400, SR=80, K=8,
+        max_o=410_000, P=12)
+    cfg = PointNerfConfig(
+        query=query,
+        agg=AggregatorConfig(),
+        train=TrainConfig(max_iterations=200_000, rays_per_batch=4900,
+                          prune_iter=0, prob_freq=10_001,
+                          prob_num_step=50, prob_thresh=0.7,
+                          prob_mul=0.4),
         near_plane=2.0, far_plane=6.0,
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
@@ -95,6 +137,8 @@ def get_preset(name: str) -> PointNerfConfig:
     """Look up a preset by scene name across dataset families."""
     if name in NERF_SYNTH_RANGES:
         return nerf_synth_config(name)
+    if name in COLMAP_RANGES:
+        return colmap_config(name)
     if name in SCANNET_SCENES:
         return scannet_config(name)
     if name in TT_SCENES or name.lower() in tuple(s.lower() for s in TT_SCENES):
