@@ -146,6 +146,17 @@ def cmd_gen_points(args):
         from pointnerf2studio_tpu.data.pointcloud_init import (
             init_cloud_from_points, load_ply)
         d = load_ply(args.from_ply)
+        if args.comb_file:
+            # reference --comb_file: extra xyz rows from a ';'-delimited
+            # txt are concatenated onto the PLY cloud
+            # (nerf_synth360_ft_dataset.py:369-374)
+            import numpy as np
+            extra = np.loadtxt(args.comb_file, delimiter=";", ndmin=2)
+            d["xyz"] = np.concatenate(
+                [d["xyz"], extra[:, :3].astype(np.float32)], 0)
+            if d["color"] is not None:
+                pad = np.full((extra.shape[0], 3), 0.5, np.float32)
+                d["color"] = np.concatenate([d["color"], pad], 0)
         cloud = init_cloud_from_points(
             d["xyz"], d["color"], feat_dim=cfg.agg.point_features_dim,
             vox_res=args.vox_res, ranges=cfg.query.ranges,
@@ -398,6 +409,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="init from a COLMAP/PLY point cloud instead of "
                         "running MVSNet")
     g.add_argument("--init-mlp", default=None)
+    g.add_argument("--comb-file", default=None,
+                   help="';'-delimited txt of extra xyz rows appended "
+                        "to the --from-ply cloud (reference --comb_file)")
     g.add_argument("--point-noise", default="",
                    help="jitter loaded positions once at init, e.g. "
                         "pointgaussian_0.1 (reference --point_noise)")

@@ -65,9 +65,26 @@ def ply_cloud(tmp_path):
 
 def test_cli_gen_train_eval(blender_dir, ply_cloud, tmp_path, capsys):
     out = str(tmp_path / "run")
+    # --comb-file appends ';'-delimited xyz rows to the PLY cloud
+    # (reference --comb_file, nerf_synth360_ft_dataset.py:369-374)
+    comb = tmp_path / "extra.txt"
+    comb.write_text("0.05;0.05;0.05\n-0.05;-0.05;-0.05\n")
     cli_main(["gen-points", "--scene", "chair", "--data", blender_dir,
-              "--from-ply", ply_cloud, "--out", out, "--capacity", "512"])
+              "--from-ply", ply_cloud, "--comb-file", str(comb),
+              "--out", out, "--capacity", "512"])
     assert os.path.exists(os.path.join(out, "0_net_ray_marching.pth"))
+    from pointnerf2studio_tpu.utils.checkpoint_io import (
+        load_torch_state_dict)
+    sd = load_torch_state_dict(os.path.join(out, "0_net_ray_marching.pth"))
+    xyz_key = [k for k in sd if k.endswith("xyz")][0]
+    xyz = np.asarray(sd[xyz_key], np.float32).reshape(-1, 3)
+    # voxel downsampling may merge a comb row into a nearby sphere
+    # point, so assert the comb coordinates survive (within a voxel)
+    # rather than an exact count
+    assert xyz.shape[0] > 500
+    for p in ((0.05, 0.05, 0.05), (-0.05, -0.05, -0.05)):
+        d = np.linalg.norm(xyz - np.array(p, np.float32), axis=1).min()
+        assert d < 0.05, (p, d)
 
     cli_main(["train", "--scene", "chair", "--data", blender_dir,
               "--point-cloud", out, "--out", out,
