@@ -133,6 +133,14 @@ def main() -> None:
                 program_cache=programs, tier_quant=tier_quant,
                 budget_tier=bt, host_rays=rd_np, verbose=verbose)
 
+        def fetch_dep(out):
+            # block_until_ready is a NO-OP on the axon backend
+            # (tools/probe_backend_semantics.py: per-call blocks read
+            # 0 ms for a ~17 ms program) — force a host fetch of a
+            # scalar that depends on the whole frame instead
+            return float(jax.device_get(
+                out.coarse_raycolor.astype(jnp.float32).sum()))
+
         print(f"bench: frame cache ready t={time.strftime('%H:%M:%S')}",
               file=__import__('sys').stderr, flush=True)
         # BENCH_TQ trades steady-state rows for warmup compiles: each
@@ -143,14 +151,14 @@ def main() -> None:
             programs = {}
             out = run_frame(programs, tier_quant,
                             verbose=True)          # warmup + verify
-            out.coarse_raycolor.block_until_ready()
+            fetch_dep(out)   # also compiles the sum program
             n_of = sum(
                 int(jax.device_get(c)) for c in
                 (out.dw_overflow, out.cb_overflow) if c is not None)
             if n_of == 0:
                 t0 = time.perf_counter()
                 out = run_frame(programs, tier_quant)
-                out.coarse_raycolor.block_until_ready()
+                fetch_dep(out)
                 dt = time.perf_counter() - t0
                 rays_per_sec = total / dt
                 print(json.dumps({
@@ -277,10 +285,17 @@ def main() -> None:
             cfg = dataclasses.replace(
                 cfg, query=dataclasses.replace(cfg.query, **{e.which: 0}))
 
+    # pre-compile the per-chunk scalar-sum programs outside the timed
+    # window (block_until_ready is a no-op on the axon backend; the
+    # end-of-loop fetch of the stacked sums is the real barrier)
+    float(jax.device_get(
+        run_chunk(0).coarse_raycolor.astype(jnp.float32).sum()))
     t0 = time.perf_counter()
+    sums = []
     for i in range(n_chunks):
         out = run_chunk(i)
-    out.coarse_raycolor.block_until_ready()
+        sums.append(out.coarse_raycolor.astype(jnp.float32).sum())
+    float(jax.device_get(jnp.stack(sums).sum()))
     dt = time.perf_counter() - t0
     assert_exact(cfg, out, f"chunk {n_chunks - 1}")
 

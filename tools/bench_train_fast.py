@@ -148,14 +148,17 @@ def main():
                        ray_vars[s % 4], jax.random.PRNGKey(s))
 
     state, aux = call(0)
-    jax.block_until_ready(aux["total"])
+    # block_until_ready is a NO-OP on the axon backend — a host fetch
+    # of the loss scalar is the only real barrier (the chained state
+    # makes every step a dependency of the last step's loss)
+    float(jax.device_get(aux["total"]))
     print(f"compiled (+{time.time()-t0:.0f}s) stage={stage}", flush=True)
 
     n = 30
     t1 = time.perf_counter()
     for s in range(n):
         state, aux = call(s)
-    jax.block_until_ready(aux["total"])
+    float(jax.device_get(aux["total"]))
     dt = (time.perf_counter() - t1) / n
     tag = (("chair " if chair else "") + ("rb " if rb is not None else "")
            + (f"{stage}-only " if stage != "full" else ""))

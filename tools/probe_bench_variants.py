@@ -107,8 +107,11 @@ def main():
     rd0 = (camera_rays(scene.campos, scene.camrotc2w, 256, 256, 355.5)
            if use_chair else
            camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0))
+    # 9 DISTINCT ray buffers (8 timed + 1 warmup): block_until_ready is
+    # a no-op on this backend (probe_backend_semantics.py), so timing
+    # relies on unique inputs + one dependent scalar fetch at the end
     ray_vars = []
-    for i in range(4):
+    for i in range(9):
         r = rd0 + 1e-4 * jax.random.normal(jax.random.PRNGKey(i), rd0.shape)
         r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
         ray_vars.append(jax.block_until_ready(
@@ -118,44 +121,42 @@ def main():
     cfg_v = resolve_measured_sentinels(cfg_v, scene, ray_vars[0])
 
     def run(tag, cfg, ablate=None):
+        from tools.timing import timed_scalar_calls
+
         @jax.jit
         def f(params, Rw2c, cache, raydirs):
-            return fast_render_rays(
+            out = fast_render_rays(
                 params, Rw2c, cache, scene.campos, scene.camrotc2w,
                 raydirs, near, far, cfg, rmin, svs,
                 debug_ablate=ablate).coarse_raycolor
+            # scalar reduce INSIDE the program: the end-of-loop fetch
+            # depends on every call; a separate out-of-jit .sum()
+            # would compile a second program (~1s remote) mid-timing
+            return out.astype(jnp.float32).sum()
         try:
-            out = jax.block_until_ready(
-                f(scene.params, scene.cloud.Rw2c, cache, ray_vars[0]))
-            t0 = time.perf_counter()
-            n = 8
-            for i in range(n):
-                out = f(scene.params, scene.cloud.Rw2c, cache,
-                        ray_vars[i % 4])
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / n
-            print(f"{tag:28}: {dt*1e3:7.1f} ms -> {R/dt:,.0f} rays/s",
+            dt, tot = timed_scalar_calls(
+                lambda r: f(scene.params, scene.cloud.Rw2c, cache, r),
+                ray_vars[:8], warmup_input=ray_vars[8])
+            print(f"{tag:28}: {dt*1e3:7.1f} ms -> {R/dt:,.0f} rays/s"
+                  f"  (sum {tot:.1f}; incl ~30ms fetch /8)",
                   flush=True)
         except Exception as e:
             print(f"{tag:28}: FAILED {type(e).__name__} {str(e)[:120]}",
                   flush=True)
 
     if which == "null":
-        # dispatch-overhead calibration: a trivial program timed with
-        # the same 8-call block-at-end pattern. If this is large, the
-        # per-call RPC cost of the remote backend inflates every
-        # variant equally and real device time is lower.
+        # fetch-overhead calibration: a trivial program timed with the
+        # same harness — its per-call time is pure dispatch + the
+        # amortized end fetch, inflating every variant equally
+        from tools.timing import timed_scalar_calls
+
         @jax.jit
         def g(r):
-            return r.sum()
+            return r.astype(jnp.float32).sum()
 
-        out = jax.block_until_ready(g(ray_vars[0]))
-        t0 = time.perf_counter()
-        for i in range(8):
-            out = g(ray_vars[i % 4])
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / 8
-        print(f"null dispatch              : {dt*1e3:7.1f} ms",
+        dt, _ = timed_scalar_calls(g, ray_vars[:8],
+                                   warmup_input=ray_vars[8])
+        print(f"null dispatch+fetch        : {dt*1e3:7.1f} ms",
               flush=True)
         return
     run(tag, cfg_v, ablate=ab)

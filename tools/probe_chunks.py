@@ -74,7 +74,7 @@ def main():
 
     rd0 = camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0)
     fe_vars = []
-    for i in range(4):
+    for i in range(9):   # 8 timed + 1 warmup, all DISTINCT (timing.py)
         r = rd0 + 1e-4 * jax.random.normal(jax.random.PRNGKey(i), rd0.shape)
         r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
         rays = jnp.concatenate([r] * (R // r.shape[0] + 1))[:R]
@@ -88,16 +88,14 @@ def main():
             params, Rw2c, cache, raydirs, scene.campos, scene.camrotc2w,
             near, step_t, cfg, rmin, svs, qslot_c, sel_ray, sel_d,
             mask_c, debug_ablate=ablate)
-        return sig.sum(), rgb.sum(), found.sum()
+        return (sig.astype(jnp.float32).sum()
+                + rgb.astype(jnp.float32).sum()
+                + found.astype(jnp.float32).sum())
 
-    out = jax.block_until_ready(run(
-        scene.params, scene.cloud.Rw2c, cache, *fe_vars[0]))
-    t0 = time.perf_counter()
-    n = 8
-    for i in range(n):
-        out = run(scene.params, scene.cloud.Rw2c, cache, *fe_vars[i % 4])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+    from tools.timing import timed_scalar_calls
+    dt, _ = timed_scalar_calls(
+        lambda fe: run(scene.params, scene.cloud.Rw2c, cache, *fe),
+        fe_vars[:8], warmup_input=fe_vars[8])
     print(f"chunks {variant:8} ch={chunk}: {dt*1e3:7.1f} ms", flush=True)
 
 
