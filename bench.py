@@ -91,13 +91,19 @@ def main() -> None:
     total = raydirs.shape[0]
     n_chunks = total // chunk
 
-    # ---- frame mode (default): frame-level ray packing + span-tiered
-    # depth windows (fast_render.render_frame). Misses never enter the
-    # pipeline; each dense chunk compiles at the smallest sufficient
-    # depth-window tier. Exact (CPU-verified bit-identical vs the raw
-    # order; on-device dw_overflow asserted every frame). BENCH_FRAME=0
-    # restores the per-chunk rb/dw path for continuity probes.
-    if os.environ.get("BENCH_FRAME", "1") == "1" and not sphere:
+    # ---- frame mode (opt-in, BENCH_FRAME=1): frame-level ray packing
+    # + span-tiered depth windows (fast_render.render_frame). Misses
+    # never enter the pipeline; each dense chunk compiles at the
+    # smallest sufficient depth-window tier. Exact (CPU-verified
+    # bit-identical vs the raw order; on-device dw_overflow asserted
+    # every frame). NOT the default: every depth tier is a separate
+    # XLA program at ~11 min each on the remote axon compiler, and the
+    # r3b queue run timed out after 3 of 5+ tier compiles
+    # (/tmp/queue_r3b.log). The per-chunk dw+rb path below compiles
+    # ONE program and is chip-verified EXACT at 410k rays/s (PERF.md
+    # round-3 rebaseline) — that is what the driver's round-end bench
+    # must hit reliably.
+    if os.environ.get("BENCH_FRAME", "0") == "1" and not sphere:
         from pointnerf2studio_tpu.models.fast_render import render_frame
 
         mesh = make_mesh()
