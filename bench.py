@@ -180,7 +180,36 @@ def main() -> None:
         print("bench: frame mode inexact; falling back to chunk loop",
               file=sys.stderr)
 
+    st_env = os.environ.get("BENCH_ST", "")
+    if st_env:
+        # Span-tiered ray packing (QueryConfig.span_tiers): supersedes
+        # the dw+rb pair below. "auto" = quantile widths measured on
+        # this frame; "64,128,192" = explicit widths. Opt-in until the
+        # chip probe (tkpcstm) proves a win over dw+rb.
+        from pointnerf2studio_tpu.models.fast_render import (
+            measured_span_tiers)
+        try:
+            widths = (None if st_env == "auto" else
+                      [int(w) for w in st_env.split(",")])
+            tw, tb = measured_span_tiers(
+                scene.campos, np.asarray(jax.device_get(raydirs)),
+                scene.near, scene.far, cfg.query.z_depth_dim,
+                scene.grid.ranges_min, scene.grid.dims,
+                cfg.query.scaled_vsize, widths=widths, chunk=chunk)
+            print(f"bench: span tiers {tw} budgets {tb}",
+                  file=__import__('sys').stderr)
+            cfg = dataclasses.replace(
+                cfg, query=dataclasses.replace(
+                    cfg.query, span_tiers=tw, span_tier_budgets=tb))
+        except Exception as e:   # sizing must never kill bench
+            import sys
+            print(f"bench: span-tier sizing failed ({e}); off",
+                  file=sys.stderr)
+
     rb_env = os.environ.get("BENCH_RB", "auto")
+    dw_env = os.environ.get("BENCH_DW", "auto")
+    if cfg.query.span_tiers:
+        rb_env = dw_env = "0"   # tiers pack rays + window per tier
     if rb_env not in ("", "0"):
         # Ray packing: the front-end processes only box-hitting rays.
         # "auto" sizes the static budget from the max per-chunk hit
@@ -208,7 +237,6 @@ def main() -> None:
             cfg = dataclasses.replace(
                 cfg, query=dataclasses.replace(cfg.query, ray_budget=rb))
 
-    dw_env = os.environ.get("BENCH_DW", "auto")
     if dw_env not in ("", "0"):
         # Static per-ray window for the [R, D] qslot gather, sized
         # before the cache build (the jitted pipeline needs a static
@@ -265,6 +293,23 @@ def main() -> None:
             self.which = which
 
     def assert_exact(c, out, tag):
+        if c.query.span_tiers:
+            trips = {
+                "dw": out.dw_overflow, "rb": out.rb_overflow,
+                "cb": out.cb_overflow}
+            for name, ctr in trips.items():
+                n = 0 if ctr is None else int(jax.device_get(ctr))
+                if n:
+                    raise _Inexact("span_tiers", (
+                        f"{tag}: span tiers tripped {name}_overflow="
+                        f"{n} — bench would be inexact"))
+            return
+        if out.cb_overflow is not None:
+            n = int(jax.device_get(out.cb_overflow))
+            if n:
+                raise _Inexact("compact_budget", (
+                    f"{tag}: compact_budget={c.query.compact_budget} "
+                    f"dropped {n} valid slots — bench would be inexact"))
         if out.dw_overflow is not None:
             n = int(jax.device_get(out.dw_overflow))
             if n:

@@ -117,6 +117,23 @@ class QueryConfig:
     # the frame's measured hit count — at NeRF-Synthetic chair
     # geometry ~50-60% of an 800x800 frame misses the box). 0 = off.
     ray_budget: int = 0
+    # Span-TIERED ray packing (fast path; supersedes the single
+    # ray_budget + depth_window pair when non-empty): box-hitting rays
+    # are assigned to the smallest tier whose width covers their
+    # in-box sample span, each tier packs its rays to a dense prefix
+    # and renders with depth_window = that tier's width, and per-ray
+    # outputs scatter back. Front-end gather rows drop from
+    # RB * max_span to sum_i RB_i * w_i (chair 800x800 frame measured:
+    # 0.66x at widths (64, 128, 192) vs the flat measured window; the
+    # jagged ideal is 0.48x). EXACT while each tier's budget covers
+    # its ray count (rb_overflow sums tier overflows) and the LAST
+    # width covers the frame's max span (the last tier's dw_overflow
+    # counts violations — both verified on device like dw/rb).
+    # span_tiers: ascending window widths; span_tier_budgets: same
+    # length, per-tier static ray budgets. Size both from a known ray
+    # set via models/fast_render.measured_span_tiers.
+    span_tiers: Tuple[int, ...] = ()
+    span_tier_budgets: Tuple[int, ...] = ()
     # Unused since the window-expanded redesign (kept for config
     # compatibility; the old batch-average window compaction is gone).
     coarse_win_global: int = 4

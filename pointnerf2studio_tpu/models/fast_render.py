@@ -398,6 +398,37 @@ class FastRenderOutput:
     cb_overflow: Optional[jnp.ndarray] = None
 
 
+def counter_presence(q):
+    """(has_win, has_dw, has_rb, has_cb) for fast_render_rays under
+    this query config — mirrors the branch structure so shard_map
+    out_specs can be declared without tracing."""
+    if q.span_tiers:
+        # the tiered branch always emits dw + rb (summed over tiers);
+        # cb follows the per-tier scaled budgets; win only with coarse
+        import dataclasses as _dc
+        has_cb = False
+        if q.compact_budget > 0:
+            widths = tuple(int(w) for w in q.span_tiers)
+            budgets = tuple(int(b) for b in q.span_tier_budgets)
+            w_bar = (sum(b * wj for b, wj in zip(budgets, widths))
+                     / max(sum(budgets), 1))
+            for w in widths:
+                cb_i = max(1, -(-q.compact_budget * w // int(w_bar)))
+                cb_i = min(cb_i, q.SR,
+                           q.ray_slot_budget or min(q.SR, 32), w)
+                sub = _dc.replace(q, span_tiers=(),
+                                  span_tier_budgets=(), ray_budget=0,
+                                  depth_window=min(w, q.z_depth_dim),
+                                  compact_budget=cb_i)
+                has_cb = has_cb or has_cb_overflow(sub)
+        return (q.coarse_step > 1, True, True, has_cb)
+    has_win = q.coarse_step > 1
+    has_dw = q.depth_window > 0 and (
+        not has_win or q.depth_window < q.z_depth_dim)
+    has_rb = q.ray_budget > 0
+    return has_win, has_dw, has_rb, has_cb_overflow(q)
+
+
 def has_cb_overflow(q) -> bool:
     """Whether fast_render_rays emits a cb_overflow counter for this
     query config (i.e. the M = R*compact_budget cap can drop samples).
@@ -467,6 +498,105 @@ def fast_render_rays(
     near = jnp.asarray(near, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
     step_t = (far - near) / D
+
+    if q.span_tiers:
+        # ---- span-tiered ray packing (see QueryConfig.span_tiers) —
+        # the ray_budget slab packing generalized to one packed group
+        # per span tier, each rendered at its own depth_window width.
+        # Rays are disjoint across tiers, so the per-tier scatters
+        # never collide; misses render exact background as in the
+        # single-budget branch below.
+        import dataclasses as _dc
+        widths = tuple(int(w) for w in q.span_tiers)
+        budgets = tuple(int(b) for b in q.span_tier_budgets)
+        assert len(widths) == len(budgets) and widths == tuple(
+            sorted(widths)), (
+            "span_tiers must be ascending with matching budgets")
+        rmax = ranges_min + dims_f * scaled_vsize
+        safe = jnp.where(jnp.abs(raydirs) < 1e-9,
+                         jnp.where(raydirs >= 0, 1e-9, -1e-9), raydirs)
+        inv = 1.0 / safe
+        ta = (ranges_min - campos) * inv
+        tb = (rmax - campos) * inv
+        t_enter = jnp.max(jnp.minimum(ta, tb), -1)
+        t_exit = jnp.min(jnp.maximum(ta, tb), -1)
+        hit = ((t_exit + step_t >= t_enter)
+               & (t_exit >= near - step_t)
+               & (t_enter <= far + step_t))
+        # in-box sample span — the same float math as the use_dwin
+        # branch, so a tier-w ray's window provably covers its span
+        d_lo = jnp.floor((t_enter - near) / step_t
+                         - 0.5).astype(jnp.int32)
+        d_hi = jnp.minimum(
+            jnp.ceil((jnp.minimum(t_exit, far) - near) / step_t
+                     - 0.5).astype(jnp.int32), D - 1)
+        span = jnp.where((t_exit >= t_enter) & (d_hi >= 0),
+                         d_hi - jnp.maximum(d_lo, 0) + 1, 0)
+        ti = jnp.zeros((R,), jnp.int32)
+        for w in widths[:-1]:
+            ti = ti + (span > w).astype(jnp.int32)  # last tier catches
+        iota = jnp.arange(R, dtype=jnp.int32)       # any longer span
+        bg = (bg_ray_colors if bg_ray_colors is not None
+              else jnp.broadcast_to(
+                  jnp.asarray(cfg.bg_color, jnp.float32), (R, 3)))
+        color = bg.astype(jnp.float32)
+        ray_mask = jnp.zeros((R,), jnp.bool_)
+        acc = jnp.zeros((R,), jnp.float32)
+        depth = jnp.zeros((R,), jnp.float32)
+        rb_overflow = jnp.zeros((), jnp.int32)
+        dw_overflow = jnp.zeros((), jnp.int32)
+        cb_list, win_list = [], []
+        for i, w in enumerate(widths):
+            in_t = hit & (ti == i)
+            RB = min(budgets[i], R)
+            top = jax.lax.top_k(jnp.where(in_t, -iota, -(R + 1)), RB)[0]
+            valid = top >= -R
+            rid = jnp.where(valid, -top, 0)
+            rb_overflow = rb_overflow + jnp.maximum(
+                jnp.sum(in_t.astype(jnp.int32)) - RB, 0)
+            # Per-tier compacted-slot budget: valid samples per ray
+            # scale with the in-box span, so a flat compact_budget
+            # starves the long-span tier (its rays carry most of the
+            # shading work). Distribute the global budget in
+            # proportion to tier width (all static python values);
+            # cb_overflow still counts any residual truncation.
+            if q.compact_budget > 0:
+                w_bar = (sum(b * wj for b, wj in zip(budgets, widths))
+                         / max(sum(budgets), 1))
+                cb_i = max(1, -(-q.compact_budget * w // int(w_bar)))
+                cb_i = min(cb_i, SR, BP, w)
+            else:
+                cb_i = 0
+            cfg_i = _dc.replace(cfg, query=_dc.replace(
+                q, span_tiers=(), span_tier_budgets=(), ray_budget=0,
+                depth_window=min(w, D), compact_budget=cb_i))
+            sub = fast_render_rays(
+                params, Rw2c, cache, campos, camrotc2w, raydirs[rid],
+                near, far, cfg_i, ranges_min, scaled_vsize,
+                debug_ablate=debug_ablate,
+                bg_ray_colors=(None if bg_ray_colors is None
+                               else bg_ray_colors[rid]),
+                pshard_axis=pshard_axis)
+            ids_s = jnp.where(valid, rid, R)
+            color = color.at[ids_s].set(sub.coarse_raycolor,
+                                        mode="drop")
+            ray_mask = ray_mask.at[ids_s].set(sub.ray_mask, mode="drop")
+            acc = acc.at[ids_s].set(sub.acc.astype(jnp.float32),
+                                    mode="drop")
+            depth = depth.at[ids_s].set(sub.depth.astype(jnp.float32),
+                                        mode="drop")
+            if sub.dw_overflow is not None:
+                dw_overflow = dw_overflow + sub.dw_overflow
+            if sub.cb_overflow is not None:
+                cb_list.append(sub.cb_overflow)
+            if sub.win_overflow is not None:
+                win_list.append(sub.win_overflow)
+        return FastRenderOutput(
+            coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
+            depth=depth,
+            win_overflow=(sum(win_list) if win_list else None),
+            dw_overflow=dw_overflow, rb_overflow=rb_overflow,
+            cb_overflow=(sum(cb_list) if cb_list else None))
 
     if q.ray_budget > 0:
         # ---- ray packing: the front-end only sees box-hitting rays —
@@ -1139,6 +1269,52 @@ def measured_depth_window(campos, raydirs, near, far, D: int,
     span, _ = frame_ray_spans(campos, raydirs, near, far, D,
                               ranges_min, dims, scaled_vsize)
     return int(min(D, int(span.max(initial=0)) + slack))
+
+
+def measured_span_tiers(campos, raydirs, near, far, D: int,
+                        ranges_min, dims, scaled_vsize,
+                        widths=None, slack: int = 4,
+                        round_to: int = 1024, chunk: int = 0):
+    """(widths, budgets) for QueryConfig.span_tiers on a KNOWN ray set.
+
+    Default widths are span-distribution quantiles (p50 / p85 / max,
+    rounded up to 16) — measured 0.62-0.66x front-end rows on the
+    chair frame vs the flat measured window. Budgets are per-tier ray
+    counts (max over `chunk`-sized ray chunks when chunked rendering
+    is used, +3% slack rounded to `round_to`), mirroring the bench's
+    rb auto-sizing; device-side rb_overflow/dw_overflow == 0 re-verify
+    both. Pure NumPy — callable before any jit."""
+    span, hit = frame_ray_spans(campos, raydirs, near, far, D,
+                                ranges_min, dims, scaled_vsize)
+    s = span[hit & (span > 0)]
+    smax = int(s.max(initial=1))
+    if widths is None:
+        p50, p85 = (int(np.percentile(s, 50)), int(np.percentile(s, 85))
+                    ) if s.size else (1, 1)
+        widths = [-(-p50 // 16) * 16, -(-p85 // 16) * 16]
+    widths = sorted(set(
+        min(int(w), D) for w in widths if int(w) < smax + slack))
+    widths.append(min(smax + slack, D))
+    # drop widths too close to the next one up — a 16-sample tier gap
+    # saves fewer rows than its extra sub-pipeline costs
+    widths = [w for w, nxt in zip(widths, widths[1:])
+              if nxt - w >= 16] + [widths[-1]]
+    warr = np.asarray(widths)
+    # tier index per ray: smallest width covering the span (span 0 /
+    # grazing-hit rays go to tier 0, matching the device assignment)
+    ti = np.searchsorted(warr, span, side="left")
+    ti = np.minimum(ti, len(widths) - 1)
+    R = span.shape[0]
+    chunk = chunk or R
+    n_chunks = max(R // chunk, 1)
+    budgets = []
+    for i in range(len(widths)):
+        cnt = (hit & (ti == i))[: n_chunks * chunk].reshape(
+            n_chunks, chunk).sum(-1).max()
+        budgets.append(int(min(
+            chunk, max(round_to, (int(cnt * 1.03) + round_to - 1)
+                       // round_to * round_to))))
+    return tuple(widths), tuple(budgets)
 
 
 def slab_hit_mask(campos, raydirs, near, far, D: int,

@@ -140,16 +140,10 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     come back replicated.
     """
     from pointnerf2studio_tpu.models.fast_render import (
-        FastRenderOutput, fast_render_rays, has_cb_overflow)
+        FastRenderOutput, counter_presence, fast_render_rays)
 
     q = cfg.query
-    has_cb = has_cb_overflow(q)
-    has_win = q.coarse_step > 1
-    # dw composes with coarse windows (fast_render.py): the counter is
-    # present unless coarse is on AND the window covers all of D
-    has_dw = q.depth_window > 0 and (
-        not has_win or q.depth_window < q.z_depth_dim)
-    has_rb = q.ray_budget > 0
+    has_win, has_dw, has_rb, has_cb = counter_presence(q)
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
               ranges_min, scaled_vsize):
@@ -199,7 +193,7 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
     multiple of the points-axis size (shard_fat_cache). Signature
     matches make_sharded_fast_render."""
     from pointnerf2studio_tpu.models.fast_render import (
-        FastRenderOutput, FatCache, fast_render_rays, has_cb_overflow)
+        FastRenderOutput, FatCache, counter_presence, fast_render_rays)
 
     pts = _points_axis(mesh)
     assert pts is not None, "mesh needs a 'points' axis"
@@ -208,13 +202,7 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
         "knn_mode='fused' + point-sharded cache not wired yet (the "
         "kernel-facing kmeta/kpay arrays would need the same slab "
         "padding as rows)")
-    has_cb = has_cb_overflow(q)
-    has_win = q.coarse_step > 1
-    # dw composes with coarse windows (fast_render.py): the counter is
-    # present unless coarse is on AND the window covers all of D
-    has_dw = q.depth_window > 0 and (
-        not has_win or q.depth_window < q.z_depth_dim)
-    has_rb = q.ray_budget > 0
+    has_win, has_dw, has_rb, has_cb = counter_presence(q)
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
               ranges_min, scaled_vsize):

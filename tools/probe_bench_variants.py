@@ -48,6 +48,19 @@ def resolve_measured_sentinels(cfg_v, scene, rays):
         cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
             cfg_v.query, depth_window=dw))
         q = cfg_v.query
+    if q.span_tiers == (-2,):
+        from pointnerf2studio_tpu.models.fast_render import (
+            measured_span_tiers)
+        widths, budgets = measured_span_tiers(
+            scene.campos, np.asarray(rays), scene.near, scene.far,
+            q.z_depth_dim, scene.grid.ranges_min, scene.grid.dims,
+            q.scaled_vsize)
+        print(f"measured span tiers {widths} budgets {budgets} "
+              f"(rows {sum(w * b for w, b in zip(widths, budgets))} "
+              f"vs flat {max(widths) * sum(budgets)})", flush=True)
+        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
+            cfg_v.query, span_tiers=widths, span_tier_budgets=budgets))
+        q = cfg_v.query
     if q.ray_budget == -2:
         from pointnerf2studio_tpu.models.fast_render import slab_hit_mask
         hits = int(slab_hit_mask(
@@ -353,6 +366,45 @@ VARIANTS = {
                              composite_mode="packed", depth_window=-2,
                              ray_budget=-2),
                     None),
+    # stage attribution AT the shipped dw+rb config (the chair bench
+    # path): full - <skip> = that stage's cost at 159.6 ms scale
+    "tkpcdwrbmcs": ("b8 ch=4096 dw+rb compact-skip",
+                    base_cfg(fast_chunk=4096, compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2), "compact"),
+    "tkpcdwrbmds": ("b8 ch=4096 dw+rb decode-skip",
+                    base_cfg(fast_chunk=4096, compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2), "decode"),
+    "tkpcdwrbmws": ("b8 ch=4096 dw+rb weights-skip",
+                    base_cfg(fast_chunk=4096, compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2), "weights"),
+    "tkpcdwrbmxs": ("b8 ch=4096 dw+rb extract-skip",
+                    base_cfg(fast_chunk=4096, compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2), "extract"),
+    "tkpcdwrbmgs": ("b8 ch=4096 dw+rb gather-skip",
+                    base_cfg(fast_chunk=4096, compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2), "gather"),
+    "tkpcdwrbmks": ("b8 ch=4096 dw+rb knn-skip",
+                    base_cfg(fast_chunk=4096, compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2), "knn"),
+    "tkpcdwrbmss": ("b8 ch=4096 dw+rb sel-only-skip",
+                    base_cfg(fast_chunk=4096, compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2), "selonly"),
+    "tkpcstm": ("b8 ch=4096 topk packed span-tiers measured",
+                base_cfg(fast_chunk=4096, compact_mode="topk",
+                         composite_mode="packed", span_tiers=(-2,)),
+                None),
+    "tkpcb6stm": ("b6 ch=4096 topk packed span-tiers measured",
+                  base_cfg(fast_chunk=4096, compact_budget=6,
+                           compact_mode="topk",
+                           composite_mode="packed", span_tiers=(-2,)),
+                  None),
     "tkpcb5dwrbm": ("b5 ch=4096 topk packed dw+rb measured",
                     base_cfg(fast_chunk=4096, compact_budget=5,
                              compact_mode="topk",
