@@ -1068,6 +1068,14 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
         shell = (meta & 3).astype(jnp.int32)
         payload = jax.lax.bitcast_convert_type(
             rows3[..., 1:], jnp.bfloat16).reshape(Mc, CAND, PAYW)
+        if debug_ablate == "p_gather":
+            # cumulative-prefix probe cutoff (tools/probe_chunk_stages):
+            # fat gather + bitcasts only, reduced per sample (WRONG
+            # output, real timing of the prefix)
+            return (payload.astype(jnp.float32).sum((-1, -2)),
+                    jnp.broadcast_to(meta.astype(jnp.float32)
+                                     .sum(-1, keepdims=True), (Mc, 3)),
+                    mask_cc)
 
         rd_sel = raydirs[sel_ray_c]
         t_sel = near + (sel_d_c.astype(jnp.float32) + 0.5) * step_t
@@ -1091,6 +1099,12 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                     keepdims=True)
                 eligible = eligible | ((shell == s) & (before < K))
             ok = ok & eligible
+        if debug_ablate == "p_geom":
+            # prefix cutoff: + cdelta / d2 / masking / shell eligibility
+            return (d2.sum(-1) + ok.astype(jnp.float32).sum(-1),
+                    jnp.broadcast_to(
+                        cdelta.sum((-1, -2))[:, None], (Mc, 3)),
+                    mask_cc)
 
         if debug_ablate == "knn":
             top_idx = jnp.broadcast_to(
@@ -1100,6 +1114,12 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             key = jnp.where(ok, d2, jnp.inf)
             neg_top, top_idx = jax.lax.top_k(-key, K)           # [Mc, K]
             pnt_mask = neg_top > -jnp.inf
+        if debug_ablate == "p_knn":
+            # prefix cutoff: + the K-NN top_k select
+            return (jnp.where(pnt_mask, -neg_top, 0.0).sum(-1),
+                    jnp.broadcast_to(top_idx.astype(jnp.float32)
+                                     .sum(-1, keepdims=True), (Mc, 3)),
+                    jnp.any(pnt_mask, -1))
         if debug_ablate == "extract":
             nsel = payload[:, :K]               # fake: static slice
         elif q.extract_mode == "gather":
@@ -1113,6 +1133,13 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                    & pnt_mask[..., None])                       # [Mc, K, C]
             nsel = jnp.einsum("mkc,mca->mka", oh8.astype(jnp.bfloat16),
                               payload)                          # [Mc, K, PAYW]
+        if debug_ablate == "p_extract":
+            # prefix cutoff: + the payload extract
+            Mc2 = nsel.shape[0]
+            return (nsel.astype(jnp.float32).sum((-1, -2)),
+                    jnp.broadcast_to(pnt_mask.astype(jnp.float32)
+                                     .sum(-1, keepdims=True), (Mc2, 3)),
+                    jnp.any(pnt_mask, -1))
         return _decode_tail(nsel, pnt_mask, locs, center, rd_sel)
 
     def _decode_tail(nsel, pnt_mask, locs, center, rd_sel):
@@ -1132,6 +1159,14 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
              nei_pers[..., 1] * nei_pers[..., 2] - lp[..., 1] * lp[..., 2],
              nei_pers[..., 2] - lp[..., 2]], -1)
         dists = jnp.concatenate([nxyz - locs[:, None, :], pdist], -1)
+        if debug_ablate == "p_dists":
+            # prefix cutoff: + attr slices / perspective offsets
+            return (dists.astype(jnp.float32).sum((-1, -2))
+                    + conf.sum(-1),
+                    (emb.astype(jnp.float32).sum((-1, -2))[:, None]
+                     + ncol.astype(jnp.float32).mean(-2)
+                     + ndir.astype(jnp.float32).mean(-2)),
+                    jnp.any(pnt_mask, -1))
         if debug_ablate == "weights":
             # fake the aggregation weights (WRONG values, real timing
             # elsewhere): isolates the inverse-distance weight stage

@@ -25,6 +25,7 @@ for it in $items $extra; do
     chaircheck:*) PROBE_SCENE=chair timeout 2400 python tools/check_variant_exact.py "${it#chaircheck:}" >> "$log" 2>&1 ;;
     stage:*) timeout 1500 python tools/probe_topk_pack.py "${it#stage:}" >> "$log" 2>&1 ;;
     chunks:*) timeout 1800 python tools/probe_chunks.py "${it#chunks:}" >> "$log" 2>&1 ;;
+    stages:*) timeout 5400 python tools/probe_chunk_stages.py "${it#stages:}" >> "$log" 2>&1 ;;
     chair:*) PROBE_SCENE=chair timeout 1800 python tools/probe_bench_variants.py "${it#chair:}" >> "$log" 2>&1 ;;
     train:*) a="${it#train:}"; timeout 1800 python tools/bench_train_fast.py ${a//,/ } >> "$log" 2>&1 ;;
     bench)   timeout 2400 python bench.py >> "$log" 2>&1 ;;
