@@ -830,6 +830,7 @@ def fast_render_rays(
         qslot_c = (mi * 37) % jnp.maximum(cache.n_q, 1)
         mask_c = mi < (R * 34) // 10
         ray_hit = jnp.ones((R,), bool)
+        cb_overflow = None
     elif q.compact_mode == "topk":
         # ---- top-k compaction: ONE scatter + [M]-row gathers ----
         # The one-hot design materializes [R, Dax, BP] one-hots and

@@ -492,3 +492,31 @@ def test_render_frame_all_miss(scene):
         s.near, s.far, s.cfg, rmin, svs, chunk=32)
     assert not bool(np.asarray(out.ray_mask).any())
     np.testing.assert_array_equal(np.asarray(out.coarse_raycolor), 1.0)
+
+
+@pytest.mark.parametrize("ablate", [
+    "qslot", "compact", "selonly", "scatterback", "gather", "knn",
+    "extract", "weights", "decode",
+    "p_gather", "p_geom", "p_knn", "p_extract", "p_dists"])
+def test_debug_ablate_paths_run(scene, ablate):
+    """Every perf-probe ablation key must EXECUTE (wrong values, real
+    timing) under the shipped probe configs — an ablate branch that
+    leaves a local unset crashes a 6-minute on-chip probe setup (the
+    compact-skip UnboundLocalError on cb_overflow did exactly that).
+    Covers both the packed composite (shipped) and the grid composite
+    ("scatterback"'s real home)."""
+    from pointnerf2studio_tpu.models.fast_render import fast_render_rays
+
+    s = scene
+    rays = _rays(s, h=8, w=8)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    R, D = rays.shape[0], s.cfg.query.z_depth_dim
+    for comp in ("packed", "grid"):
+        cfg = dataclasses.replace(s.cfg, query=dataclasses.replace(
+            s.cfg.query, compact_mode="topk", composite_mode=comp,
+            depth_window=max(D - 8, 1), ray_budget=R))
+        out = fast_render_rays(
+            s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w,
+            rays, s.near, s.far, cfg, rmin, svs, debug_ablate=ablate)
+        assert out.coarse_raycolor.shape == (R, 3)
+        assert np.isfinite(np.asarray(out.coarse_raycolor)).all()
