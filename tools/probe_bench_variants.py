@@ -358,6 +358,26 @@ VARIANTS = {
                            composite_mode="packed", depth_window=-2,
                            ray_budget=-2),
                   None),
+    # chunk-size lever at the shipped dw+rb config: if the downstream
+    # cost is per-chunk-iteration overhead (flat single-stage skips,
+    # ~2.6 ms/active chunk), doubling CH halves it. Bounded above by
+    # the v5e >=512k-row MLP regalloc bug (STATUS.md) — 32k chunks of
+    # K=8 rows = 262k MLP rows stays under it.
+    "tkpcdwrbm8k": ("b8 ch=8192 topk packed dw+rb measured",
+                    base_cfg(fast_chunk=8192, compact_mode="topk",
+                             composite_mode="packed", depth_window=-2,
+                             ray_budget=-2),
+                    None),
+    "tkpcdwrbm16k": ("b8 ch=16384 topk packed dw+rb measured",
+                     base_cfg(fast_chunk=16384, compact_mode="topk",
+                              composite_mode="packed", depth_window=-2,
+                              ray_budget=-2),
+                     None),
+    "tkpcdwrbm32k": ("b8 ch=32768 topk packed dw+rb measured",
+                     base_cfg(fast_chunk=32768, compact_mode="topk",
+                              composite_mode="packed", depth_window=-2,
+                              ray_budget=-2),
+                     None),
     # pack/M-scaling lever composed with dw+rb (PERF.md item 3):
     # rb already shrinks M via R; budget 5/6 shrinks it further
     "tkpcb6dwrbm": ("b6 ch=4096 topk packed dw+rb measured",
