@@ -137,6 +137,19 @@ class QueryConfig:
     # Unused since the window-expanded redesign (kept for config
     # compatibility; the old batch-average window compaction is gone).
     coarse_win_global: int = 4
+    # Distance-field ray-march front-end (ops/march.py; supersedes
+    # depth_window when non-empty, composes with ray_budget): rays
+    # sphere-trace the packed qslot+distance table, emitting occupied
+    # samples directly — tested rows ~= steps taken instead of
+    # [R, D(W)] dense rows. march_steps = per-stage fuel; after each
+    # stage the still-active rays repack into the next static bucket
+    # (march_buckets, one entry per stage after the first). EXACT
+    # while every ray finishes within the staged fuel/buckets
+    # (FastRenderOutput.mc_overflow counts unfinished rays; nonzero =
+    # raise the budgets, samples may be missing). Dense-grid topk
+    # compaction only; needs max_q < 2^22 - 1 and z_depth_dim <= 512.
+    march_steps: Tuple[int, ...] = ()
+    march_buckets: Tuple[int, ...] = ()
     # Fast-path slot-compaction mechanism:
     #   "onehot" — per-ray one-hot MXU einsums + four scalar scatters
     #              (the r1 design);

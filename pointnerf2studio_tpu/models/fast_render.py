@@ -88,6 +88,10 @@ class FatCache:
     # logical_dims carries the voxel bounds that are no longer a shape
     hash_table: Optional[jnp.ndarray] = None   # [B, S*5] int32
     logical_dims: Optional[jnp.ndarray] = None  # [3] int32
+    # packed qslot + Chebyshev-distance field for the ray-march
+    # front-end (ops/march.py); built when QueryConfig.march_steps is
+    # set (dense grids only)
+    march_table: Optional[jnp.ndarray] = None  # [gx, gy, gz] int32
 
     @property
     def cand(self) -> int:
@@ -396,12 +400,17 @@ class FastRenderOutput:
     # raise the budget). None when M cannot overflow (budget >= the
     # per-ray column cap).
     cb_overflow: Optional[jnp.ndarray] = None
+    # march front-end only: rays whose in-box span was not fully
+    # tested within the staged fuel/buckets (nonzero = raise
+    # QueryConfig.march_steps / march_buckets — samples may be
+    # missing). None when the march is off.
+    mc_overflow: Optional[jnp.ndarray] = None
 
 
 def counter_presence(q):
-    """(has_win, has_dw, has_rb, has_cb) for fast_render_rays under
-    this query config — mirrors the branch structure so shard_map
-    out_specs can be declared without tracing."""
+    """(has_win, has_dw, has_rb, has_cb, has_mc) for fast_render_rays
+    under this query config — mirrors the branch structure so
+    shard_map out_specs can be declared without tracing."""
     if q.span_tiers:
         # the tiered branch always emits dw + rb (summed over tiers);
         # cb follows the per-tier scaled budgets; win only with coarse
@@ -421,12 +430,25 @@ def counter_presence(q):
                                   depth_window=min(w, q.z_depth_dim),
                                   compact_budget=cb_i)
                 has_cb = has_cb or has_cb_overflow(sub)
-        return (q.coarse_step > 1, True, True, has_cb)
+        return (q.coarse_step > 1, True, True, has_cb, False)
+    if march_active(q):
+        return (False, False, q.ray_budget > 0, has_cb_overflow(q),
+                True)
     has_win = q.coarse_step > 1
     has_dw = q.depth_window > 0 and (
         not has_win or q.depth_window < q.z_depth_dim)
     has_rb = q.ray_budget > 0
-    return has_win, has_dw, has_rb, has_cb_overflow(q)
+    return has_win, has_dw, has_rb, has_cb_overflow(q), False
+
+
+def march_active(q) -> bool:
+    """Whether this query config routes the front-end through the
+    distance-field ray march (ops/march.py). Static (config-only) so
+    shard_map out_specs can be declared without tracing; the runtime
+    RAISES if a march config meets an ineligible cache (hash grid /
+    missing table) instead of silently falling back."""
+    return (len(q.march_steps) > 0 and not q.span_tiers
+            and q.coarse_step <= 1 and q.compact_mode == "topk")
 
 
 def has_cb_overflow(q) -> bool:
@@ -438,7 +460,10 @@ def has_cb_overflow(q) -> bool:
     SR = q.SR
     BP = q.ray_slot_budget or min(SR, 32)
     budget = q.compact_budget if q.compact_budget > 0 else SR
-    if q.coarse_step > 1:
+    if march_active(q):
+        # the march emits up to min(SR, BP) samples over the full D
+        Dax = D
+    elif q.coarse_step > 1:
         S = q.coarse_step
         DS = -(-D // S)
         BW = min(q.coarse_win_budget, DS)
@@ -655,7 +680,7 @@ def fast_render_rays(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, win_overflow=sub.win_overflow,
             dw_overflow=sub.dw_overflow, rb_overflow=rb_overflow,
-            cb_overflow=sub.cb_overflow)
+            cb_overflow=sub.cb_overflow, mc_overflow=sub.mc_overflow)
 
     qslot_flat = (None if hash_mode
                   else cache.coor_2_qslot.reshape(-1))
@@ -679,12 +704,49 @@ def fast_render_rays(
         fi, inb = _voxelize(pos)
         return jnp.where(inb, qslot_flat[jnp.where(inb, fi, 0)], -1), inb
 
-    use_coarse = (q.coarse_step > 1 and cache.coor_2_qslot is not None
+    use_march = (march_active(q)
+                 and debug_ablate not in ("qslot", "compact", "selonly"))
+    use_coarse = (not use_march and q.coarse_step > 1
+                  and cache.coor_2_qslot is not None
                   and cache.coarse_occ is not None
                   and debug_ablate != "qslot")
-    use_dwin = (not use_coarse and q.depth_window > 0
+    use_dwin = (not use_march and not use_coarse and q.depth_window > 0
                 and debug_ablate != "qslot")
-    if use_coarse:
+    mc_overflow = None
+    if use_march:
+        # ---- distance-field ray march (ops/march.py): tested rows
+        # ~= steps taken instead of the dense [R, D(W)] table gather;
+        # emits each ray's first-cap occupied samples directly, so the
+        # select/compact machinery below is skipped too. Exact while
+        # mc_overflow == 0.
+        if hash_mode or cache.march_table is None:
+            raise ValueError(
+                "march_steps needs a dense-grid cache with march_table "
+                "(make_fast_scene builds it when march_steps is set)")
+        if cache.rows.shape[0] > (1 << 22) - 2 or D > 512:
+            raise ValueError("march packing needs max_q < 2^22 - 1 "
+                             "and z_depth_dim <= 512")
+        from pointnerf2studio_tpu.ops.march import march_rays
+        from pointnerf2studio_tpu.ops.select import rank_gather_pack
+        cap = min(SR, BP, D)
+        emit, cnt, mc_overflow = march_rays(
+            cache.march_table.reshape(-1), dims_arr, gy, gz,
+            ranges_min, scaled_vsize, campos, raydirs, near, far,
+            step_t, D, cap, q.march_steps, q.march_buckets)
+        ray_hit = cnt > 0
+        iota_bp = jnp.broadcast_to(
+            jnp.arange(cap, dtype=jnp.int32), (R, cap))
+        sel_ray, sel_slot, colm, _, packed_m, mask_c = rank_gather_pack(
+            emit, iota_bp, cnt, M)
+        qslot_c = jnp.maximum((packed_m >> 9) - 1, 0)
+        sel_d = packed_m & 511
+        pack_end = jnp.cumsum(cnt)
+        pack_cnt = cnt
+        cb_overflow = (jnp.maximum(pack_end[-1] - M, 0)
+                       if M < R * cap else None)
+        win_overflow = None
+        dw_overflow = None
+    elif use_coarse:
         # ---- two-level sample masking, window-expanded form ----
         # The [R, D] qslot table gather is the single largest stage of
         # the step (~89 ms of ~194 at bench scale) and is purely
@@ -817,7 +879,9 @@ def fast_render_rays(
         win_overflow = None
         dw_overflow = None
 
-    if debug_ablate == "compact":
+    if use_march:
+        pass            # compaction outputs already produced above
+    elif debug_ablate == "compact":
         # fabricate the compaction outputs (WRONG results, real
         # timing): measures the whole [R, Dax]-domain mask/rank/
         # one-hot/scatter machinery by removing it. Valid-slot count
@@ -951,7 +1015,8 @@ def fast_render_rays(
         return FastRenderOutput(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, win_overflow=win_overflow,
-            dw_overflow=dw_overflow, cb_overflow=cb_overflow)
+            dw_overflow=dw_overflow, cb_overflow=cb_overflow,
+            mc_overflow=mc_overflow)
 
     # ---- grid composite: scatter to [R, BP] slots ----
     if debug_ablate == "scatterback":
@@ -994,7 +1059,7 @@ def fast_render_rays(
     return FastRenderOutput(
         coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
         win_overflow=win_overflow, dw_overflow=dw_overflow,
-        cb_overflow=cb_overflow)
+        cb_overflow=cb_overflow, mc_overflow=mc_overflow)
 
 
 def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
@@ -1412,6 +1477,10 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
         grid, cloud, cfg.query.kernel_size, max_q, cfg.query.cand_cap,
         coarse_dilate=coarse_dilate,
         layout="fused" if cfg.query.knn_mode == "fused" else "rows")
+    if march_active(cfg.query) and cache.coor_2_qslot is not None:
+        from pointnerf2studio_tpu.ops.march import build_march_table
+        cache = cache.replace(
+            march_table=build_march_table(cache.coor_2_qslot))
     return cache, grid.ranges_min, grid.scaled_vsize
 
 

@@ -143,7 +143,7 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
         FastRenderOutput, counter_presence, fast_render_rays)
 
     q = cfg.query
-    has_win, has_dw, has_rb, has_cb = counter_presence(q)
+    has_win, has_dw, has_rb, has_cb, has_mc = counter_presence(q)
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
               ranges_min, scaled_vsize):
@@ -158,7 +158,8 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
         win_overflow=P() if has_win else None,
         dw_overflow=P() if has_dw else None,
         rb_overflow=P() if has_rb else None,
-        cb_overflow=P() if has_cb else None)
+        cb_overflow=P() if has_cb else None,
+        mc_overflow=P() if has_mc else None)
     fn = _shard_map(
         local, mesh,
         in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P(), P(), P()),
@@ -170,7 +171,7 @@ def _psum_counters(out):
     """Sum a FastRenderOutput's scalar exactness counters over the rays
     axis so they come back replicated (shard_map helpers)."""
     for f in ("win_overflow", "dw_overflow", "rb_overflow",
-              "cb_overflow"):
+              "cb_overflow", "mc_overflow"):
         v = getattr(out, f)
         if v is not None:
             out = out.replace(**{f: jax.lax.psum(v, "rays")})
@@ -202,7 +203,7 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
         "knn_mode='fused' + point-sharded cache not wired yet (the "
         "kernel-facing kmeta/kpay arrays would need the same slab "
         "padding as rows)")
-    has_win, has_dw, has_rb, has_cb = counter_presence(q)
+    has_win, has_dw, has_rb, has_cb, has_mc = counter_presence(q)
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
               ranges_min, scaled_vsize):
@@ -213,14 +214,16 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
 
     cache_specs = FatCache(
         coor_2_qslot=P(), rows=P(pts), n_q=P(),
-        coarse_occ=P() if has_win else None)
+        coarse_occ=P() if has_win else None,
+        march_table=P() if has_mc else None)
     out_specs = FastRenderOutput(
         coarse_raycolor=P("rays"), ray_mask=P("rays"), acc=P("rays"),
         depth=P("rays"),
         win_overflow=P() if has_win else None,
         dw_overflow=P() if has_dw else None,
         rb_overflow=P() if has_rb else None,
-        cb_overflow=P() if has_cb else None)
+        cb_overflow=P() if has_cb else None,
+        mc_overflow=P() if has_mc else None)
     fn = _shard_map(
         local, mesh,
         in_specs=(P(), P(), cache_specs, P(), P(), P("rays"), P(), P(),

@@ -68,6 +68,8 @@ def main():
             print(f"  dw_overflow={int(out.dw_overflow)}", flush=True)
         if out.rb_overflow is not None:
             print(f"  rb_overflow={int(out.rb_overflow)}", flush=True)
+        if out.mc_overflow is not None:
+            print(f"  mc_overflow={int(out.mc_overflow)}", flush=True)
         if out.cb_overflow is not None:
             print(f"  cb_overflow={int(out.cb_overflow)}", flush=True)
         return (np.asarray(out.ray_mask), np.asarray(out.coarse_raycolor),

@@ -73,6 +73,28 @@ def resolve_measured_sentinels(cfg_v, scene, rays):
               flush=True)
         cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
             cfg_v.query, ray_budget=rb))
+        q = cfg_v.query
+    if q.march_steps == (-2,):
+        # plan the staged march from an occupancy-only table (planning
+        # needs occupancy + distances, not qslot ids); the rb-packed
+        # ray count bounds the simulated set when rb is on
+        import jax.numpy as jnp
+
+        from pointnerf2studio_tpu.ops.march import (
+            build_march_table, plan_march)
+        occ = jnp.asarray(scene.grid.coor_occ)
+        tbl = np.asarray(build_march_table(
+            jnp.where(occ.astype(bool), 0, -1)))
+        cap = min(q.SR, q.ray_slot_budget or min(q.SR, 32),
+                  q.z_depth_dim)
+        steps, buckets = plan_march(
+            tbl, scene.grid.ranges_min, q.scaled_vsize, scene.campos,
+            np.asarray(rays), float(scene.near), float(scene.far),
+            q.z_depth_dim, cap)
+        print(f"measured march steps {steps} buckets {buckets}",
+              flush=True)
+        cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
+            cfg_v.query, march_steps=steps, march_buckets=buckets))
     return cfg_v
 
 
@@ -353,6 +375,16 @@ VARIANTS = {
                 base_cfg(fast_chunk=4096, compact_mode="topk",
                          composite_mode="packed", ray_budget=-2),
                 None),
+    # distance-field ray march front-end (ops/march.py), plan measured
+    "tkpcmcm": ("b8 ch=4096 topk packed march measured",
+                base_cfg(fast_chunk=4096, compact_mode="topk",
+                         composite_mode="packed", march_steps=(-2,)),
+                None),
+    "tkpcmcmrbm": ("b8 ch=4096 topk packed march+rb measured",
+                   base_cfg(fast_chunk=4096, compact_mode="topk",
+                            composite_mode="packed", march_steps=(-2,),
+                            ray_budget=-2),
+                   None),
     "tkpcdwrbm": ("b8 ch=4096 topk packed dw+rb measured",
                   base_cfg(fast_chunk=4096, compact_mode="topk",
                            composite_mode="packed", depth_window=-2,
