@@ -17,9 +17,23 @@ Env knobs:
   BENCH_SCENE=sphere  render the r1 sphere-shell scene instead
                       (180 samples over [1.1, 2.9]) for continuity
                       with BENCH_r01/r02 numbers.
+  BENCH_MC=0          disable the distance-field ray-march front-end
+                      (default auto: plan staged fuel/buckets from the
+                      first shuffled chunk; mc_overflow == 0 asserted
+                      on every chunk, fallback to dw on a trip).
   BENCH_DW=<int|auto> clip the [R, D] qslot gather to a per-ray
-                      depth window (auto = grid-box chord bound;
+                      depth window (fallback when march is off;
                       exactness is asserted via dw_overflow == 0).
+  BENCH_SHUFFLE=0     disable the fixed-permutation ray shuffle
+                      (default on: raster-order chunks concentrate
+                      occupancy at the image center — chunk 4 of the
+                      chair frame has ~2.4x the average valid-slot
+                      density and trips the static compact/march
+                      budgets that the frame average supports; a fixed
+                      host-side permutation makes every chunk
+                      statistically identical. Exact: rays are
+                      independent and the timed metric is a
+                      permutation-invariant sum).
 """
 
 from __future__ import annotations
@@ -90,6 +104,14 @@ def main() -> None:
     raydirs = camera_rays(scene.campos, scene.camrotc2w, H, W, focal)
     total = raydirs.shape[0]
     n_chunks = total // chunk
+
+    if os.environ.get("BENCH_SHUFFLE", "1") == "1":
+        # Fixed-permutation ray shuffle (see module docstring): every
+        # chunk sees frame-average occupancy density, which is what
+        # the static per-chunk budgets (compact_budget, ray_budget,
+        # march buckets) are provisioned for.
+        perm = np.random.default_rng(0).permutation(total)
+        raydirs = jnp.asarray(np.asarray(jax.device_get(raydirs))[perm])
 
     # ---- frame mode (opt-in, BENCH_FRAME=1): frame-level ray packing
     # + span-tiered depth windows (fast_render.render_frame). Misses
@@ -206,8 +228,45 @@ def main() -> None:
             print(f"bench: span-tier sizing failed ({e}); off",
                   file=sys.stderr)
 
+    mc_env = os.environ.get("BENCH_MC", "auto")
+    if mc_env != "0" and not cfg.query.span_tiers:
+        # Distance-field ray-march front-end (ops/march.py): tested
+        # rows ~= steps taken instead of [R, D] dense rows. Supersedes
+        # depth_window; composes with ray_budget. Chip-verified EXACT
+        # at 411,832 rays/s on chair geometry (/tmp/queue_r3d.log
+        # tkpcmcmrbm: 0 rays differ, all counters 0). Plan the staged
+        # fuel/buckets from the FIRST shuffled chunk (statistically
+        # identical to every chunk); mc_overflow == 0 is re-verified
+        # on device for every chunk below.
+        from pointnerf2studio_tpu.ops.march import (
+            build_march_table, plan_march)
+        try:
+            occ = jnp.asarray(scene.grid.coor_occ)
+            tbl = np.asarray(jax.device_get(build_march_table(
+                jnp.where(occ.astype(bool), 0, -1))))
+            q = cfg.query
+            cap = min(q.SR, q.ray_slot_budget or min(q.SR, 32),
+                      q.z_depth_dim)
+            steps, buckets = plan_march(
+                tbl, scene.grid.ranges_min, cfg.query.scaled_vsize,
+                scene.campos,
+                np.asarray(jax.device_get(raydirs[:chunk])),
+                float(scene.near), float(scene.far),
+                q.z_depth_dim, cap)
+            print(f"bench: march steps {steps} buckets {buckets}",
+                  file=__import__('sys').stderr)
+            cfg = dataclasses.replace(
+                cfg, query=dataclasses.replace(
+                    cfg.query, march_steps=steps,
+                    march_buckets=buckets))
+        except Exception as e:   # planning must never kill bench
+            import sys
+            print(f"bench: march planning failed ({e}); off",
+                  file=sys.stderr)
+
     rb_env = os.environ.get("BENCH_RB", "auto")
-    dw_env = os.environ.get("BENCH_DW", "auto")
+    dw_env = os.environ.get(
+        "BENCH_DW", "0" if cfg.query.march_steps else "auto")
     if cfg.query.span_tiers:
         rb_env = dw_env = "0"   # tiers pack rays + window per tier
     if rb_env not in ("", "0"):
@@ -288,11 +347,31 @@ def main() -> None:
     # hardware — degrade to the safe config (drop the offending
     # reducer and re-verify) rather than fail the bench outright.
     class _Inexact(Exception):
-        def __init__(self, which, msg):
+        def __init__(self, which, msg, fix=None):
             super().__init__(msg)
             self.which = which
+            self.fix = fix if fix is not None else {which: 0}
 
     def assert_exact(c, out, tag):
+        if out.mc_overflow is not None:
+            n = int(jax.device_get(out.mc_overflow))
+            if n:
+                # march fuel/buckets under-planned on this chunk: drop
+                # the march and fall back to the depth-window gather
+                try:
+                    from pointnerf2studio_tpu.models.fast_render import (
+                        measured_depth_window)
+                    dw_fb = measured_depth_window(
+                        scene.campos, raydirs, scene.near, scene.far,
+                        c.query.z_depth_dim, scene.grid.ranges_min,
+                        scene.grid.dims, c.query.scaled_vsize)
+                except Exception:
+                    dw_fb = 0
+                raise _Inexact("march", (
+                    f"{tag}: march left {n} rays unfinished — bench "
+                    f"would be inexact"), fix={
+                        "march_steps": (), "march_buckets": (),
+                        "depth_window": dw_fb})
         if c.query.span_tiers:
             trips = {
                 "dw": out.dw_overflow, "rb": out.rb_overflow,
@@ -307,9 +386,14 @@ def main() -> None:
         if out.cb_overflow is not None:
             n = int(jax.device_get(out.cb_overflow))
             if n:
+                # escalate x2 before falling back to the unbudgeted
+                # M = R*SR layout (5.2M slots/chunk — near-timeout
+                # territory on the remote compiler)
+                cb = c.query.compact_budget
                 raise _Inexact("compact_budget", (
-                    f"{tag}: compact_budget={c.query.compact_budget} "
-                    f"dropped {n} valid slots — bench would be inexact"))
+                    f"{tag}: compact_budget={cb} dropped {n} valid "
+                    f"slots — bench would be inexact"), fix={
+                        "compact_budget": cb * 2 if cb < 32 else 0})
         if out.dw_overflow is not None:
             n = int(jax.device_get(out.dw_overflow))
             if n:
@@ -324,7 +408,7 @@ def main() -> None:
                     f"box-hitting rays — bench would be inexact"))
 
     import sys
-    for _attempt in range(3):
+    for _attempt in range(4):
         run_chunk = make_run_chunk(cfg)
         try:
             for i in range(n_chunks):
@@ -334,7 +418,7 @@ def main() -> None:
             print(f"bench: {e}; retrying without {e.which}",
                   file=sys.stderr)
             cfg = dataclasses.replace(
-                cfg, query=dataclasses.replace(cfg.query, **{e.which: 0}))
+                cfg, query=dataclasses.replace(cfg.query, **e.fix))
 
     # pre-compile the per-chunk scalar-sum programs outside the timed
     # window (block_until_ready is a no-op on the axon backend; the
