@@ -194,6 +194,19 @@ class QueryConfig:
     #             identical selection semantics). TPU only; interpret
     #             mode elsewhere is for tests.
     knn_mode: str = "xla"
+    # The whole post-gather chunk pipeline (candidate select + extract
+    # + dists + aggregation weights + radiance decode):
+    #   "xla"   — staged XLA ops (chunk_pipeline stages; every
+    #             [Mc, CAND, ·] / [Mc, K, ·] intermediate round-trips
+    #             HBM — measured FLAT under single-stage ablations,
+    #             ~274 ns/slot, PERF.md r3c)
+    #   "fused" — ONE Pallas VMEM pass per block consuming the
+    #             XLA-gathered candidate block (ops/fused_chunk.py).
+    #             Masks match the XLA path exactly; sigma/rgb to bf16
+    #             rounding tolerance (split-matmul accumulation
+    #             order). Falls back to "xla" when the aggregator
+    #             config is outside fused_chunk_eligible.
+    chunk_mode: str = "xla"
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

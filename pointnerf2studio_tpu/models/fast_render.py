@@ -1093,9 +1093,23 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                   and fused_decode_eligible(cfg.agg, False, K)
                   and jax.default_backend() == "tpu")
 
-    use_fused_sel = (q.knn_mode == "fused" and cache.kmeta is not None
-                     and debug_ablate is None)
-    if (cache.kmeta is not None and not use_fused_sel
+    use_fused_chunk = False
+    if q.chunk_mode == "fused" and debug_ablate is None:
+        from pointnerf2studio_tpu.ops.fused_chunk import (
+            fused_chunk_eligible)
+        if cache.kmeta is None:
+            raise ValueError(
+                "chunk_mode='fused' needs the kernel-facing cache "
+                "layout (make_fast_scene builds it when chunk_mode or "
+                "knn_mode is 'fused')")
+        use_fused_chunk = fused_chunk_eligible(
+            cfg.agg, Rw2c.ndim == 4, K) and not use_fused2
+    # an ineligible agg config under chunk_mode='fused' degrades to the
+    # fused SELECT pass (the cache layout is kernel-facing either way)
+    use_fused_sel = ((q.knn_mode == "fused" or q.chunk_mode == "fused")
+                     and cache.kmeta is not None
+                     and debug_ablate is None and not use_fused_chunk)
+    if (cache.kmeta is not None and not (use_fused_sel or use_fused_chunk)
             and cache.rows.shape[0] == 1 and cache.kmeta.shape[0] > 1):
         # fused-layout caches carry only a placeholder `rows`; the XLA
         # select path would silently read garbage from it
@@ -1106,6 +1120,28 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
     def chunk_body(args):
         qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
         Mc = qslot_cc.shape[0]
+        if use_fused_chunk:
+            # ONE Pallas VMEM pass: select + extract + dists + weights
+            # + decode; only per-slot (sigma, rgb, found) reach HBM
+            # (ops/fused_chunk.py)
+            from pointnerf2studio_tpu.ops.fused_chunk import (
+                fused_chunk_decode)
+            rd_sel = raydirs[sel_ray_c]
+            t_sel = near + (sel_d_c.astype(jnp.float32) + 0.5) * step_t
+            locs = campos + rd_sel * t_sel[:, None]
+            vox = jnp.floor((locs - ranges_min) / scaled_vsize)
+            center = ranges_min + (vox + 0.5) * scaled_vsize
+            return fused_chunk_decode(
+                params, Rw2c, camrotc2w, campos,
+                cache.kmeta[qslot_cc], cache.kpay[qslot_cc],
+                locs, center, rd_sel, mask_cc,
+                K=K, radius2=radius2,
+                num_shells=num_shells if q.layered_search else 1,
+                nff=cfg.agg.num_feat_freqs,
+                ndf=cfg.agg.num_dist_freqs,
+                nvf=cfg.agg.num_viewdir_freqs,
+                act_super=cfg.agg.act_super,
+                interpret=jax.default_backend() == "cpu")
         if use_fused_sel:
             # ONE Pallas pass: d2 + masking + shells + K-select +
             # extract, VMEM-resident (ops/fused_select.py)
@@ -1476,7 +1512,9 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
     cache = build_fat_cache(
         grid, cloud, cfg.query.kernel_size, max_q, cfg.query.cand_cap,
         coarse_dilate=coarse_dilate,
-        layout="fused" if cfg.query.knn_mode == "fused" else "rows")
+        layout=("fused" if "fused" in (cfg.query.knn_mode,
+                                       cfg.query.chunk_mode)
+                else "rows"))
     if march_active(cfg.query) and cache.coor_2_qslot is not None:
         from pointnerf2studio_tpu.ops.march import build_march_table
         cache = cache.replace(

@@ -86,8 +86,13 @@ def main():
     if both.any():
         print(f"color diff mean {cd.mean():.6f} max {cd.max():.6f}; "
               f"acc diff max {ad.max():.6f}")
-    ok = agree == 1.0 and (not both.any() or cd.max() < 1e-3)
-    print("EXACT" if ok else "DIFFERS")
+    # chunk_mode='fused' re-associates the bf16 MLP matmuls (split
+    # weights, f32 K-accumulation): masks must still agree exactly,
+    # colors to bf16 rounding tolerance (tests/test_fused_chunk.py)
+    tol = 2.5e-2 if which.startswith("tkfc") else 1e-3
+    ok = agree == 1.0 and (not both.any() or cd.max() < tol)
+    print(("EXACT" if tol == 1e-3 else f"WITHIN-TOL {tol}") if ok
+          else "DIFFERS")
 
 
 if __name__ == "__main__":

@@ -390,6 +390,19 @@ VARIANTS = {
                            composite_mode="packed", depth_window=-2,
                            ray_budget=-2),
                   None),
+    # fully-fused chunk pipeline (ops/fused_chunk.py): ONE Pallas VMEM
+    # pass for select+extract+dists+weights+decode; masks exact,
+    # colors to bf16 tolerance (check_variant_exact TOLS)
+    "tkfcmcm": ("b8 ch=4096 fused-chunk march measured",
+                base_cfg(fast_chunk=4096, compact_mode="topk",
+                         composite_mode="packed", chunk_mode="fused",
+                         march_steps=(-2,)),
+                None),
+    "tkfcmcmrbm": ("b8 ch=4096 fused-chunk march+rb measured",
+                   base_cfg(fast_chunk=4096, compact_mode="topk",
+                            composite_mode="packed", chunk_mode="fused",
+                            march_steps=(-2,), ray_budget=-2),
+                   None),
     # chunk-size lever at the shipped dw+rb config: if the downstream
     # cost is per-chunk-iteration overhead (flat single-stage skips,
     # ~2.6 ms/active chunk), doubling CH halves it. Bounded above by
