@@ -28,6 +28,7 @@ for it in $items $extra; do
     stages:*) timeout 5400 python tools/probe_chunk_stages.py "${it#stages:}" >> "$log" 2>&1 ;;
     chair:*) PROBE_SCENE=chair timeout 1800 python tools/probe_bench_variants.py "${it#chair:}" >> "$log" 2>&1 ;;
     micro:*) timeout 1200 python tools/probe_microops.py "${it#micro:}" >> "$log" 2>&1 ;;
+    py:*)    timeout 1800 python "${it#py:}" >> "$log" 2>&1 ;;
     train:*) a="${it#train:}"; timeout 1800 python tools/bench_train_fast.py ${a//,/ } >> "$log" 2>&1 ;;
     bench)   timeout 2400 python bench.py >> "$log" 2>&1 ;;
     validate:*) a="${it#validate:}"; timeout 9000 python tools/validate_chair.py /tmp/proc_chair2 ${a%%,*} --steps ${a##*,} >> "$log" 2>&1 ;;
