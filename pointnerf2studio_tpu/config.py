@@ -207,6 +207,8 @@ class QueryConfig:
     #             order). Falls back to "xla" when the aggregator
     #             config is outside fused_chunk_eligible.
     chunk_mode: str = "xla"
+    # Pallas block (slots per grid step) for chunk_mode="fused".
+    fused_chunk_block: int = 512
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

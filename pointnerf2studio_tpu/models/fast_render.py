@@ -1141,6 +1141,7 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                 ndf=cfg.agg.num_dist_freqs,
                 nvf=cfg.agg.num_viewdir_freqs,
                 act_super=cfg.agg.act_super,
+                block=q.fused_chunk_block,
                 interpret=jax.default_backend() == "cpu")
         if use_fused_sel:
             # ONE Pallas pass: d2 + masking + shells + K-select +

@@ -403,6 +403,12 @@ VARIANTS = {
                             composite_mode="packed", chunk_mode="fused",
                             march_steps=(-2,), ray_budget=-2),
                    None),
+    "tkfcb1kmcmrbm": ("b8 ch=4096 fused-chunk block=1024 march+rb",
+                      base_cfg(fast_chunk=4096, compact_mode="topk",
+                               composite_mode="packed",
+                               chunk_mode="fused", fused_chunk_block=1024,
+                               march_steps=(-2,), ray_budget=-2),
+                      None),
     # chunk-size lever at the shipped dw+rb config: if the downstream
     # cost is per-chunk-iteration overhead (flat single-stage skips,
     # ~2.6 ms/active chunk), doubling CH halves it. Bounded above by
