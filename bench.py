@@ -381,7 +381,8 @@ def main() -> None:
                 if n:
                     raise _Inexact("span_tiers", (
                         f"{tag}: span tiers tripped {name}_overflow="
-                        f"{n} — bench would be inexact"))
+                        f"{n} — bench would be inexact"), fix={
+                            "span_tiers": (), "span_tier_budgets": ()})
             return
         if out.cb_overflow is not None:
             n = int(jax.device_get(out.cb_overflow))
