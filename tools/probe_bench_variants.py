@@ -169,11 +169,15 @@ def main():
             # would compile a second program (~1s remote) mid-timing
             return out.astype(jnp.float32).sum()
         try:
+            from tools.timing import congestion_sentinel
+            s_pre = congestion_sentinel()
             dt, tot = timed_scalar_calls(
                 lambda r: f(scene.params, scene.cloud.Rw2c, cache, r),
                 ray_vars[:8], warmup_input=ray_vars[8])
+            s_post = congestion_sentinel()
             print(f"{tag:28}: {dt*1e3:7.1f} ms -> {R/dt:,.0f} rays/s"
-                  f"  (sum {tot:.1f}; incl ~30ms fetch /8)",
+                  f"  (sum {tot:.1f}; incl ~30ms fetch /8; "
+                  f"sentinel {s_pre:.1f}/{s_post:.1f} ms)",
                   flush=True)
         except Exception as e:
             print(f"{tag:28}: FAILED {type(e).__name__} {str(e)[:120]}",

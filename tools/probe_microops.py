@@ -59,6 +59,9 @@ def rngs(n, shape, dtype=jnp.float32, lo=0, hi=None, seed=0):
 def main():
     which = sys.argv[1]
     report_scale = FULL / M
+    if not os.environ.get("PROBE_SMOKE"):
+        from tools.timing import congestion_sentinel
+        print(f"sentinel {congestion_sentinel():.2f} ms", flush=True)
 
     if which.startswith("extract") or which == "gather_fat":
         pay = jnp.asarray(

@@ -25,6 +25,33 @@ import jax
 import jax.numpy as jnp
 
 
+def congestion_sentinel(n_calls: int = 8):
+    """Time a FIXED small program to price this measurement window.
+
+    The chip/tunnel has multi-hour congestion periods that inflate
+    end-to-end times up to ~9x (r3e: tkpcmcmrbm read 159.1 ms at 18:06
+    and 1401.7 ms at 20:44 SAME DAY, equivalent program; the ~1400 ms
+    cluster previously misread as a config-dependent "explosion
+    regime"). Every probe must report this sentinel so cross-window
+    comparisons can be rejected. Clean-window reference: record the
+    value printed alongside a known-clean measurement and compare
+    ratios, not absolutes.
+    """
+    import numpy as np
+
+    @jax.jit
+    def f(a):
+        for _ in range(8):
+            a = jnp.tanh(a @ a) * 0.1
+        return a.sum()
+
+    xs = [jnp.asarray(np.random.default_rng(i)
+                      .standard_normal((2048, 2048)).astype(np.float32))
+          for i in range(n_calls + 1)]
+    dt, _ = timed_scalar_calls(f, xs[:-1], warmup_input=xs[-1])
+    return dt * 1000.0
+
+
 def timed_scalar_calls(f, inputs, warmup_input=None):
     """Time len(inputs) calls of `f` (each must return a scalar array).
 
