@@ -132,7 +132,7 @@ def main() -> None:
         near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
         cache, rmin, svs = make_fast_scene(
             cfg, scene.cloud, scene.grid, near=scene.near,
-            far=scene.far)
+            far=scene.far, params=scene.params)
         jax.block_until_ready(
             cache.kpay if cache.kpay is not None else cache.rows)
 
@@ -324,7 +324,8 @@ def main() -> None:
     # The fat cache is independent of the dw/rb reducers, so it is
     # built once and reused across fallback attempts below.
     cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
-                                       near=scene.near, far=scene.far)
+                                       near=scene.near, far=scene.far,
+                                       params=scene.params)
     jax.block_until_ready(cache.rows)
 
     mesh = make_mesh()

@@ -209,6 +209,20 @@ class QueryConfig:
     chunk_mode: str = "xla"
     # Pallas block (slots per grid step) for chunk_mode="fused".
     fused_chunk_block: int = 512
+    # Per-point base-layer cache (eval fast path): precompute
+    # [emb, PE(emb)] @ W1_emb into an [N, hidden] bf16 table at scene
+    # build (models/aggregator.precompute_base_h) and gather it per
+    # selected neighbor, instead of encoding + multiplying the
+    # embedding per padded (slot, K) pair. Eval frames evaluate ~4M
+    # pairs per 65k-ray dispatch vs ~0.5M points in the scene, so this
+    # removes ~7x of the PE(emb) transcendentals and layer-1 GEMM rows
+    # (284 -> 60 per pair) at the cost of one [M, K]-row 512 B gather.
+    # Colors deviate at bf16 partial-sum tolerance (the cached product
+    # rounds once). Requires chunk_mode/knn_mode "xla", order >= 1,
+    # and params passed to make_fast_scene. Eval-only: the train path
+    # keeps the fused concat (per-step per-point precompute would
+    # exceed the per-pair work it replaces at 4096-ray batches).
+    base_cache: bool = False
     # MLP-tower chunk over compacted shading points (lax.map). Bounds
     # activation memory AND works around a TPU backend register-
     # allocation failure on >=512k-row decode programs (observed on

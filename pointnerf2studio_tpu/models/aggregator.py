@@ -235,6 +235,50 @@ def conf_gradient_clamp(conf: jnp.ndarray, lo: float = 1e-4, hi: float = 1.0) ->
     return conf - jax.lax.stop_gradient(diff)
 
 
+def weight_emb_consumed(cfg: AggregatorConfig) -> int:
+    """Embedding channels the aggregation-weight kernel consumes as a
+    prefix (sh/gau/feat kernels slice them off before the MLP tower;
+    reference point_aggregators.py:420-483)."""
+    kind = cfg.agg_distance_kernel
+    if kind == "sh_intrp":
+        return cfg.sh_degree ** 2
+    if kind == "gau_intrp":
+        return 7
+    if kind == "feat_intrp":
+        return cfg.weight_feat_dim
+    return 0
+
+
+def precompute_base_h(params: AggregatorParams, cfg: AggregatorConfig,
+                      emb_table: jnp.ndarray) -> jnp.ndarray:
+    """Per-point half of mlp_base layer 1, cached for the eval path.
+
+    The tower input is [emb, PE(emb), PE(dists)] and layer 1 is linear,
+    so the emb-dependent partial product
+        h_pt[n] = [emb_n, PE(emb_n)] @ W1[:emb_rows]        (no bias)
+    depends only on the point. Eval renders evaluate the tower on
+    millions of padded (slot, K) pairs per frame while the scene has
+    ~0.5M points — caching h_pt per point removes the PE(emb)
+    transcendentals AND shrinks the layer-1 GEMM from 284 to 60 rows
+    per pair. Numerics: the partial sum rounds to bf16 once (stored
+    table), vs the reference's single 284-row f32 accumulation — a
+    bf16-tolerance deviation, same class as the fat cache's bf16
+    attributes.
+
+    `emb_table` is the full per-point embedding [N, C]; the weight
+    kernel's consumed prefix (weight_emb_consumed) is sliced off here
+    exactly as decode_radiance's aggregation_weight would.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    off = weight_emb_consumed(cfg)
+    emb_c = emb_table[..., off:].astype(dtype)
+    x = jnp.concatenate(
+        [emb_c, positional_encoding(emb_c, cfg.num_feat_freqs)], axis=-1)
+    rows = x.shape[-1]
+    w1 = params["mlp_base"][0]["kernel"][:rows].astype(dtype)
+    return (x @ w1).astype(jnp.bfloat16)
+
+
 def decode_radiance(
     params: AggregatorParams,
     cfg: AggregatorConfig,
@@ -248,6 +292,10 @@ def decode_radiance(
                                 #   when Rw2c is global)
     Rw2c: jnp.ndarray,          # [3, 3] global — or [M, K, 3, 3]
                                 #   per-neighbor (scene editing)
+    base_h: Optional[jnp.ndarray] = None,  # [M, K, hidden] cached
+                                # per-point layer-1 partial product
+                                # (precompute_base_h), replaces
+                                # neigh_emb/PE(neigh_emb) in the tower
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode (sigma [M], rgb [M, 3]) for M flat shading points.
 
@@ -258,6 +306,12 @@ def decode_radiance(
     dists, point dirs and the view direction used for the dir-difference
     features rotate per neighbor; the color branch's view-direction
     encoding stays per shading point (un-edited frame).
+
+    With `base_h` (eval fast path), layer 1 of mlp_base becomes
+    leaky(base_h + PE(dists) @ W1[dist_rows] + b1) — same math as the
+    full concat up to the cached partial sum's bf16 rounding. Requires
+    agg_intrp_order >= 1 (order 0 encodes the K-AGGREGATED embedding,
+    which is per-slot, not per-point).
     """
     M, K, _ = neigh_emb.shape
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -294,14 +348,22 @@ def decode_radiance(
         # encodings computed directly in the compute dtype: the PE
         # intermediates are the largest activations of the whole step
         # ([M, K, 192]), and bf16 sin/cos is plenty for encodings
-        emb_c = neigh_emb.astype(dtype)
         dists_pe = positional_encoding(
             dists_rot.astype(dtype), cfg.num_dist_freqs)
-        feat = jnp.concatenate(
-            [emb_c,
-             positional_encoding(emb_c, cfg.num_feat_freqs),
-             dists_pe], axis=-1)
-        feat = _mlp(params["mlp_base"], feat, dtype)                # [M,K,256]
+        if base_h is not None:
+            lyr0 = params["mlp_base"][0]
+            drows = dists_pe.shape[-1]
+            w1d = lyr0["kernel"][-drows:].astype(dtype)
+            feat = _leaky(base_h.astype(dtype) + dists_pe @ w1d
+                          + lyr0["bias"].astype(dtype))
+            feat = _mlp(params["mlp_base"][1:], feat, dtype)        # [M,K,256]
+        else:
+            emb_c = neigh_emb.astype(dtype)
+            feat = jnp.concatenate(
+                [emb_c,
+                 positional_encoding(emb_c, cfg.num_feat_freqs),
+                 dists_pe], axis=-1)
+            feat = _mlp(params["mlp_base"], feat, dtype)            # [M,K,256]
 
         extras = [feat]
         if cfg.point_color_mode:

@@ -92,6 +92,11 @@ class FatCache:
     # front-end (ops/march.py); built when QueryConfig.march_steps is
     # set (dense grids only)
     march_table: Optional[jnp.ndarray] = None  # [gx, gy, gz] int32
+    # per-point mlp_base layer-1 partial product (QueryConfig.
+    # base_cache; models/aggregator.precompute_base_h) — gathered per
+    # selected neighbor in the decode tail instead of re-encoding the
+    # embedding per (slot, K) pair
+    base_h: Optional[jnp.ndarray] = None       # [N, hidden] bf16
 
     @property
     def cand(self) -> int:
@@ -336,7 +341,8 @@ def build_fat_cache_hash(
 
 
 def make_hash_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
-                         hg, max_q: Optional[int] = None):
+                         hg, max_q: Optional[int] = None,
+                         params: Optional[AggregatorParams] = None):
     """Build the hash-backed fat cache; returns (cache, rmin, svs) —
     drop-in for make_fast_scene on huge-extent scenes."""
     if max_q is None:
@@ -350,6 +356,8 @@ def make_hash_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
         raise NotImplementedError("knn_mode='fused' is dense-only")
     cache = build_fat_cache_hash(hg, cloud, cfg.query.kernel_size,
                                  max_q, cfg.query.cand_cap)
+    if cfg.query.base_cache:
+        cache = cache.replace(base_h=_build_base_h(cfg, cloud, params))
     return cache, hg.ranges_min, hg.scaled_vsize
 
 
@@ -506,6 +514,10 @@ def fast_render_rays(
     BP = q.ray_slot_budget or min(SR, 32)
     budget = q.compact_budget if q.compact_budget > 0 else SR
     M = min(R * budget, R * D)
+    if q.base_cache and cache.base_h is None:
+        raise ValueError(
+            "base_cache is on but the cache has no base_h table — "
+            "build it with make_fast_scene(..., params=params)")
     hash_mode = cache.hash_table is not None
     if hash_mode:
         # sparse front-end: voxel bounds are a device value, never a
@@ -1223,6 +1235,12 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                     jnp.broadcast_to(top_idx.astype(jnp.float32)
                                      .sum(-1, keepdims=True), (Mc, 3)),
                     jnp.any(pnt_mask, -1))
+        sel_meta = None
+        if cache.base_h is not None:
+            # pidx of each selected neighbor for the base_h table
+            # gather (a cheap [Mc, K] int gather from the already-
+            # loaded candidate meta)
+            sel_meta = jnp.take_along_axis(meta, top_idx, -1)
         if debug_ablate == "extract":
             nsel = payload[:, :K]               # fake: static slice
         elif q.extract_mode == "gather":
@@ -1243,9 +1261,11 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                     jnp.broadcast_to(pnt_mask.astype(jnp.float32)
                                      .sum(-1, keepdims=True), (Mc2, 3)),
                     jnp.any(pnt_mask, -1))
-        return _decode_tail(nsel, pnt_mask, locs, center, rd_sel)
+        return _decode_tail(nsel, pnt_mask, locs, center, rd_sel,
+                            sel_meta=sel_meta)
 
-    def _decode_tail(nsel, pnt_mask, locs, center, rd_sel):
+    def _decode_tail(nsel, pnt_mask, locs, center, rd_sel,
+                     sel_meta=None):
         nxyz = (nsel[..., :3].astype(jnp.float32)
                 + center[:, None, :])                           # [Mc, K, 3]
         # attr slices stay bf16 end-to-end: the decoder's compute dtype
@@ -1306,10 +1326,18 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                 num_feat_freqs=cfg.agg.num_feat_freqs,
                 num_dist_freqs=cfg.agg.num_dist_freqs)
         else:
+            base_h = None
+            if cache.base_h is not None and sel_meta is not None:
+                # meta = pidx * 4 + shell (>= 0 where valid); masked
+                # slots gather row 0 harmlessly (zeroed by pnt_mask in
+                # the K-aggregation)
+                pidx = jnp.where(pnt_mask, sel_meta >> 2, 0)
+                base_h = cache.base_h[pidx]                 # [Mc, K, H]
             sig_c, rgb_c = decode_radiance(
                 params, cfg.agg, neigh_emb=emb2, neigh_color=ncol,
                 neigh_dir=ndir, dists=dists, weight=weight,
-                pnt_mask=pnt_mask, viewdirs=vd, Rw2c=Rw2c)
+                pnt_mask=pnt_mask, viewdirs=vd, Rw2c=Rw2c,
+                base_h=base_h)
         return sig_c, rgb_c, jnp.any(pnt_mask, -1)
 
     def chunk_or_skip(args):
@@ -1491,12 +1519,17 @@ def slab_hit_mask(campos, raydirs, near, far, D: int,
 def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
                     grid: PointGrid, max_q: Optional[int] = None,
                     near: Optional[float] = None,
-                    far: Optional[float] = None):
+                    far: Optional[float] = None,
+                    params: Optional[AggregatorParams] = None):
     """Build the fat cache for a scene; returns (cache, geometry args).
 
     `near`/`far` (default cfg.near_plane/far_plane) size the coarse
     dilation when `coarse_step` is on: the coarse grid stays
     conservative for any render whose sample spacing <= (far-near)/D.
+
+    `params` (the aggregator MLP weights) is required when
+    cfg.query.base_cache is on: the per-point layer-1 partial product
+    is part of the cache and depends on mlp_base's first kernel.
     """
     if max_q is None:
         nq = int(jax.device_get(jnp.sum(
@@ -1520,7 +1553,26 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
         from pointnerf2studio_tpu.ops.march import build_march_table
         cache = cache.replace(
             march_table=build_march_table(cache.coor_2_qslot))
+    if cfg.query.base_cache:
+        cache = cache.replace(base_h=_build_base_h(cfg, cloud, params))
     return cache, grid.ranges_min, grid.scaled_vsize
+
+
+def _build_base_h(cfg: PointNerfConfig, cloud: NeuralPointCloud,
+                  params: Optional[AggregatorParams]) -> jnp.ndarray:
+    from pointnerf2studio_tpu.models.aggregator import precompute_base_h
+    if params is None:
+        raise ValueError(
+            "QueryConfig.base_cache needs the aggregator params at "
+            "scene build: make_fast_scene(..., params=params)")
+    if cfg.agg.agg_intrp_order < 1:
+        raise ValueError("base_cache requires agg_intrp_order >= 1 "
+                         "(order 0 encodes the K-aggregated embedding)")
+    if cfg.agg.fused_decode2:
+        raise ValueError("base_cache is incompatible with fused_decode2")
+    if "fused" in (cfg.query.knn_mode, cfg.query.chunk_mode):
+        raise ValueError("base_cache requires knn_mode/chunk_mode 'xla'")
+    return precompute_base_h(params, cfg.agg, cloud.points_embeding)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

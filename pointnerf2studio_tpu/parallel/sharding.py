@@ -215,7 +215,10 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
     cache_specs = FatCache(
         coor_2_qslot=P(), rows=P(pts), n_q=P(),
         coarse_occ=P() if has_win else None,
-        march_table=P() if has_mc else None)
+        march_table=P() if has_mc else None,
+        # base-layer table replicated: pidx is global, so local slab
+        # gathers stay exact
+        base_h=P() if q.base_cache else None)
     out_specs = FastRenderOutput(
         coarse_raycolor=P("rays"), ray_mask=P("rays"), acc=P("rays"),
         depth=P("rays"),

@@ -36,7 +36,7 @@ def make_render_chunk_fn(cfg: PointNerfConfig):
 
 
 def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
-                       near: float, far: float):
+                       near: float, far: float, params=None):
     """Fast-path chunk renderer (models/fast_render.py): builds the fat
     candidate cache once for the scene, then renders ~2x faster than
     the legacy path on TPU. Same call signature as make_render_chunk_fn
@@ -59,10 +59,12 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
     if isinstance(grid, HashGrid):
         from pointnerf2studio_tpu.models.fast_render import (
             make_hash_fast_scene)
-        cache, rmin, svs = make_hash_fast_scene(cfg, points, grid)
+        cache, rmin, svs = make_hash_fast_scene(cfg, points, grid,
+                                                params=params)
     else:
         cache, rmin, svs = make_fast_scene(cfg, points, grid,
-                                           near=near, far=far)
+                                           near=near, far=far,
+                                           params=params)
     Rw2c = points.Rw2c
     checked: List[int] = []
 
@@ -106,7 +108,8 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
 
 def make_fast_frame_renderer(cfg: PointNerfConfig, points, grid,
                              near: float, far: float,
-                             chunk: int = 65536, tier_quant: int = 32):
+                             chunk: int = 65536, tier_quant: int = 32,
+                             params=None):
     """Full-frame fast renderer: frame-level ray packing + span-tiered
     depth windows (fast_render.render_frame — miss rays never enter
     the pipeline; each chunk compiles at the smallest sufficient
@@ -125,10 +128,12 @@ def make_fast_frame_renderer(cfg: PointNerfConfig, points, grid,
     cfg = dataclasses.replace(cfg, query=dataclasses.replace(
         cfg.query, depth_window=0, ray_budget=0))
     if isinstance(grid, HashGrid):
-        cache, rmin, svs = make_hash_fast_scene(cfg, points, grid)
+        cache, rmin, svs = make_hash_fast_scene(cfg, points, grid,
+                                                params=params)
     else:
         cache, rmin, svs = make_fast_scene(cfg, points, grid,
-                                           near=near, far=far)
+                                           near=near, far=far,
+                                           params=params)
     Rw2c = points.Rw2c
     programs: Dict = {}
     warned: List[int] = []
@@ -216,10 +221,12 @@ def evaluate_dataset(
     frame_render = None
     if fast and frame:
         frame_render = make_fast_frame_renderer(
-            cfg, points, grid, dataset.near, dataset.far, chunk=chunk)
+            cfg, points, grid, dataset.near, dataset.far, chunk=chunk,
+            params=params)
     elif fast:
         render_chunk = make_fast_chunk_fn(cfg, points, grid,
-                                          dataset.near, dataset.far)
+                                          dataset.near, dataset.far,
+                                          params=params)
     else:
         render_chunk = make_render_chunk_fn(cfg)
     views = views if views is not None else list(range(dataset.num_views))
@@ -352,9 +359,11 @@ def render_video(
     frame_render = None
     if fast and frame:
         frame_render = make_fast_frame_renderer(cfg, points, grid,
-                                                near, far, chunk=chunk)
+                                                near, far, chunk=chunk,
+                                                params=params)
     else:
-        render_chunk = (make_fast_chunk_fn(cfg, points, grid, near, far)
+        render_chunk = (make_fast_chunk_fn(cfg, points, grid, near, far,
+                                           params=params)
                         if fast else make_render_chunk_fn(cfg))
     h, w = hw
     i, j = np.meshgrid(np.arange(w), np.arange(h))

@@ -520,3 +520,39 @@ def test_debug_ablate_paths_run(scene, ablate):
             rays, s.near, s.far, cfg, rmin, svs, debug_ablate=ablate)
         assert out.coarse_raycolor.shape == (R, 3)
         assert np.isfinite(np.asarray(out.coarse_raycolor)).all()
+
+
+def test_base_cache_matches(scene):
+    """QueryConfig.base_cache (per-point mlp_base layer-1 partial
+    product, models/aggregator.precompute_base_h): identical masks,
+    colors within the cached partial sum's bf16 rounding."""
+    s = scene
+    rays = _rays(s)
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+    cfg_bh = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, base_cache=True))
+    cache_bh, _, _ = make_fast_scene(cfg_bh, s.cloud, s.grid,
+                                     params=s.params)
+    assert cache_bh.base_h is not None
+    assert cache_bh.base_h.shape[0] == s.cloud.xyz.shape[0]
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache_bh, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg_bh, rmin, svs)
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(base.ray_mask))
+    both = np.asarray(base.ray_mask)
+    diff = np.abs(np.asarray(out.coarse_raycolor)
+                  - np.asarray(base.coarse_raycolor))[both]
+    assert diff.max() < 5e-3, diff.max()
+    assert diff.mean() < 5e-4, diff.mean()
+
+
+def test_base_cache_requires_params(scene):
+    s = scene
+    cfg_bh = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, base_cache=True))
+    with pytest.raises(ValueError, match="params"):
+        make_fast_scene(cfg_bh, s.cloud, s.grid)

@@ -52,7 +52,8 @@ def main():
 
     def render(cfg):
         cache, rmin, svs = make_fast_scene(cfg, scene.cloud, scene.grid,
-                                           near=scene.near, far=scene.far)
+                                           near=scene.near, far=scene.far,
+                                           params=scene.params)
 
         # big arrays passed as ARGUMENTS (closures become constants
         # shipped to the remote compiler -> HTTP 413, STATUS.md rule 4)
@@ -89,7 +90,10 @@ def main():
     # chunk_mode='fused' re-associates the bf16 MLP matmuls (split
     # weights, f32 K-accumulation): masks must still agree exactly,
     # colors to bf16 rounding tolerance (tests/test_fused_chunk.py)
-    tol = 2.5e-2 if which.startswith("tkfc") else 1e-3
+    # base_cache rounds the cached layer-1 partial product to bf16
+    # once (tests/test_fast_render.py::test_base_cache_matches)
+    tol = (2.5e-2 if which.startswith("tkfc")
+           else 5e-3 if "bh" in which else 1e-3)
     ok = agree == 1.0 and (not both.any() or cd.max() < tol)
     print(("EXACT" if tol == 1e-3 else f"WITHIN-TOL {tol}") if ok
           else "DIFFERS")

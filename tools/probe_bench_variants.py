@@ -133,7 +133,8 @@ def main():
         cache, rmin, svs = make_hash_fast_scene(cfg0, scene.cloud, hgr)
     else:
         cache, rmin, svs = make_fast_scene(cfg0, scene.cloud, scene.grid,
-                                           near=scene.near, far=scene.far)
+                                           near=scene.near, far=scene.far,
+                                           params=scene.params)
     jax.block_until_ready(
         cache.kpay if cache.kpay is not None else cache.rows)
     print(f"setup {time.time()-t0:.0f}s", flush=True)
@@ -389,6 +390,11 @@ VARIANTS = {
                             composite_mode="packed", march_steps=(-2,),
                             ray_budget=-2),
                    None),
+    "tkpcbhmcmrbm": ("b8 ch=4096 topk packed base_h march+rb",
+                     base_cfg(fast_chunk=4096, compact_mode="topk",
+                              composite_mode="packed", march_steps=(-2,),
+                              ray_budget=-2, base_cache=True),
+                     None),
     "tkpcdwrbm": ("b8 ch=4096 topk packed dw+rb measured",
                   base_cfg(fast_chunk=4096, compact_mode="topk",
                            composite_mode="packed", depth_window=-2,

@@ -176,7 +176,8 @@ def main():
                           jnp.asarray(test_ds.near),
                           jnp.asarray(test_ds.far), cfg)
     cache, rmin, svs = make_fast_scene(cfg, state.points, grid,
-                                       near=test_ds.near, far=test_ds.far)
+                                       near=test_ds.near, far=test_ds.far,
+                                       params=state.params)
     out = fast_render_rays_jit(
         state.params, state.points.Rw2c, cache,
         jnp.asarray(test_ds.campos(v)),
