@@ -268,6 +268,13 @@ class AggregatorConfig:
     act_super: bool = False
     # Compute dtype of the MLP tower (params stay float32).
     compute_dtype: str = "float32"
+    # Positional-encoding evaluation for the hot per-(slot, K)
+    # encodings (PE(dists), PE(emb)) in decode_radiance: "direct"
+    # evaluates sin/cos at every octave; "rec" seeds one sin/cos pair
+    # and derives the higher octaves via angle-doubling multiplies
+    # (ops/encoding.py) — within ~2e-4 of direct at F<=12, i.e. under
+    # bf16 tower rounding. Per-slot encodings (viewdirs) stay direct.
+    pe_mode: str = "direct"
     # Opt-in: the fused Pallas decode kernel (ops/fused_decode.py) for
     # rendering on TPU. Measured SLOWER than the XLA decoder on v5e
     # (86 vs 51 ms per 262k slots, tools/probe_knn_decode.py) — XLA's

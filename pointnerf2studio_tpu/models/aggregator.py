@@ -332,7 +332,8 @@ def decode_radiance(
         agg_emb = jnp.sum(neigh_emb.astype(dtype) * w, axis=-2)     # [M, C]
         feat = jnp.concatenate(
             [agg_emb,
-             positional_encoding(agg_emb, cfg.num_feat_freqs)], axis=-1)
+             positional_encoding(agg_emb, cfg.num_feat_freqs,
+                                 mode=cfg.pe_mode)], axis=-1)
         feat = _mlp(params["mlp_base"], feat, dtype)                # [M, 256]
         feat = _mlp(params["mlp_head"], feat, dtype)
         alpha = _density_act(
@@ -349,7 +350,7 @@ def decode_radiance(
         # intermediates are the largest activations of the whole step
         # ([M, K, 192]), and bf16 sin/cos is plenty for encodings
         dists_pe = positional_encoding(
-            dists_rot.astype(dtype), cfg.num_dist_freqs)
+            dists_rot.astype(dtype), cfg.num_dist_freqs, mode=cfg.pe_mode)
         if base_h is not None:
             lyr0 = params["mlp_base"][0]
             drows = dists_pe.shape[-1]
@@ -361,7 +362,8 @@ def decode_radiance(
             emb_c = neigh_emb.astype(dtype)
             feat = jnp.concatenate(
                 [emb_c,
-                 positional_encoding(emb_c, cfg.num_feat_freqs),
+                 positional_encoding(emb_c, cfg.num_feat_freqs,
+                                     mode=cfg.pe_mode),
                  dists_pe], axis=-1)
             feat = _mlp(params["mlp_base"], feat, dtype)            # [M,K,256]
 

@@ -43,6 +43,31 @@ class TestPositionalEncoding:
         assert positional_encoding(x, 0, ori=False).shape == (2, 0)
         np.testing.assert_array_equal(positional_encoding(x, 0, ori=True), x)
 
+    def test_pe_recurrence_matches(self, rng):
+        # angle-doubling mode: same layout, within the documented
+        # ~1e-3 f32 error envelope of direct at F=10, both ori modes
+        # (at F=10 with |x|~16 the args reach ~8e3 rad where direct's
+        # own range reduction carries ~arg*eps error too)
+        x = (4.0 * rng.standard_normal((257, 5))).astype(np.float32)
+        for ori in (False, True):
+            direct = np.asarray(positional_encoding(
+                jnp.asarray(x), 10, ori=ori))
+            rec = np.asarray(positional_encoding(
+                jnp.asarray(x), 10, ori=ori, mode="rec"))
+            assert rec.shape == direct.shape
+            np.testing.assert_allclose(rec, direct, atol=1e-3)
+
+    def test_pe_recurrence_bf16_input(self, rng):
+        # the hot path feeds bf16 inputs; rec upcasts to f32 for the
+        # recurrence and must stay within bf16 rounding of direct-on-f32
+        x = rng.standard_normal((64, 6)).astype(np.float32)
+        xb = jnp.asarray(x).astype(jnp.bfloat16)
+        rec = np.asarray(positional_encoding(
+            xb, 5, mode="rec").astype(jnp.float32))
+        direct = np.asarray(positional_encoding(
+            jnp.asarray(np.asarray(xb.astype(jnp.float32))), 5))
+        np.testing.assert_allclose(rec, direct, atol=1.6e-2)
+
 
 class TestRayGeneration:
     def test_no_jitter_midpoints(self):

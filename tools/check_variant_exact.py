@@ -92,8 +92,10 @@ def main():
     # colors to bf16 rounding tolerance (tests/test_fused_chunk.py)
     # base_cache rounds the cached layer-1 partial product to bf16
     # once (tests/test_fast_render.py::test_base_cache_matches)
+    # pe_mode="rec" ("pem" keys) perturbs the encodings by ~2e-4 —
+    # bf16-tower-tolerance class, same bar as base_cache
     tol = (2.5e-2 if which.startswith("tkfc")
-           else 5e-3 if "bh" in which else 1e-3)
+           else 5e-3 if ("bh" in which or "pem" in which) else 1e-3)
     ok = agree == 1.0 and (not both.any() or cd.max() < tol)
     print(("EXACT" if tol == 1e-3 else f"WITHIN-TOL {tol}") if ok
           else "DIFFERS")

@@ -21,7 +21,7 @@ from pointnerf2studio_tpu.models.fast_render import (
     fast_render_rays, make_fast_scene)
 
 
-def base_cfg(**qkw):
+def base_cfg(agg_kw=None, **qkw):
     kw = dict(
         vsize=(0.004, 0.004, 0.004), vscale=(2, 2, 2),
         SR=80, K=8, P=12, max_o=700_000, z_depth_dim=180,
@@ -29,7 +29,7 @@ def base_cfg(**qkw):
     kw.update(qkw)
     return PointNerfConfig(
         query=QueryConfig(**kw),
-        agg=AggregatorConfig(compute_dtype="bfloat16"),
+        agg=AggregatorConfig(compute_dtype="bfloat16", **(agg_kw or {})),
     )
 
 
@@ -395,6 +395,24 @@ VARIANTS = {
                               composite_mode="packed", march_steps=(-2,),
                               ray_budget=-2, base_cache=True),
                      None),
+    # PE angle-doubling recurrence (AggregatorConfig.pe_mode="rec"):
+    # trades per-octave sin polynomials for 3 multiplies — attacks the
+    # PE share of the compute-spread chunk cost (PERF.md r3e)
+    "tkpcpemcmrbm": ("b8 ch=4096 topk packed pe-rec march+rb",
+                     base_cfg(fast_chunk=4096, compact_mode="topk",
+                              composite_mode="packed", march_steps=(-2,),
+                              ray_budget=-2,
+                              agg_kw=dict(pe_mode="rec")),
+                     None),
+    # base_h cache (kills PE(emb)) + pe-rec (cheapens PE(dists)): the
+    # two PE levers composed
+    "tkpcbhpemcmrbm": ("b8 ch=4096 topk packed base_h pe-rec march+rb",
+                       base_cfg(fast_chunk=4096, compact_mode="topk",
+                                composite_mode="packed",
+                                march_steps=(-2,), ray_budget=-2,
+                                base_cache=True,
+                                agg_kw=dict(pe_mode="rec")),
+                       None),
     "tkpcdwrbm": ("b8 ch=4096 topk packed dw+rb measured",
                   base_cfg(fast_chunk=4096, compact_mode="topk",
                            composite_mode="packed", depth_window=-2,

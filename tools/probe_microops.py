@@ -11,8 +11,8 @@ of a roofline guess.
 
 Usage: python tools/probe_microops.py <variant>
 Variants: extract_onehot | extract_tala | extract_rowgather | pe_feat
-          | pe_dists | sin_raw | gemm_tower | geom | knn | weights
-          | gather_fat | gather_slim
+          | pe_dists | pe_feat_rec | pe_dists_rec | sin_raw
+          | gemm_tower | geom | knn | weights | gather_fat | gather_slim
 Scale: M = 262144 slots (HALF a 65k-ray dispatch's 524288 — keeps the
 4 distinct input buffers under HBM); results normalized per 524k.
 """
@@ -147,6 +147,29 @@ def main():
         @jax.jit
         def f(d):
             return positional_encoding(d, NDF).astype(jnp.float32).sum()
+
+        dt, tot = timed_scalar_calls(f, ds[:-1], warmup_input=ds[-1])
+
+    elif which == "pe_feat_rec":
+        # angle-doubling recurrence variant (encoding.py mode="rec")
+        from pointnerf2studio_tpu.ops.encoding import positional_encoding
+        embs = rngs(N_CALLS + 1, (M, K, EMB), jnp.bfloat16, seed=2)
+
+        @jax.jit
+        def f(e):
+            return positional_encoding(
+                e, NFF, mode="rec").astype(jnp.float32).sum()
+
+        dt, tot = timed_scalar_calls(f, embs[:-1], warmup_input=embs[-1])
+
+    elif which == "pe_dists_rec":
+        from pointnerf2studio_tpu.ops.encoding import positional_encoding
+        ds = rngs(N_CALLS + 1, (M, K, 6), jnp.bfloat16, seed=3)
+
+        @jax.jit
+        def f(d):
+            return positional_encoding(
+                d, NDF, mode="rec").astype(jnp.float32).sum()
 
         dt, tot = timed_scalar_calls(f, ds[:-1], warmup_input=ds[-1])
 
