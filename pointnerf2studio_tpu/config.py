@@ -185,6 +185,13 @@ class QueryConfig:
     #   "onehot" — one bf16 one-hot einsum [Mc,K,C]x[Mc,C,PAYW]
     #              (single nonzero per output keeps bf16 bits exact)
     #   "gather" — take_along_axis row gather (same values)
+    #   "krows"  — restructures the whole chunk front half: gather a
+    #              SLIM (meta + rel-xyz) per-candidate view for the
+    #              d2/mask/shell/top_k selection, then gather only the
+    #              K selected payload rows directly from the flat
+    #              [max_q*C] fat-cache view — ~4x fewer gather bytes
+    #              and no extract einsum at all. Bit-identical values
+    #              (same selection keys, same payload bits).
     extract_mode: str = "onehot"
     # Candidate distance/masking/shell/K-select/extract stages:
     #   "xla"   — separate XLA ops (each [Mc, CAND, ·] intermediate

@@ -97,6 +97,12 @@ class FatCache:
     # selected neighbor in the decode tail instead of re-encoding the
     # embedding per (slot, K) pair
     base_h: Optional[jnp.ndarray] = None       # [N, hidden] bf16
+    # slim per-candidate selection view for extract_mode="krows":
+    # words [bitcast(meta), bf16(x,y), bf16(z, emb0)] sliced from
+    # `rows` at build — the d2/mask/shell/top_k stages gather 12 B per
+    # candidate instead of the 92 B fat row; the K winners then gather
+    # their payload rows directly from the flat [max_q*C, ROWW] view
+    slim: Optional[jnp.ndarray] = None         # [max_q, C*3] f32
 
     @property
     def cand(self) -> int:
@@ -358,6 +364,8 @@ def make_hash_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
                                  max_q, cfg.query.cand_cap)
     if cfg.query.base_cache:
         cache = cache.replace(base_h=_build_base_h(cfg, cloud, params))
+    if cfg.query.extract_mode == "krows":
+        cache = cache.replace(slim=_build_slim(cache))
     return cache, hg.ranges_min, hg.scaled_vsize
 
 
@@ -1172,6 +1180,53 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                 interpret=jax.default_backend() == "cpu")
             nsel = nsel_f[..., :PAYW].astype(jnp.bfloat16)
             return _decode_tail(nsel, pnt_mask, locs, center, rd_sel)
+        if q.extract_mode == "krows" and debug_ablate is None:
+            # slim selection gather + direct K-row payload gather:
+            # identical values (same selection keys from the same bf16
+            # rel offsets; payload bits fetched, not extracted)
+            if cache.slim is None:
+                raise ValueError(
+                    "extract_mode='krows' needs the slim cache view "
+                    "(make_fast_scene builds it under this mode)")
+            slim3 = cache.slim[qslot_cc].reshape(Mc, CAND, 3)
+            meta = jax.lax.bitcast_convert_type(slim3[..., 0], jnp.int32)
+            relw = jax.lax.bitcast_convert_type(
+                slim3[..., 1:], jnp.bfloat16).reshape(Mc, CAND, 4)
+            rd_sel = raydirs[sel_ray_c]
+            t_sel = near + (sel_d_c.astype(jnp.float32) + 0.5) * step_t
+            locs = campos + rd_sel * t_sel[:, None]
+            vox = jnp.floor((locs - ranges_min) / scaled_vsize)
+            center = ranges_min + (vox + 0.5) * scaled_vsize
+            cdelta = (relw[..., :3].astype(jnp.float32)
+                      + (center - locs)[:, None, :])
+            d2 = jnp.sum(cdelta ** 2, -1)
+            ok = (meta >= 0) & mask_cc[:, None]
+            if radius2 > 0:
+                ok = ok & (d2 <= radius2)
+            if q.layered_search and num_shells > 1:
+                shell = (meta & 3).astype(jnp.int32)
+                eligible = shell == 0
+                before = jnp.zeros((Mc, 1), jnp.int32)
+                for s in range(1, num_shells):
+                    before = before + jnp.sum(
+                        (ok & (shell == s - 1)).astype(jnp.int32), -1,
+                        keepdims=True)
+                    eligible = eligible | ((shell == s) & (before < K))
+                ok = ok & eligible
+            key = jnp.where(ok, d2, jnp.inf)
+            neg_top, top_idx = jax.lax.top_k(-key, K)           # [Mc, K]
+            pnt_mask = neg_top > -jnp.inf
+            flat_ids = qslot_cc[:, None] * CAND + top_idx       # [Mc, K]
+            krows = cache.rows.reshape(-1, ROWW)[flat_ids]      # [Mc,K,ROWW]
+            nsel = jax.lax.bitcast_convert_type(
+                krows[..., 1:], jnp.bfloat16).reshape(Mc, K, PAYW)
+            nsel = nsel * pnt_mask[..., None].astype(nsel.dtype)
+            sel_meta = None
+            if cache.base_h is not None:
+                sel_meta = jax.lax.bitcast_convert_type(
+                    krows[..., 0], jnp.int32)
+            return _decode_tail(nsel, pnt_mask, locs, center, rd_sel,
+                                sel_meta=sel_meta)
         if debug_ablate == "gather":
             # fake the fat-row gather with a broadcast of row 0 (WRONG
             # values, real timing elsewhere): isolates gather row cost
@@ -1555,7 +1610,25 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
             march_table=build_march_table(cache.coor_2_qslot))
     if cfg.query.base_cache:
         cache = cache.replace(base_h=_build_base_h(cfg, cloud, params))
+    if cfg.query.extract_mode == "krows":
+        cache = cache.replace(slim=_build_slim(cache))
     return cache, grid.ranges_min, grid.scaled_vsize
+
+
+def _build_slim(cache: FatCache) -> jnp.ndarray:
+    """Slice the [meta, bf16(x,y), bf16(z, emb0)] selection words out of
+    the fat rows (extract_mode="krows")."""
+    if cache.kmeta is not None and cache.rows.shape[0] == 1:
+        raise ValueError("extract_mode='krows' needs the 'rows' cache "
+                         "layout (knn_mode/chunk_mode 'xla')")
+    C = cache.cand
+
+    @jax.jit
+    def slice_rows(r):
+        return r.reshape(r.shape[0], C, ROWW)[..., :3].reshape(
+            r.shape[0], C * 3)
+
+    return slice_rows(cache.rows)
 
 
 def _build_base_h(cfg: PointNerfConfig, cloud: NeuralPointCloud,

@@ -256,6 +256,60 @@ def test_topk_compaction_matches_onehot(scene):
                                np.asarray(base.acc), atol=1e-5)
 
 
+def test_krows_extract_matches_onehot(scene):
+    """extract_mode='krows' (slim selection gather + direct K-row
+    payload gather) must be BIT-identical to the one-hot extract: same
+    selection keys (same bf16 rel offsets), same payload bits."""
+    s = scene
+    rays = _rays(s)
+    cfg_oh = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, compact_mode="topk", composite_mode="packed"))
+    cfg_kr = dataclasses.replace(
+        cfg_oh, query=dataclasses.replace(cfg_oh.query,
+                                          extract_mode="krows"))
+    cache, rmin, svs = make_fast_scene(cfg_kr, s.cloud, s.grid)
+    assert cache.slim is not None
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg_oh, rmin, svs)
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg_kr, rmin, svs)
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(base.ray_mask))
+    np.testing.assert_array_equal(np.asarray(out.coarse_raycolor),
+                                  np.asarray(base.coarse_raycolor))
+    np.testing.assert_array_equal(np.asarray(out.acc),
+                                  np.asarray(base.acc))
+
+
+def test_krows_with_base_cache_matches(scene):
+    """krows + base_cache: the sel_meta path must feed the same
+    per-point base_h rows as the take_along_axis path."""
+    s = scene
+    rays = _rays(s)
+    cfg_bh = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, compact_mode="topk", composite_mode="packed",
+            base_cache=True))
+    cfg_kr = dataclasses.replace(
+        cfg_bh, query=dataclasses.replace(cfg_bh.query,
+                                          extract_mode="krows"))
+    cache, rmin, svs = make_fast_scene(cfg_kr, s.cloud, s.grid,
+                                       params=s.params)
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg_bh, rmin, svs)
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfg_kr, rmin, svs)
+    np.testing.assert_array_equal(np.asarray(out.ray_mask),
+                                  np.asarray(base.ray_mask))
+    np.testing.assert_array_equal(np.asarray(out.coarse_raycolor),
+                                  np.asarray(base.coarse_raycolor))
+
+
 def test_packed_composite_matches_grid(scene):
     """composite_mode='packed' (segmented scans on the [M] compacted
     axis, no scatter-back) must reproduce the grid composite: same

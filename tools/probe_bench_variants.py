@@ -395,6 +395,35 @@ VARIANTS = {
                               composite_mode="packed", march_steps=(-2,),
                               ray_budget=-2, base_cache=True),
                      None),
+    # krows extract restructure (QueryConfig.extract_mode="krows"):
+    # slim 12 B/candidate selection gather + direct K-row payload
+    # gather — drops ~4x of gather bytes and the extract einsum;
+    # bit-identical values on CPU (tests/test_fast_render.py).
+    # CHIP STATUS (r3h, /tmp/queue_r3h.log): the TPU backend compiler
+    # CRASHES on this program (remote_compile HTTP 500,
+    # tpu_compile_helper exit 1) for both tkkrmcmrbm and
+    # tkkrbhpemcmrbm — suspect the f32->bf16 bitcast-of-slice
+    # (trailing-dim-2 insert + reshape) or the [max_q*C, ROWW]
+    # flat-view gather; do not queue again until the kernel is
+    # restructured around whichever op reproduces the crash.
+    "tkkrmcmrbm": ("b8 ch=4096 topk packed krows march+rb",
+                   base_cfg(fast_chunk=4096, compact_mode="topk",
+                            composite_mode="packed", march_steps=(-2,),
+                            ray_budget=-2, extract_mode="krows"),
+                   None),
+    "tkkrpemcmrbm": ("b8 ch=4096 topk packed krows pe-rec march+rb",
+                     base_cfg(fast_chunk=4096, compact_mode="topk",
+                              composite_mode="packed", march_steps=(-2,),
+                              ray_budget=-2, extract_mode="krows",
+                              agg_kw=dict(pe_mode="rec")),
+                     None),
+    "tkkrbhpemcmrbm": ("b8 ch=4096 krows base_h pe-rec march+rb",
+                       base_cfg(fast_chunk=4096, compact_mode="topk",
+                                composite_mode="packed",
+                                march_steps=(-2,), ray_budget=-2,
+                                extract_mode="krows", base_cache=True,
+                                agg_kw=dict(pe_mode="rec")),
+                       None),
     # PE angle-doubling recurrence (AggregatorConfig.pe_mode="rec"):
     # trades per-octave sin polynomials for 3 multiplies — attacks the
     # PE share of the compute-spread chunk cost (PERF.md r3e)
