@@ -90,7 +90,13 @@ def main() -> None:
             compact_budget=8 if not smoke else 4,
             ray_slot_budget=32 if not smoke else 16, use_cache=False,
             fast_chunk=4096 if not smoke else 512),
-        agg=AggregatorConfig(compute_dtype="bfloat16"),
+        # pe_mode="rec": positional-encoding octaves via the
+        # angle-doubling recurrence (3 fused multiplies/octave instead
+        # of per-octave sin polynomials). Chip-verified BIT-EXACT on
+        # chair geometry at 686,890 rays/s vs 411.8k direct
+        # (/tmp/queue_r3h.log tkpcpemcmrbm + chaircheck: 0 rays differ,
+        # color diff max 0.0).
+        agg=AggregatorConfig(compute_dtype="bfloat16", pe_mode="rec"),
     )
     scene = (make_sphere_scene if sphere else make_chair_scene)(
         n_points=558_000 if not smoke else 30_000, cfg=cfg)
