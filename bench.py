@@ -253,12 +253,23 @@ def main() -> None:
             q = cfg.query
             cap = min(q.SR, q.ray_slot_budget or min(q.SR, 32),
                       q.z_depth_dim)
+            # Plan on the FULL frame: stage fuel bounds must cover the
+            # frame-wide max steps-to-done (planning on chunk 0 alone
+            # under-provisioned by 1 step and tripped mc_overflow on
+            # chunk 1 in the r3h round bench — a 65k sample's max
+            # underestimates the 640k max). Buckets come back sized for
+            # the full ray set; rescale to per-chunk counts (shuffled
+            # chunks are statistically identical; 10% + 256 slack
+            # covers the hypergeometric spread, mc_overflow verifies).
             steps, buckets = plan_march(
                 tbl, scene.grid.ranges_min, cfg.query.scaled_vsize,
                 scene.campos,
-                np.asarray(jax.device_get(raydirs[:chunk])),
+                np.asarray(jax.device_get(raydirs)),
                 float(scene.near), float(scene.far),
                 q.z_depth_dim, cap)
+            buckets = tuple(
+                min(chunk, (int(b / n_chunks * 1.1) + 256 + 255)
+                    // 256 * 256) for b in buckets)
             print(f"bench: march steps {steps} buckets {buckets}",
                   file=__import__('sys').stderr)
             cfg = dataclasses.replace(

@@ -103,7 +103,13 @@ def main():
     # --fwd: forward + loss only (no autodiff); --grad: value_and_grad
     # without the optimizer update. Together with the full step these
     # decompose the step cost into forward / backward / optimizer.
+    # --grad-params / --grad-attrs further split the backward: grads
+    # wrt the MLP tower only vs wrt the trainable point attributes only
+    # (the attr path ends in [M*K]-row scatter-adds into the cloud —
+    # the suspected backward cost).
     stage = ("fwd" if "--fwd" in sys.argv
+             else "gradp" if "--grad-params" in sys.argv
+             else "grada" if "--grad-attrs" in sys.argv
              else "grad" if "--grad" in sys.argv else "full")
     if stage == "full":
         step_fn = make_fast_train_step(cfg)
@@ -128,10 +134,13 @@ def main():
                                 geo_, cpos, crot, gt_, rays, key)
                 return st, {"total": total}
         else:
+            argnums = {"grad": (0, 1), "gradp": (0,),
+                       "grada": (1,)}[stage]
+
             @jax.jit
             def step_fn(st, geo_, cpos, crot, gt_, rays, key):
                 total, grads = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1))(
+                    loss_fn, argnums=argnums)(
                         st.params, st.points.trainable(), st,
                         geo_, cpos, crot, gt_, rays, key)
                 # fold the grads into the loss scalar so nothing is DCE'd

@@ -13,8 +13,19 @@ Usage: python tools/probe_microops.py <variant>
 Variants: extract_onehot | extract_tala | extract_rowgather | pe_feat
           | pe_dists | pe_feat_rec | pe_dists_rec | sin_raw
           | gemm_tower | geom | knn | weights | gather_fat | gather_slim
+          | krows_bitcast | krows_flatgather | krows_full
 Scale: M = 262144 slots (HALF a 65k-ray dispatch's 524288 — keeps the
 4 distinct input buffers under HBM); results normalized per 524k.
+
+r3g lesson: the extract_*/gather_fat variants originally CLOSED OVER
+the [MAXQ, C, PAYW] table in the jitted fn — 738 MB of constants in
+the remote-compile request body = HTTP 413 (STATUS.md rule 2). Tables
+are now passed as runtime ARGUMENTS via a plain-Python wrapper.
+
+The krows_* variants bisect the r3h TPU compiler crash
+(tpu_compile_helper exit 1 on extract_mode="krows", both probe runs):
+each isolates one suspect op at pipeline shapes; whichever variant
+reproduces the HTTP 500 names the op to restructure.
 """
 
 import os
@@ -74,11 +85,14 @@ def main():
         qs = rngs(1, (M,), lo=0, hi=MAXQ, seed=50)[0]
 
         @jax.jit
-        def f(idx):
-            p = pay[qs]                                     # [M, C, PAYW]
+        def jf(idx, p_tab, qs_a):
+            p = p_tab[qs_a]                                 # [M, C, PAYW]
             oh = (idx[..., None] == jnp.arange(C)).astype(jnp.bfloat16)
             nsel = jnp.einsum("mkc,mca->mka", oh, p)
             return nsel.astype(jnp.float32).sum()
+
+        def f(idx):
+            return jf(idx, pay, qs)
 
         # NOTE: includes the [M]-row fat gather; subtract gather_fat
         dt, tot = timed_scalar_calls(f, idxs[:-1], warmup_input=idxs[-1])
@@ -88,22 +102,27 @@ def main():
         qs = rngs(1, (M,), lo=0, hi=MAXQ, seed=50)[0]
 
         @jax.jit
-        def f(idx):
-            p = pay[qs]
+        def jf(idx, p_tab, qs_a):
+            p = p_tab[qs_a]
             nsel = jnp.take_along_axis(p, idx[..., None], axis=1)
             return nsel.astype(jnp.float32).sum()
+
+        def f(idx):
+            return jf(idx, pay, qs)
 
         dt, tot = timed_scalar_calls(f, idxs[:-1], warmup_input=idxs[-1])
 
     elif which == "extract_rowgather":
         # flat [(qslot, cand)] row id gather — M*K rows of 88 B
-        flat = pay.reshape(MAXQ * C, PAYW)
         idxs = rngs(N_CALLS + 1, (M, K), lo=0, hi=MAXQ * C, seed=1)
 
         @jax.jit
-        def f(idx):
-            nsel = flat[idx]                                # [M, K, PAYW]
+        def jf(idx, p_tab):
+            nsel = p_tab.reshape(MAXQ * C, PAYW)[idx]       # [M, K, PAYW]
             return nsel.astype(jnp.float32).sum()
+
+        def f(idx):
+            return jf(idx, pay)
 
         dt, tot = timed_scalar_calls(f, idxs[:-1], warmup_input=idxs[-1])
 
@@ -112,8 +131,11 @@ def main():
         qss = rngs(N_CALLS + 1, (M,), lo=0, hi=MAXQ, seed=1)
 
         @jax.jit
+        def jf(qs, p_tab):
+            return p_tab[qs].astype(jnp.float32).sum()
+
         def f(qs):
-            return pay[qs].astype(jnp.float32).sum()
+            return jf(qs, pay)
 
         dt, tot = timed_scalar_calls(f, qss[:-1], warmup_input=qss[-1])
 
@@ -264,6 +286,70 @@ def main():
             return w.sum()
 
         dt, tot = timed_scalar_calls(f, ds[:-1], warmup_input=ds[-1])
+
+    elif which.startswith("krows"):
+        # bisect the r3h extract_mode="krows" TPU compiler crash at
+        # pipeline shapes. ROWW mirrors fast_render (1 meta f32 word +
+        # PAYW/2 packed-bf16-pair f32 words).
+        ROWW = PAYW // 2 + 1
+        r = np.random.default_rng(99)
+        rows = jnp.asarray(r.standard_normal(
+            (MAXQ, C * ROWW)).astype(np.float32))           # fat cache
+        slim = jnp.asarray(r.standard_normal(
+            (MAXQ, C * 3)).astype(np.float32))              # slim view
+        qss = rngs(N_CALLS + 1, (M,), lo=0, hi=MAXQ, seed=1)
+
+        if which == "krows_bitcast":
+            # suspect 1: bitcast-of-slice f32 -> bf16 (trailing-dim-2
+            # insert + reshape) on the gathered slim view
+            @jax.jit
+            def jf(qs, s_tab):
+                s3 = s_tab[qs].reshape(M, C, 3)
+                meta = jax.lax.bitcast_convert_type(s3[..., 0], jnp.int32)
+                relw = jax.lax.bitcast_convert_type(
+                    s3[..., 1:], jnp.bfloat16).reshape(M, C, 4)
+                return (relw.astype(jnp.float32).sum()
+                        + (meta & 3).sum().astype(jnp.float32))
+
+            def f(qs):
+                return jf(qs, slim)
+
+        elif which == "krows_flatgather":
+            # suspect 2: [MAXQ*C, ROWW] flat-view K-row gather + payload
+            # bitcast
+            idxs = rngs(N_CALLS + 1, (M, K), lo=0, hi=MAXQ * C, seed=1)
+            qss = idxs
+
+            @jax.jit
+            def jf(idx, r_tab):
+                kr = r_tab.reshape(MAXQ * C, ROWW)[idx]     # [M, K, ROWW]
+                nsel = jax.lax.bitcast_convert_type(
+                    kr[..., 1:], jnp.bfloat16).reshape(M, K, PAYW)
+                return nsel.astype(jnp.float32).sum()
+
+            def f(idx):
+                return jf(idx, rows)
+
+        else:   # krows_full: both halves chained, as in the pipeline
+            @jax.jit
+            def jf(qs, s_tab, r_tab):
+                s3 = s_tab[qs].reshape(M, C, 3)
+                meta = jax.lax.bitcast_convert_type(s3[..., 0], jnp.int32)
+                relw = jax.lax.bitcast_convert_type(
+                    s3[..., 1:], jnp.bfloat16).reshape(M, C, 4)
+                d2 = jnp.sum(relw[..., :3].astype(jnp.float32) ** 2, -1)
+                key = jnp.where(meta >= 0, d2, jnp.inf)
+                _, top_idx = jax.lax.top_k(-key, K)
+                flat_ids = qs[:, None] * C + top_idx
+                kr = r_tab.reshape(MAXQ * C, ROWW)[flat_ids]
+                nsel = jax.lax.bitcast_convert_type(
+                    kr[..., 1:], jnp.bfloat16).reshape(M, K, PAYW)
+                return nsel.astype(jnp.float32).sum()
+
+            def f(qs):
+                return jf(qs, slim, rows)
+
+        dt, tot = timed_scalar_calls(f, qss[:-1], warmup_input=qss[-1])
 
     else:
         raise SystemExit(f"unknown variant {which}")
