@@ -444,6 +444,18 @@ def main() -> None:
     # end-of-loop fetch of the stacked sums is the real barrier)
     float(jax.device_get(
         run_chunk(0).coarse_raycolor.astype(jnp.float32).sum()))
+    # congestion sentinel (STATUS.md rule 4b): the chip/tunnel has
+    # multi-hour windows that inflate wall times up to ~9x while
+    # outputs stay exact. Print the fixed-program sentinel to stderr
+    # so a slow-looking recorded bench can be recognized as a dirty
+    # window (clean reference ~135-180 ms) instead of a regression.
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.timing import congestion_sentinel
+        print(f"bench: sentinel {congestion_sentinel():.1f} ms "
+              "(clean ~135-180)", file=sys.stderr)
+    except Exception as e:  # never let diagnostics break the bench
+        print(f"bench: sentinel unavailable ({e})", file=sys.stderr)
     t0 = time.perf_counter()
     sums = []
     for i in range(n_chunks):
