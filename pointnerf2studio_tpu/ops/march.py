@@ -171,22 +171,18 @@ def march_rays(
     return emit, jnp.minimum(k, cap), mc_overflow
 
 
-def plan_march(
+def simulate_march(
     table: np.ndarray,              # [gx, gy, gz] packed (host)
     ranges_min, scaled_vsize, campos,
-    rays: np.ndarray,               # [R, 3] representative ray set
+    rays: np.ndarray,               # [R, 3]
     near: float, far: float, D: int, cap: int,
-    stages: int = 4, slack: float = 1.10,
-) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
-    """Size (march_steps, march_buckets) from a host simulation.
+) -> np.ndarray:
+    """Host simulation of march_rays with unbounded fuel.
 
-    Simulates the march on `rays` with unbounded fuel, records each
-    ray's steps-to-done, and cuts stages at quantiles: stage fuel
-    boundaries at ~p50/p80/p95/max(+margin), bucket sizes at the
-    simulated active counts x `slack` (+256, rounded to 256). Margins
-    absorb host/device float drift; mc_overflow still verifies
-    exactness on device.
-    """
+    Returns steps_used [R] int64 — the number of march iterations each
+    ray takes to finish (0 for rays that never start: box misses and
+    empty spans). The same float32 math as the device kernel, so the
+    device counts match up to float drift at voxel boundaries."""
     dims = np.asarray(table.shape, np.int64)
     gy, gz = int(dims[1]), int(dims[2])
     tflat = np.asarray(table).reshape(-1)
@@ -238,21 +234,56 @@ def plan_march(
         steps_used[act] += 1
         done[act] = (dd > d_hi[act]) | (kk >= cap)
 
-    n_done = steps_used[~((~hit) | (np.clip(d_lo, 0, D - 1) > d_hi))]
+    return steps_used
+
+
+def plan_march(
+    table: np.ndarray,              # [gx, gy, gz] packed (host)
+    ranges_min, scaled_vsize, campos,
+    rays: np.ndarray,               # [R, 3] representative ray set
+    near: float, far: float, D: int, cap: int,
+    stages: int = 4, slack: float = 1.10,
+    chunk: int = 0, fuel_margin: int = 4,
+) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Size (march_steps, march_buckets) from a host simulation.
+
+    Simulates the march on `rays` with unbounded fuel (simulate_march),
+    records each ray's steps-to-done, and cuts stages at quantiles:
+    stage fuel boundaries at ~p50/p80/p95/max(+fuel_margin), bucket
+    sizes at the simulated active counts x `slack` (+256, rounded to
+    256). Margins absorb host/device float drift; mc_overflow still
+    verifies exactness on device.
+
+    `chunk` > 0: the rays will be rendered in `chunk`-sized chunks (in
+    THIS order) — buckets are sized at the MAX over chunks of each
+    chunk's own active count at the stage boundary, not a rescale of
+    the frame total (the r2 round-end bench under-provisioned chunk 1
+    by exactly that rescale and fell back off the march path).
+    """
+    steps_used = simulate_march(table, ranges_min, scaled_vsize,
+                                campos, rays, near, far, D, cap)
+    n_done = steps_used[steps_used > 0]
     if n_done.size == 0:
         return (8,), ()
     qs = [0.5, 0.8, 0.95]
     cuts = sorted(set(
         int(np.quantile(n_done, p)) + 1 for p in qs[: stages - 1]))
     cuts = [c for c in cuts if c < int(n_done.max())]
-    bounds = cuts + [int(n_done.max()) + 4]
+    bounds = cuts + [int(n_done.max()) + fuel_margin]
+    R = rays.shape[0]
+    cap_rays = min(chunk, R) if chunk else R
+    if chunk and R >= chunk:
+        n_chunks = R // chunk
+        su_c = steps_used[: n_chunks * chunk].reshape(n_chunks, chunk)
+    else:
+        su_c = steps_used[None, :]
     steps_plan, buckets, prev = [], [], 0
     for i, b in enumerate(bounds):
         steps_plan.append(b - prev)
         if i < len(bounds) - 1:
-            active = int((n_done > b).sum())
+            active = int((su_c > b).sum(-1).max())
             buckets.append(min(
-                rays.shape[0],
+                cap_rays,
                 (int(active * slack) + 256 + 255) // 256 * 256))
         prev = b
     return tuple(steps_plan), tuple(buckets)
