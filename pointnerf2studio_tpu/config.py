@@ -235,6 +235,30 @@ class QueryConfig:
     # allocation failure on >=512k-row decode programs (observed on
     # v5e, tools/probe_knn_decode.py). 0 = unchunked.
     decode_chunk: int = 131_072
+    # Decode-tail layout (fast eval path, chunk_mode/knn_mode "xla"):
+    #   "lanes" — the per-neighbor MLP tower runs on all [Mc, K]
+    #             padded lanes (decode_radiance); simple, but at chair
+    #             statistics ~60-70% of the tower GEMM rows are
+    #             padding (mean valid K ~2.5-3 of 8).
+    #   "pair"  — valid (slot, k) pairs pack to a dense
+    #             [Mc * pair_budget] prefix right after the K-NN
+    #             select: the payload extract becomes one [MP]-row
+    #             gather from the already-loaded candidate block (no
+    #             one-hot einsum), the per-neighbor tower (mlp_base +
+    #             mlp_head + density) runs only on real pairs, and
+    #             per-slot aggregation comes back via segment-sums —
+    #             the TPU form of the reference's masked_select
+    #             compaction (studio_model.py:310-315). Exact while
+    #             pb_overflow == 0; f32 aggregation sums differ from
+    #             the lane layout in the last bits (different
+    #             reduction tree). Requires agg_intrp_order >= 1,
+    #             global Rw2c, fused modes off.
+    decode_mode: str = "lanes"
+    # Average valid neighbors per compacted slot the pair packing is
+    # provisioned for (MP = Mc * pair_budget). Overflowing pairs are
+    # dropped deterministically and counted in pb_overflow; >= K can
+    # never overflow (and emits no counter). 0 -> K.
+    pair_budget: int = 4
 
     @property
     def scaled_vsize(self) -> Tuple[float, float, float]:

@@ -136,18 +136,23 @@ def inverse_distance_weight(
     return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
 
 
-def aggregation_weight(
+def raw_aggregation_weight(
     cfg: AggregatorConfig,
-    neigh_emb: jnp.ndarray,   # [..., K, C]
-    dists: jnp.ndarray,       # [..., K, >=3] (world delta in [..., :3])
-    pnt_mask: jnp.ndarray,    # [..., K] bool
+    neigh_emb: jnp.ndarray,   # [..., C] per-lane features
+    dists: jnp.ndarray,       # [..., >=3] (world delta in [..., :3])
+    pnt_mask: jnp.ndarray,    # [...] bool
     grid_vox_sz: float,       # scaled voxel edge (trilinear/gau footprint)
     params: Optional[AggregatorParams] = None,  # feat_intrp MLP weights
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-neighbor aggregation weights for all reference kernels
-    (reference: point_aggregators.py:353-483 + the normalization at
-    :818-819). Returns (weights [..., K], remaining embedding) — the
-    sh/gau/feat kernels consume a prefix of the embedding channels.
+) -> Tuple[jnp.ndarray, jnp.ndarray, str]:
+    """Per-lane (un-normalized) aggregation weight for all reference
+    kernels. Every reference kernel is per-lane up to the final
+    cross-K normalization (point_aggregators.py:353-483 compute,
+    :818-819 normalize), so this half works on ANY lane layout — the
+    [..., K] grid or a flat valid-pair packing. Returns (w, remaining
+    embedding, norm_kind) where norm_kind tells the caller which
+    cross-lane normalization the reference applies over each shading
+    point's lanes: "norm" (divide by the weight sum, 1e-8 floor),
+    "count" (divide by the valid-lane count, floor 1), or "none".
     """
     kind = cfg.agg_distance_kernel
     mask = pnt_mask.astype(dists.dtype)
@@ -164,21 +169,18 @@ def aggregation_weight(
                 + jnp.abs(dists[..., 2]) * aw[1], 1e-6)
     elif kind == "numlinear":
         w = mask / jnp.maximum(jnp.linalg.norm(dists, axis=-1), 1e-6)
-        w = w / jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
     elif kind == "quadric":
         w = mask / jnp.maximum(
             jnp.sum(jnp.square(dists[..., :3])
                     * jnp.asarray(aw, dists.dtype), axis=-1), 1e-8)
     elif kind == "numquadric":
         w = mask / jnp.maximum(jnp.sum(jnp.square(dists), axis=-1), 1e-8)
-        w = w / jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
     elif kind == "avg":
         w = mask
     elif kind == "trilinear":
         d = dists[..., :3] * mask[..., None] / grid_vox_sz
         d = 1.0 - jnp.abs(d)
         w = mask * d[..., 0] * d[..., 1] * d[..., 2]
-        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
     elif kind == "sh_intrp":
         from pointnerf2studio_tpu.utils.spherical import sh_basis
         n = cfg.sh_degree ** 2
@@ -222,9 +224,36 @@ def aggregation_weight(
     else:
         raise ValueError(f"unknown agg_distance_kernel: {kind}")
 
-    if (cfg.agg_weight_norm and kind != "trilinear"
-            and not kind.startswith("num")):
+    if kind.startswith("num"):
+        norm_kind = "count"
+    elif kind == "trilinear" or cfg.agg_weight_norm:
+        norm_kind = "norm"
+    else:
+        norm_kind = "none"
+    return w, emb, norm_kind
+
+
+def aggregation_weight(
+    cfg: AggregatorConfig,
+    neigh_emb: jnp.ndarray,   # [..., K, C]
+    dists: jnp.ndarray,       # [..., K, >=3] (world delta in [..., :3])
+    pnt_mask: jnp.ndarray,    # [..., K] bool
+    grid_vox_sz: float,       # scaled voxel edge (trilinear/gau footprint)
+    params: Optional[AggregatorParams] = None,  # feat_intrp MLP weights
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-neighbor aggregation weights for all reference kernels
+    (reference: point_aggregators.py:353-483 + the normalization at
+    :818-819). Returns (weights [..., K], remaining embedding) — the
+    sh/gau/feat kernels consume a prefix of the embedding channels.
+    """
+    w, emb, norm_kind = raw_aggregation_weight(
+        cfg, neigh_emb, dists, pnt_mask, grid_vox_sz, params)
+    if norm_kind == "norm":
         w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
+    elif norm_kind == "count":
+        w = w / jnp.maximum(
+            jnp.sum(pnt_mask.astype(w.dtype), axis=-1, keepdims=True),
+            1.0)
     return w, emb
 
 
@@ -401,4 +430,107 @@ def decode_radiance(
     cfeat = _mlp(params["mlp_color"], color_in, dtype)
     rgb = jax.nn.sigmoid(_linear_head(params["color_head"][0], cfeat, dtype))
     rgb = rgb * (1 + 2e-3) - 1e-3                                   # mip-NeRF squash
+    return sigma.astype(jnp.float32), rgb.astype(jnp.float32)
+
+
+def pair_decode_eligible(cfg: AggregatorConfig, per_point_rw2c: bool) -> bool:
+    """Whether decode_radiance_pairs covers this aggregator config
+    (the pair path mirrors decode_radiance for order >= 1 with a
+    global Rw2c; fused_decode2 has its own K-blocked layout)."""
+    return (cfg.agg_intrp_order >= 1 and not per_point_rw2c
+            and not cfg.fused_decode2)
+
+
+def decode_radiance_pairs(
+    params: AggregatorParams,
+    cfg: AggregatorConfig,
+    pair_emb: jnp.ndarray,      # [MP, C] neighbor features (valid pairs)
+    pair_color: jnp.ndarray,    # [MP, 3]
+    pair_dir: jnp.ndarray,      # [MP, 3]
+    pair_dists: jnp.ndarray,    # [MP, 6] world+perspective offsets
+    weight: jnp.ndarray,        # [MP] normalized aggregation weights
+    pair_valid: jnp.ndarray,    # [MP] bool
+    seg: jnp.ndarray,           # [MP] int32 owning slot id (sorted asc)
+    n_slots: int,               # static number of shading slots (Mc)
+    viewdirs: jnp.ndarray,      # [Mc, 3] per shading point
+    Rw2c: jnp.ndarray,          # [3, 3] global rotation
+    base_h: Optional[jnp.ndarray] = None,  # [MP, hidden] cached layer-1
+                                # per-point partial product
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """decode_radiance on a VALID-PAIR packing of the (slot, K) grid.
+
+    The reference compacts valid (ray, sample, K) tuples with
+    masked_select before its MLP tower (studio_model.py:310-315); the
+    padded [M, K] layout of decode_radiance instead burns
+    K / mean(valid K) of the per-neighbor GEMM rows on padding lanes
+    (~60-70%% at chair statistics). This variant consumes a dense
+    packing of only the valid pairs (seg = owning slot, produced by
+    the caller's prefix-pack) and aggregates per slot with
+    segment-sums — the TPU equivalent of the reference's compaction,
+    with fixed shapes. Math identical to decode_radiance order >= 1 up
+    to the segment-sum reduction order (f32 last-bit class).
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    order = cfg.agg_intrp_order
+    if order < 1:
+        raise ValueError("pair decode requires agg_intrp_order >= 1")
+
+    dir_enc = positional_encoding(viewdirs, cfg.num_viewdir_freqs,
+                                  ori=True)
+    ori_viewdirs, dir_pe = dir_enc[..., :3], dir_enc[..., 3:]
+    w = (weight * pair_valid.astype(weight.dtype))[..., None].astype(dtype)
+
+    dists_w = jnp.sum(pair_dists[..., :3, None] * Rw2c, axis=-2)
+    dists_rot = jnp.concatenate([dists_w, pair_dists[..., 3:]], axis=-1)
+    dists_pe = positional_encoding(
+        dists_rot.astype(dtype), cfg.num_dist_freqs, mode=cfg.pe_mode)
+    if base_h is not None:
+        lyr0 = params["mlp_base"][0]
+        drows = dists_pe.shape[-1]
+        w1d = lyr0["kernel"][-drows:].astype(dtype)
+        feat = _leaky(base_h.astype(dtype) + dists_pe @ w1d
+                      + lyr0["bias"].astype(dtype))
+        feat = _mlp(params["mlp_base"][1:], feat, dtype)
+    else:
+        emb_c = pair_emb.astype(dtype)
+        feat = jnp.concatenate(
+            [emb_c,
+             positional_encoding(emb_c, cfg.num_feat_freqs,
+                                 mode=cfg.pe_mode),
+             dists_pe], axis=-1)
+        feat = _mlp(params["mlp_base"], feat, dtype)                # [MP, 256]
+
+    extras = [feat]
+    if cfg.point_color_mode:
+        extras.append(pair_color.astype(dtype))
+    if cfg.point_dir_mode:
+        ndir = jnp.sum(pair_dir[..., :, None] * Rw2c, axis=-2)
+        ov = ori_viewdirs[seg]                                      # [MP, 3]
+        extras.append((ndir - ov).astype(dtype))
+        extras.append(
+            jnp.sum(ndir * ov, axis=-1, keepdims=True).astype(dtype))
+    feat = _mlp(params["mlp_head"], jnp.concatenate(extras, -1), dtype)
+
+    def seg_sum(x):
+        return jax.ops.segment_sum(x, seg, num_segments=n_slots,
+                                   indices_are_sorted=True)
+
+    if order == 1:
+        agg_feat = seg_sum((feat * w).astype(jnp.float32))          # [Mc, 256]
+        alpha = _density_act(
+            _linear_head(params["density_head"][0],
+                         agg_feat.astype(dtype), dtype), cfg.act_super)
+        sigma = alpha[..., 0]
+    else:
+        alpha = _density_act(
+            _linear_head(params["density_head"][0], feat, dtype),
+            cfg.act_super)
+        sigma = seg_sum((alpha * w).astype(jnp.float32))[..., 0]    # [Mc]
+        agg_feat = seg_sum((feat * w).astype(jnp.float32))
+
+    color_in = jnp.concatenate(
+        [agg_feat.astype(dtype), dir_pe.astype(dtype)], axis=-1)
+    cfeat = _mlp(params["mlp_color"], color_in, dtype)
+    rgb = jax.nn.sigmoid(_linear_head(params["color_head"][0], cfeat, dtype))
+    rgb = rgb * (1 + 2e-3) - 1e-3
     return sigma.astype(jnp.float32), rgb.astype(jnp.float32)

@@ -421,12 +421,18 @@ class FastRenderOutput:
     # QueryConfig.march_steps / march_buckets — samples may be
     # missing). None when the march is off.
     mc_overflow: Optional[jnp.ndarray] = None
+    # decode_mode="pair" only: valid (slot, K) pairs dropped because a
+    # chunk held more than Mc * pair_budget of them (nonzero = raise
+    # QueryConfig.pair_budget — neighbors were lost). None when the
+    # budget cannot overflow (pair_budget >= K) or pair mode is off.
+    pb_overflow: Optional[jnp.ndarray] = None
 
 
 def counter_presence(q):
-    """(has_win, has_dw, has_rb, has_cb, has_mc) for fast_render_rays
-    under this query config — mirrors the branch structure so
-    shard_map out_specs can be declared without tracing."""
+    """(has_win, has_dw, has_rb, has_cb, has_mc, has_pb) for
+    fast_render_rays under this query config — mirrors the branch
+    structure so shard_map out_specs can be declared without tracing."""
+    pb = has_pb_overflow(q)
     if q.span_tiers:
         # the tiered branch always emits dw + rb (summed over tiers);
         # cb follows the per-tier scaled budgets; win only with coarse
@@ -446,15 +452,15 @@ def counter_presence(q):
                                   depth_window=min(w, q.z_depth_dim),
                                   compact_budget=cb_i)
                 has_cb = has_cb or has_cb_overflow(sub)
-        return (q.coarse_step > 1, True, True, has_cb, False)
+        return (q.coarse_step > 1, True, True, has_cb, False, pb)
     if march_active(q):
         return (False, False, q.ray_budget > 0, has_cb_overflow(q),
-                True)
+                True, pb)
     has_win = q.coarse_step > 1
     has_dw = q.depth_window > 0 and (
         not has_win or q.depth_window < q.z_depth_dim)
     has_rb = q.ray_budget > 0
-    return has_win, has_dw, has_rb, has_cb_overflow(q), False
+    return has_win, has_dw, has_rb, has_cb_overflow(q), False, pb
 
 
 def march_active(q) -> bool:
@@ -465,6 +471,16 @@ def march_active(q) -> bool:
     missing table) instead of silently falling back."""
     return (len(q.march_steps) > 0 and not q.span_tiers
             and q.coarse_step <= 1 and q.compact_mode == "topk")
+
+
+def has_pb_overflow(q) -> bool:
+    """Whether fast_render_rays emits a pb_overflow counter for this
+    query config (decode_mode="pair" with a pair budget that can drop
+    valid (slot, K) pairs). Static, mirrors chunk_pipeline."""
+    if q.decode_mode != "pair":
+        return False
+    PB = q.pair_budget if q.pair_budget > 0 else q.K
+    return PB < q.K
 
 
 def has_cb_overflow(q) -> bool:
@@ -590,7 +606,7 @@ def fast_render_rays(
         depth = jnp.zeros((R,), jnp.float32)
         rb_overflow = jnp.zeros((), jnp.int32)
         dw_overflow = jnp.zeros((), jnp.int32)
-        cb_list, win_list = [], []
+        cb_list, win_list, pb_list = [], [], []
         for i, w in enumerate(widths):
             in_t = hit & (ti == i)
             RB = min(budgets[i], R)
@@ -636,12 +652,15 @@ def fast_render_rays(
                 cb_list.append(sub.cb_overflow)
             if sub.win_overflow is not None:
                 win_list.append(sub.win_overflow)
+            if sub.pb_overflow is not None:
+                pb_list.append(sub.pb_overflow)
         return FastRenderOutput(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth,
             win_overflow=(sum(win_list) if win_list else None),
             dw_overflow=dw_overflow, rb_overflow=rb_overflow,
-            cb_overflow=(sum(cb_list) if cb_list else None))
+            cb_overflow=(sum(cb_list) if cb_list else None),
+            pb_overflow=(sum(pb_list) if pb_list else None))
 
     if q.ray_budget > 0:
         # ---- ray packing: the front-end only sees box-hitting rays —
@@ -700,7 +719,8 @@ def fast_render_rays(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, win_overflow=sub.win_overflow,
             dw_overflow=sub.dw_overflow, rb_overflow=rb_overflow,
-            cb_overflow=sub.cb_overflow, mc_overflow=sub.mc_overflow)
+            cb_overflow=sub.cb_overflow, mc_overflow=sub.mc_overflow,
+            pb_overflow=sub.pb_overflow)
 
     qslot_flat = (None if hash_mode
                   else cache.coor_2_qslot.reshape(-1))
@@ -993,7 +1013,7 @@ def fast_render_rays(
         n_local = cache.rows.shape[0]
         off_q = jax.lax.axis_index(pshard_axis) * n_local
         owned = (qslot_c >= off_q) & (qslot_c < off_q + n_local)
-        sig, rgb, found = chunk_pipeline(
+        sig, rgb, found, pb = chunk_pipeline(
             params, Rw2c, cache, raydirs, campos, camrotc2w, near,
             step_t, cfg, ranges_min, scaled_vsize,
             jnp.where(owned, qslot_c - off_q, 0), sel_ray, sel_d,
@@ -1003,11 +1023,13 @@ def fast_render_rays(
         sig = jax.lax.psum(sig * okl, pshard_axis)
         rgb = jax.lax.psum(rgb * okl[:, None], pshard_axis)
         found = jax.lax.psum(found.astype(jnp.int32), pshard_axis) > 0
+        pb = jax.lax.psum(pb, pshard_axis)
     else:
-        sig, rgb, found = chunk_pipeline(
+        sig, rgb, found, pb = chunk_pipeline(
             params, Rw2c, cache, raydirs, campos, camrotc2w, near,
             step_t, cfg, ranges_min, scaled_vsize, qslot_c, sel_ray,
             sel_d, mask_c, debug_ablate=debug_ablate)
+    pb_overflow = pb if has_pb_overflow(q) else None
 
     # ---- composite ----
     slot_ok = mask_c & found
@@ -1036,7 +1058,7 @@ def fast_render_rays(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, win_overflow=win_overflow,
             dw_overflow=dw_overflow, cb_overflow=cb_overflow,
-            mc_overflow=mc_overflow)
+            mc_overflow=mc_overflow, pb_overflow=pb_overflow)
 
     # ---- grid composite: scatter to [R, BP] slots ----
     if debug_ablate == "scatterback":
@@ -1079,7 +1101,8 @@ def fast_render_rays(
     return FastRenderOutput(
         coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
         win_overflow=win_overflow, dw_overflow=dw_overflow,
-        cb_overflow=cb_overflow, mc_overflow=mc_overflow)
+        cb_overflow=cb_overflow, mc_overflow=mc_overflow,
+        pb_overflow=pb_overflow)
 
 
 def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
@@ -1098,7 +1121,8 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
     faster on v5e (65k -> 4k chunks: 222k -> 321k rays/s at bench
     scale): the per-chunk working set stays near VMEM and the
     tail-chunk skip quantizes finer. Floor of 2048 keeps GEMMs full.
-    Returns (sig [M], rgb [M, 3], found [M])."""
+    Returns (sig [M], rgb [M, 3], found [M], pb_overflow [] — dropped
+    valid pairs under decode_mode="pair", 0 otherwise)."""
     q = cfg.query
     M = qslot_c.shape[0]
     K = q.K
@@ -1129,6 +1153,22 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
     use_fused_sel = ((q.knn_mode == "fused" or q.chunk_mode == "fused")
                      and cache.kmeta is not None
                      and debug_ablate is None and not use_fused_chunk)
+    use_pair = False
+    PB_pair = min(q.pair_budget if q.pair_budget > 0 else K, K)
+    if q.decode_mode == "pair" and debug_ablate is None:
+        from pointnerf2studio_tpu.models.aggregator import (
+            pair_decode_eligible)
+        if use_fused_chunk or use_fused_sel or use_fused2:
+            raise ValueError(
+                "decode_mode='pair' requires knn_mode/chunk_mode 'xla' "
+                "and fused_decode2 off")
+        if not pair_decode_eligible(cfg.agg, Rw2c.ndim == 4):
+            raise ValueError(
+                "decode_mode='pair' requires agg_intrp_order >= 1 and "
+                "a global Rw2c (per-point editing rotations decode on "
+                "the lane layout)")
+        use_pair = True
+    zero_pb = jnp.zeros((), jnp.int32)
     if (cache.kmeta is not None and not (use_fused_sel or use_fused_chunk)
             and cache.rows.shape[0] == 1 and cache.kmeta.shape[0] > 1):
         # fused-layout caches carry only a placeholder `rows`; the XLA
@@ -1151,7 +1191,7 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             locs = campos + rd_sel * t_sel[:, None]
             vox = jnp.floor((locs - ranges_min) / scaled_vsize)
             center = ranges_min + (vox + 0.5) * scaled_vsize
-            return fused_chunk_decode(
+            return (*fused_chunk_decode(
                 params, Rw2c, camrotc2w, campos,
                 cache.kmeta[qslot_cc], cache.kpay[qslot_cc],
                 locs, center, rd_sel, mask_cc,
@@ -1162,7 +1202,7 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                 nvf=cfg.agg.num_viewdir_freqs,
                 act_super=cfg.agg.act_super,
                 block=q.fused_chunk_block,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu"), zero_pb)
         if use_fused_sel:
             # ONE Pallas pass: d2 + masking + shells + K-select +
             # extract, VMEM-resident (ops/fused_select.py)
@@ -1179,7 +1219,8 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                 num_shells if q.layered_search else 1,
                 interpret=jax.default_backend() == "cpu")
             nsel = nsel_f[..., :PAYW].astype(jnp.bfloat16)
-            return _decode_tail(nsel, pnt_mask, locs, center, rd_sel)
+            return (*_decode_tail(nsel, pnt_mask, locs, center, rd_sel),
+                    zero_pb)
         if q.extract_mode == "krows" and debug_ablate is None:
             # slim selection gather + direct K-row payload gather:
             # identical values (same selection keys from the same bf16
@@ -1216,6 +1257,17 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             key = jnp.where(ok, d2, jnp.inf)
             neg_top, top_idx = jax.lax.top_k(-key, K)           # [Mc, K]
             pnt_mask = neg_top > -jnp.inf
+            if use_pair:
+                def fetch_krows(seg, cand_p):
+                    flat = qslot_cc[seg] * CAND + cand_p
+                    kr = cache.rows.reshape(-1, ROWW)[flat]     # [MP,ROWW]
+                    pay = jax.lax.bitcast_convert_type(
+                        kr[..., 1:], jnp.bfloat16).reshape(-1, PAYW)
+                    meta_p = jax.lax.bitcast_convert_type(
+                        kr[..., 0], jnp.int32)
+                    return pay, meta_p
+                return _pair_tail(pnt_mask, top_idx, locs, center,
+                                  rd_sel, fetch_krows)
             flat_ids = qslot_cc[:, None] * CAND + top_idx       # [Mc, K]
             krows = cache.rows.reshape(-1, ROWW)[flat_ids]      # [Mc,K,ROWW]
             nsel = jax.lax.bitcast_convert_type(
@@ -1225,8 +1277,8 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             if cache.base_h is not None:
                 sel_meta = jax.lax.bitcast_convert_type(
                     krows[..., 0], jnp.int32)
-            return _decode_tail(nsel, pnt_mask, locs, center, rd_sel,
-                                sel_meta=sel_meta)
+            return (*_decode_tail(nsel, pnt_mask, locs, center, rd_sel,
+                                  sel_meta=sel_meta), zero_pb)
         if debug_ablate == "gather":
             # fake the fat-row gather with a broadcast of row 0 (WRONG
             # values, real timing elsewhere): isolates gather row cost
@@ -1245,7 +1297,7 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             return (payload.astype(jnp.float32).sum((-1, -2)),
                     jnp.broadcast_to(meta.astype(jnp.float32)
                                      .sum(-1, keepdims=True), (Mc, 3)),
-                    mask_cc)
+                    mask_cc, zero_pb)
 
         rd_sel = raydirs[sel_ray_c]
         t_sel = near + (sel_d_c.astype(jnp.float32) + 0.5) * step_t
@@ -1274,7 +1326,7 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             return (d2.sum(-1) + ok.astype(jnp.float32).sum(-1),
                     jnp.broadcast_to(
                         cdelta.sum((-1, -2))[:, None], (Mc, 3)),
-                    mask_cc)
+                    mask_cc, zero_pb)
 
         if debug_ablate == "knn":
             top_idx = jnp.broadcast_to(
@@ -1289,7 +1341,16 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             return (jnp.where(pnt_mask, -neg_top, 0.0).sum(-1),
                     jnp.broadcast_to(top_idx.astype(jnp.float32)
                                      .sum(-1, keepdims=True), (Mc, 3)),
-                    jnp.any(pnt_mask, -1))
+                    jnp.any(pnt_mask, -1), zero_pb)
+        if use_pair and debug_ablate is None:
+            def fetch_fat(seg, cand_p):
+                pay = payload.reshape(Mc * CAND, PAYW)[seg * CAND
+                                                       + cand_p]
+                meta_p = (meta.reshape(-1)[seg * CAND + cand_p]
+                          if cache.base_h is not None else None)
+                return pay, meta_p
+            return _pair_tail(pnt_mask, top_idx, locs, center, rd_sel,
+                              fetch_fat)
         sel_meta = None
         if cache.base_h is not None:
             # pidx of each selected neighbor for the base_h table
@@ -1315,9 +1376,9 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
             return (nsel.astype(jnp.float32).sum((-1, -2)),
                     jnp.broadcast_to(pnt_mask.astype(jnp.float32)
                                      .sum(-1, keepdims=True), (Mc2, 3)),
-                    jnp.any(pnt_mask, -1))
-        return _decode_tail(nsel, pnt_mask, locs, center, rd_sel,
-                            sel_meta=sel_meta)
+                    jnp.any(pnt_mask, -1), zero_pb)
+        return (*_decode_tail(nsel, pnt_mask, locs, center, rd_sel,
+                              sel_meta=sel_meta), zero_pb)
 
     def _decode_tail(nsel, pnt_mask, locs, center, rd_sel,
                      sel_meta=None):
@@ -1395,6 +1456,80 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                 base_h=base_h)
         return sig_c, rgb_c, jnp.any(pnt_mask, -1)
 
+    def _pair_tail(pnt_mask, top_idx, locs, center, rd_sel, fetch_pay):
+        """Valid-(slot, K)-pair packed decode (decode_mode="pair").
+
+        pnt_mask's valid lanes are a K-prefix (top_k sorts the inf
+        keys of invalid candidates last), so the k index of a slot's
+        r-th valid pair IS r — the pack needs no per-lane rank
+        machinery, only the histogram-inverted offset cumsum (the
+        rank_gather_pack trick on the [Mc] slot axis).
+        """
+        from pointnerf2studio_tpu.models.aggregator import (
+            decode_radiance_pairs, raw_aggregation_weight)
+        Mc, Kk = pnt_mask.shape
+        MP = Mc * PB_pair
+        cntk = jnp.sum(pnt_mask.astype(jnp.int32), -1)      # [Mc]
+        off_end = jnp.cumsum(cntk)
+        off = off_end - cntk
+        inc = jnp.zeros((MP + 1,), jnp.int32).at[
+            jnp.minimum(off_end, MP)].add(1, mode="drop")
+        pim = jnp.arange(MP, dtype=jnp.int32)
+        seg = jnp.minimum(jnp.cumsum(inc)[:MP], Mc - 1)     # [MP]
+        rank = pim - off[seg]
+        pvalid = pim < jnp.minimum(off_end[-1], MP)
+        pb_of = (jnp.maximum(off_end[-1] - MP, 0)
+                 if PB_pair < Kk else jnp.zeros((), jnp.int32))
+        cand_p = top_idx.reshape(-1)[
+            seg * Kk + jnp.clip(rank, 0, Kk - 1)]           # [MP]
+        pay, meta_p = fetch_pay(seg, cand_p)                # [MP, PAYW]
+        pay = pay * pvalid[:, None].astype(pay.dtype)
+        locs_p = locs[seg]
+        nxyz = pay[..., :3].astype(jnp.float32) + center[seg]
+        emb = pay[..., 3:35]
+        conf = pay[..., 35].astype(jnp.float32)
+        ndir = pay[..., 36:39]
+        ncol = pay[..., 39:42]
+
+        nei_pers = w2pers(nxyz, camrotc2w, campos)          # [MP, 3]
+        lp = w2pers(locs, camrotc2w, campos)[seg]           # [MP, 3]
+        pdist = jnp.stack(
+            [nei_pers[..., 0] * nei_pers[..., 2]
+             - lp[..., 0] * lp[..., 2],
+             nei_pers[..., 1] * nei_pers[..., 2]
+             - lp[..., 1] * lp[..., 2],
+             nei_pers[..., 2] - lp[..., 2]], -1)
+        dists = jnp.concatenate([nxyz - locs_p, pdist], -1)
+        w_raw, emb2, nk = raw_aggregation_weight(
+            cfg.agg, emb, dists, pvalid, max(q.scaled_vsize),
+            params=params)
+
+        def seg_sum(x):
+            return jax.ops.segment_sum(x, seg, num_segments=Mc,
+                                       indices_are_sorted=True)
+
+        if nk == "norm":
+            den = seg_sum(w_raw)
+            weight = w_raw / jnp.maximum(den[seg], 1e-8)
+        elif nk == "count":
+            den = seg_sum(pvalid.astype(w_raw.dtype))
+            weight = w_raw / jnp.maximum(den[seg], 1.0)
+        else:
+            weight = w_raw
+        if cfg.agg.conf_in_weight:
+            weight = weight * conf
+        vd = jnp.sum(rd_sel[..., :, None] * Rw2c, axis=-2)  # [Mc, 3]
+        base_h_p = None
+        if cache.base_h is not None and meta_p is not None:
+            pidx = jnp.where(pvalid, meta_p >> 2, 0)
+            base_h_p = cache.base_h[pidx]                   # [MP, H]
+        sig_c, rgb_c = decode_radiance_pairs(
+            params, cfg.agg, pair_emb=emb2, pair_color=ncol,
+            pair_dir=ndir, pair_dists=dists, weight=weight,
+            pair_valid=pvalid, seg=seg, n_slots=Mc, viewdirs=vd,
+            Rw2c=Rw2c, base_h=base_h_p)
+        return sig_c, rgb_c, cntk > 0, pb_of
+
     def chunk_or_skip(args):
         # level-2 compaction packs valid slots FIRST, so validity is a
         # prefix: a chunk whose first slot is invalid is ALL padding —
@@ -1408,7 +1543,8 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
         def skip(_):
             return (jnp.zeros((CHc,), jnp.float32),
                     jnp.zeros((CHc, 3), jnp.float32),
-                    jnp.zeros((CHc,), jnp.bool_))
+                    jnp.zeros((CHc,), jnp.bool_),
+                    jnp.zeros((), jnp.int32))
 
         go = args[3][0] if skip_policy == "prefix" else jnp.any(args[3])
         return jax.lax.cond(go, chunk_body, skip, args)
@@ -1420,15 +1556,17 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
         def cpad(x):
             return jnp.pad(x, ((0, pad),)).reshape((n, CH))
 
-        sig, rgb, found = jax.lax.map(
+        sig, rgb, found, pb = jax.lax.map(
             chunk_or_skip, (cpad(qslot_c), cpad(sel_ray), cpad(sel_d),
                             cpad(mask_c)))
         sig = sig.reshape(n * CH)[:M]
         rgb = rgb.reshape(n * CH, 3)[:M]
         found = found.reshape(n * CH)[:M]
+        pb = jnp.sum(pb)
     else:
-        sig, rgb, found = chunk_or_skip((qslot_c, sel_ray, sel_d, mask_c))
-    return sig, rgb, found
+        sig, rgb, found, pb = chunk_or_skip(
+            (qslot_c, sel_ray, sel_d, mask_c))
+    return sig, rgb, found, pb
 
 
 def suggest_depth_window(dims, scaled_vsize, near, far, D: int,
@@ -1729,7 +1867,7 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
     ray_mask = jnp.zeros((Rtot,), jnp.bool_)
     acc = jnp.zeros((Rtot,), jnp.float32)
     depth = jnp.zeros((Rtot,), jnp.float32)
-    dw_of = win_of = cb_of = None
+    dw_of = win_of = cb_of = pb_of = None
 
     n_chunks = (n_hit + chunk - 1) // chunk
     if n_chunks:
@@ -1821,8 +1959,11 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
             if res.cb_overflow is not None:
                 cb_of = (res.cb_overflow if cb_of is None
                          else cb_of + res.cb_overflow)
+            if res.pb_overflow is not None:
+                pb_of = (res.pb_overflow if pb_of is None
+                         else pb_of + res.pb_overflow)
 
     return FastRenderOutput(
         coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
         win_overflow=win_of, dw_overflow=dw_of, rb_overflow=None,
-        cb_overflow=cb_of)
+        cb_overflow=cb_of, pb_overflow=pb_of)

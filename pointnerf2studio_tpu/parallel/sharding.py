@@ -143,7 +143,7 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
         FastRenderOutput, counter_presence, fast_render_rays)
 
     q = cfg.query
-    has_win, has_dw, has_rb, has_cb, has_mc = counter_presence(q)
+    has_win, has_dw, has_rb, has_cb, has_mc, has_pb = counter_presence(q)
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
               ranges_min, scaled_vsize):
@@ -159,7 +159,8 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
         dw_overflow=P() if has_dw else None,
         rb_overflow=P() if has_rb else None,
         cb_overflow=P() if has_cb else None,
-        mc_overflow=P() if has_mc else None)
+        mc_overflow=P() if has_mc else None,
+        pb_overflow=P() if has_pb else None)
     fn = _shard_map(
         local, mesh,
         in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P(), P(), P()),
@@ -171,7 +172,7 @@ def _psum_counters(out):
     """Sum a FastRenderOutput's scalar exactness counters over the rays
     axis so they come back replicated (shard_map helpers)."""
     for f in ("win_overflow", "dw_overflow", "rb_overflow",
-              "cb_overflow", "mc_overflow"):
+              "cb_overflow", "mc_overflow", "pb_overflow"):
         v = getattr(out, f)
         if v is not None:
             out = out.replace(**{f: jax.lax.psum(v, "rays")})
@@ -203,7 +204,7 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
         "knn_mode='fused' + point-sharded cache not wired yet (the "
         "kernel-facing kmeta/kpay arrays would need the same slab "
         "padding as rows)")
-    has_win, has_dw, has_rb, has_cb, has_mc = counter_presence(q)
+    has_win, has_dw, has_rb, has_cb, has_mc, has_pb = counter_presence(q)
 
     def local(params, Rw2c, cache, campos, camrotc2w, raydirs, near, far,
               ranges_min, scaled_vsize):
@@ -226,7 +227,8 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
         dw_overflow=P() if has_dw else None,
         rb_overflow=P() if has_rb else None,
         cb_overflow=P() if has_cb else None,
-        mc_overflow=P() if has_mc else None)
+        mc_overflow=P() if has_mc else None,
+        pb_overflow=P() if has_pb else None)
     fn = _shard_map(
         local, mesh,
         in_specs=(P(), P(), cache_specs, P(), P(), P("rays"), P(), P(),

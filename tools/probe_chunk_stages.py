@@ -103,7 +103,7 @@ def main():
         @jax.jit
         def run(params, Rw2c, cache, raydirs, qslot_c, sel_ray, sel_d,
                 mask_c, _ab=ablate):
-            sig, rgb, found = chunk_pipeline(
+            sig, rgb, found, _pb = chunk_pipeline(
                 params, Rw2c, cache, raydirs, scene.campos,
                 scene.camrotc2w, near, step_t, cfg, rmin, svs,
                 qslot_c, sel_ray, sel_d, mask_c, debug_ablate=_ab)

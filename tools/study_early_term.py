@@ -83,7 +83,7 @@ def main():
     print(f"setup {time.time()-t0:.0f}s; valid slots "
           f"{int(mask_c.sum())} of {M}", flush=True)
 
-    sig, rgb, found = chunk_pipeline(
+    sig, rgb, found, _pb = chunk_pipeline(
         scene.params, scene.cloud.Rw2c, cache, rays, scene.campos,
         scene.camrotc2w, jnp.asarray(near), jnp.asarray(step_t), cfg,
         rmin, svs, qslot_c, sel_ray, sel_d, mask_c)
