@@ -409,6 +409,20 @@ class TrainConfig:
     zero_epsilon: float = 1e-3
     zero_one_loss_weight: float = 1e-4
     jitter: float = 0.3
+    # Rematerialization of the fast train step's per-chunk decode
+    # (models/fast_train.py). Autodiff through the chunked tower saves
+    # every activation ([Mc, K, 284] concat, 4x 256-wide layers, PE
+    # intermediates — ~200 MB/chunk at 4096-ray batches) as backward
+    # residuals; that HBM round-trip is a large share of the ~23 ms
+    # backward. Gradients are EXACT under every mode:
+    #   "none"      — plain autodiff (all residuals saved)
+    #   "selection" — save only the K-NN selection outputs
+    #                 (pnt_mask/pidx/nxyz, tagged via checkpoint_name)
+    #                 and recompute the MLP tower in the backward; the
+    #                 [Mc, CAND] candidate stages never re-run
+    #   "full"      — jax.checkpoint with no policy (recompute
+    #                 everything incl. the top_k selection)
+    remat: str = "none"
     # Loss registry (reference: base_rendering_model.py:533-663,
     # options color_loss_items/depth_loss_items/bg_loss_items/
     # sparse_loss_weight). Color items: "coarse_raycolor" (plain MSE),

@@ -460,6 +460,14 @@ def fast_train_render(
         pidx = jnp.take_along_axis(meta >> 2, top_idx, -1)      # [Mc, K]
         nxyz = (jnp.take_along_axis(rel, top_idx[..., None], 1)
                 + center[:, None, :])                           # [Mc,K,3]
+        if training and cfg.train.remat == "selection":
+            # cut the remat recompute graph here: the backward re-runs
+            # only the [Mc, K] decode from these saved tensors, never
+            # the [Mc, CAND] candidate stages (TrainConfig.remat)
+            from jax.ad_checkpoint import checkpoint_name
+            pnt_mask = checkpoint_name(pnt_mask, "knn_sel")
+            pidx = checkpoint_name(pidx, "knn_sel")
+            nxyz = checkpoint_name(nxyz, "knn_sel")
 
         # differentiable attribute gather (backward = scatter-add)
         vals = attrs[jnp.clip(pidx, 0, N - 1)]                  # [Mc,K,39]
@@ -494,6 +502,12 @@ def fast_train_render(
         return (sig_c, rgb_c, jnp.any(pnt_mask, -1), conf_c,
                 pnt_mask, weight)
 
+    body = chunk_body
+    if training and cfg.train.remat != "none":
+        policy = (jax.checkpoint_policies.save_only_these_names(
+            "knn_sel") if cfg.train.remat == "selection" else None)
+        body = jax.checkpoint(chunk_body, policy=policy)
+
     def chunk_or_skip(args):
         CHc = args[0].shape[0]
 
@@ -505,7 +519,7 @@ def fast_train_render(
                     jnp.zeros((CHc, K), jnp.bool_),
                     jnp.zeros((CHc, K), jnp.float32))
 
-        return jax.lax.cond(args[3][0], chunk_body, skip, args)
+        return jax.lax.cond(args[3][0], body, skip, args)
 
     if M > CH:
         n = (M + CH - 1) // CH

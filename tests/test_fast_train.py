@@ -297,3 +297,37 @@ def test_gradients_reach_attributes(scene):
     assert float(jnp.abs(g["points_embeding"]).sum()) > 0
     assert float(jnp.abs(g["points_color"]).sum()) > 0
     assert float(jnp.abs(g["points_conf"]).sum()) > 0
+
+
+@pytest.mark.parametrize("remat", ["selection", "full"])
+def test_remat_gradients_bit_identical(scene, remat):
+    """TrainConfig.remat recomputes the chunk decode in the backward —
+    the same jaxpr re-executed, so loss AND gradients must be
+    bit-identical to plain autodiff."""
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
+    gt = jnp.asarray(
+        np.random.default_rng(1).random((rays.shape[0], 3)), jnp.float32)
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)
+    key = jax.random.PRNGKey(7)
+
+    from pointnerf2studio_tpu.train.loss import compute_losses
+
+    def make_loss(cfg):
+        def loss(params, pt):
+            points = s.cloud.with_trainable(pt)
+            out = fast_train_render(params, points, geo, s.campos,
+                                    s.camrotc2w, rays, s.near, s.far,
+                                    cfg, rmin, svs, key=key,
+                                    training=True)
+            return compute_losses(out, gt, cfg.train)[0]
+        return loss
+
+    cfg_r = dataclasses.replace(
+        s.cfg, train=dataclasses.replace(s.cfg.train, remat=remat))
+    args = (s.params, s.cloud.trainable())
+    l0, g0 = jax.value_and_grad(make_loss(s.cfg), argnums=(0, 1))(*args)
+    l1, g1 = jax.value_and_grad(make_loss(cfg_r), argnums=(0, 1))(*args)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -31,6 +31,12 @@ def main():
     if "--rb" in sys.argv:
         rb = sys.argv[sys.argv.index("--rb") + 1]
         args = [a for a in args if a != rb]
+    remat = "none"
+    if "--remat" in sys.argv:      # sel | full (TrainConfig.remat)
+        remat = {"sel": "selection"}.get(
+            sys.argv[sys.argv.index("--remat") + 1],
+            sys.argv[sys.argv.index("--remat") + 1])
+        args = [a for a in args if a not in ("sel", "full", remat)]
     fast_chunk = int(args[0]) if len(args) > 0 else 4096
     budget = int(args[1]) if len(args) > 1 else 8
     # args[2]: "onehot" (default), "topk", or "topk-packed"
@@ -47,6 +53,9 @@ def main():
             composite_mode=composite),
         agg=AggregatorConfig(compute_dtype="bfloat16"),
     )
+    if remat != "none":
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, remat=remat))
     t0 = time.time()
     if chair:
         from pointnerf2studio_tpu.data.synthetic import make_chair_scene

@@ -90,7 +90,8 @@ def resolve_measured_sentinels(cfg_v, scene, rays):
         steps, buckets = plan_march(
             tbl, scene.grid.ranges_min, q.scaled_vsize, scene.campos,
             np.asarray(rays), float(scene.near), float(scene.far),
-            q.z_depth_dim, cap)
+            q.z_depth_dim, cap,
+            stages=int(os.environ.get("PROBE_MARCH_STAGES", "4")))
         print(f"measured march steps {steps} buckets {buckets}",
               flush=True)
         cfg_v = dataclasses.replace(cfg_v, query=dataclasses.replace(
@@ -423,6 +424,38 @@ VARIANTS = {
                                 march_steps=(-2,), ray_budget=-2,
                                 extract_mode="krows", base_cache=True,
                                 agg_kw=dict(pe_mode="rec")),
+                       None),
+    # Valid-pair-packed decode tail (QueryConfig.decode_mode="pair"):
+    # the per-neighbor tower runs on a dense [Mc * pair_budget] pair
+    # packing instead of the [Mc, K] padded lanes; the one-hot extract
+    # einsum becomes one [MP]-row payload gather. Bench statistics:
+    # mean 6.2 of K=8 lanes valid (tools/study_early_term.py), so
+    # budget 7 saves ~12% of the per-pair rows exact-with-counter and
+    # budget 8 isolates the extract-replacement effect.
+    "tkpcprmcmrbm": ("b8 ch=4096 topk packed pair7 march+rb",
+                     base_cfg(fast_chunk=4096, compact_mode="topk",
+                              composite_mode="packed", march_steps=(-2,),
+                              ray_budget=-2, decode_mode="pair",
+                              pair_budget=7),
+                     None),
+    "tkpcpr8mcmrbm": ("b8 ch=4096 topk packed pair8 march+rb",
+                      base_cfg(fast_chunk=4096, compact_mode="topk",
+                               composite_mode="packed",
+                               march_steps=(-2,), ray_budget=-2,
+                               decode_mode="pair", pair_budget=8),
+                      None),
+    "tkkrprmcmrbm": ("b8 ch=4096 topk packed krows+pair7 march+rb",
+                     base_cfg(fast_chunk=4096, compact_mode="topk",
+                              composite_mode="packed", march_steps=(-2,),
+                              ray_budget=-2, extract_mode="krows",
+                              decode_mode="pair", pair_budget=7),
+                     None),
+    "tkpcbhprmcmrbm": ("b8 ch=4096 topk packed base_h+pair7 march+rb",
+                       base_cfg(fast_chunk=4096, compact_mode="topk",
+                                composite_mode="packed",
+                                march_steps=(-2,), ray_budget=-2,
+                                base_cache=True, decode_mode="pair",
+                                pair_budget=7),
                        None),
     # PE angle-doubling recurrence (AggregatorConfig.pe_mode="rec"):
     # trades per-octave sin polynomials for 3 multiplies — attacks the
