@@ -90,6 +90,15 @@ def import_neural_points(
     if xyz.ndim == 3:
         xyz = xyz[0]
     rw2c = sd.get("neural_points.Rw2c", np.eye(3, dtype=np.float32))
+    # Convention boundary: the reference right-multiplies row vectors
+    # by Rw2c^T (it transposes the stored tensor at use,
+    # point_aggregators.py:509, studio_model.py:302); this repo
+    # right-multiplies by Rw2c directly, so the stored tensor
+    # transposes at import (and back at export). Identity for every
+    # shipped checkpoint; load-bearing for edited scenes
+    # (tests/test_reference_oracle.py pins the executed-reference
+    # behavior).
+    rw2c = np.swapaxes(np.asarray(rw2c), -1, -2)
     return from_arrays(
         xyz=xyz,
         points_embeding=get("points_embeding"),
@@ -140,8 +149,11 @@ def export_torch_checkpoint(
         sd["neural_points.points_conf"] = live(points.points_conf)
         sd["neural_points.points_dir"] = live(points.points_dir)
         sd["neural_points.points_color"] = live(points.points_color)
+        rw2c = np.asarray(points.Rw2c)
+        if rw2c.ndim == 3:          # per-point (edited): live rows only
+            rw2c = rw2c[alive]
         sd["neural_points.Rw2c"] = torch.from_numpy(
-            np.asarray(points.Rw2c).copy())
+            np.swapaxes(rw2c, -1, -2).copy())
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     torch.save(sd, path)
