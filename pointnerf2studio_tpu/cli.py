@@ -74,7 +74,8 @@ def cmd_train(args):
         mesh = make_mesh(args.num_devices)
     res = fit(cfg, train_ds, params, points, args.out,
               eval_dataset=eval_ds, eval_views=list(range(args.eval_views)),
-              eval_freq=args.eval_freq, mesh=mesh)
+              eval_freq=args.eval_freq, mesh=mesh,
+              tensorboard=getattr(args, "tensorboard", False))
     print("final metrics:", res.metrics)
 
 
@@ -376,6 +377,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--capacity", type=int, default=None)
     t.add_argument("--eval-freq", type=int, default=0)
     t.add_argument("--num-devices", type=int, default=1)
+    t.add_argument("--tensorboard", action="store_true",
+                   help="also export scalars as tensorboard events "
+                        "(reference visualizer.py:176-182)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval")

@@ -50,6 +50,23 @@ class PointGenConfig:
     alpha_thresh: float = 0.1
     ranges: Optional[Tuple[float, ...]] = None   # (x0,y0,z0,x1,y1,z1)
     default_conf: float = 0.15
+    # Background sheet for unbounded / ScanNet-style scenes
+    # (filter_utils.py:275-283): every pixel REJECTED by the fused
+    # filter contributes a point at its camera xy pushed to depth
+    # far + far_plane_shift, confidence 0.02 — a far plane that
+    # catches rays which would otherwise miss all points. None = off
+    # (NeRF-Synthetic); ScanNet presets use e.g. 8.0.
+    far_plane_shift: Optional[float] = None
+    # Depth source per reference manual_depth_view
+    # (mvs_points_model.py:282-340):
+    #   "mvsnet" — pretrained-MVSNet inference depth + photometric
+    #              confidence (manual_depth_view == 1; every shipped
+    #              dev_script uses this)
+    #   "gt"     — dataset ground-truth depth for the reference view
+    #              (manual_depth_view == 0: cam_expected_depth =
+    #              depths_h, confidence = 1, gaussian jitter of
+    #              std_depth); requires MVSViewBatch.gt_depth
+    depth_mode: str = "mvsnet"
 
 
 @dataclasses.dataclass
@@ -61,6 +78,9 @@ class MVSViewBatch:
     c2ws: np.ndarray          # [V, 4, 4]
     near_far_depth: Tuple[float, float]   # depth-bin range (MVS)
     near_far: Tuple[float, float]         # scene range
+    # ground-truth reference-view depth [H, W] (depth_mode="gt";
+    # reference depths_h, mvs_points_model.py:267,292)
+    gt_depth: Optional[np.ndarray] = None
 
 
 def quarter_intrinsics(K: np.ndarray) -> np.ndarray:
@@ -297,17 +317,30 @@ def generate_point_cloud(
 
     cam_xyz_l, conf_l, mask_l, K_l, E_l = [], [], [], [], []
     for vb in view_batches:
-        Kq = quarter_intrinsics(vb.intrinsics)
-        proj = rel_proj_mats(Kq, vb.w2cs)
-        dmin, dmax = vb.near_far_depth
-        dvals = dmin + np.arange(cfg.num_depth_bins, dtype=np.float32) * (
-            (dmax - dmin) / cfg.num_depth_bins)
-        imgs_q = jnp.asarray(vb.images[:, ::4, ::4] if False
-                             else _downsample4(vb.images))
-        depth_q, conf_q, _ = depth_fn(mvs_params, imgs_q,
-                                      jnp.asarray(proj), jnp.asarray(dvals))
-        depth = _upsample_nearest(np.asarray(depth_q), vb.images.shape[1:3])
-        conf = _upsample_nearest(np.asarray(conf_q), vb.images.shape[1:3])
+        if cfg.depth_mode == "gt":
+            # manual_depth_view == 0: dataset GT depth as the expected
+            # depth, confidence 1 (mvs_points_model.py:290-293 — the
+            # reference leaves photometric confidence empty here)
+            if vb.gt_depth is None:
+                raise ValueError(
+                    "depth_mode='gt' needs MVSViewBatch.gt_depth")
+            depth = np.asarray(vb.gt_depth, np.float32)
+            conf = np.ones_like(depth)
+        else:
+            Kq = quarter_intrinsics(vb.intrinsics)
+            proj = rel_proj_mats(Kq, vb.w2cs)
+            dmin, dmax = vb.near_far_depth
+            dvals = (dmin + np.arange(cfg.num_depth_bins,
+                                      dtype=np.float32)
+                     * ((dmax - dmin) / cfg.num_depth_bins))
+            imgs_q = jnp.asarray(_downsample4(vb.images))
+            depth_q, conf_q, _ = depth_fn(
+                mvs_params, imgs_q, jnp.asarray(proj),
+                jnp.asarray(dvals))
+            depth = _upsample_nearest(np.asarray(depth_q),
+                                      vb.images.shape[1:3])
+            conf = _upsample_nearest(np.asarray(conf_q),
+                                     vb.images.shape[1:3])
         cam_xyz, mask = depth_to_cam_points(
             jnp.asarray(depth), jnp.asarray(conf),
             jnp.asarray(vb.intrinsics[0]), vb.near_far, cfg.std_depth)
@@ -325,6 +358,19 @@ def generate_point_cloud(
         final_np = np.asarray(final).reshape(-1)
         xyz_cam = np.asarray(xyz).reshape(-1, 3)[final_np]
         c = np.asarray(conf).reshape(-1)[final_np]
+        if cfg.far_plane_shift is not None:
+            # background sheet (filter_utils.py:275-283): rejected
+            # pixels keep their camera xy, depth moves to
+            # far + far_plane_shift, confidence 0.02
+            bg_xy = np.asarray(xyz).reshape(-1, 3)[~final_np, :2]
+            bg_z = np.full(
+                (bg_xy.shape[0], 1),
+                view_batches[i].near_far[1] + cfg.far_plane_shift,
+                np.float32)
+            xyz_cam = np.concatenate(
+                [xyz_cam, np.concatenate([bg_xy, bg_z], -1)], 0)
+            c = np.concatenate(
+                [c, np.full(bg_xy.shape[0], 0.02, np.float32)], 0)
         c2w = np.linalg.inv(np.asarray(E_l[i]))
         world = np.concatenate(
             [xyz_cam, np.ones_like(xyz_cam[:, :1])], -1) @ c2w.T

@@ -53,6 +53,7 @@ def fit(
     seed: int = 0,
     eval_chunk: int = 4096,
     resume: bool = True,
+    tensorboard: bool = False,
 ) -> FitResult:
     """Fine-tune `params` + `points` on `dataset`.
 
@@ -64,7 +65,7 @@ def fit(
     (train_ft.py:542-546,783-786 scheduler fast-forward).
     """
     os.makedirs(out_dir, exist_ok=True)
-    logger = Logger(out_dir)
+    logger = Logger(out_dir, tensorboard=tensorboard)
     max_steps = max_steps or cfg.train.max_iterations
 
     state = create_train_state(params, points, cfg)

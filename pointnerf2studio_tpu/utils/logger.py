@@ -23,7 +23,8 @@ def mse2psnr(mse: float) -> float:
 
 
 class Logger:
-    def __init__(self, out_dir: str, name: str = "train"):
+    def __init__(self, out_dir: str, name: str = "train",
+                 tensorboard: bool = False):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self.log_path = os.path.join(out_dir, "log.txt")
@@ -31,6 +32,18 @@ class Logger:
         self._acc: Dict[str, list] = defaultdict(list)
         self._t0 = time.time()
         self._last_step = 0
+        # tensorboard scalar export (reference visualizer.py:47-52,
+        # 176-182: tensorboardX add_scalar per loss key per step).
+        # Optional + lazy: missing tensorboard degrades to jsonl-only.
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    log_dir=os.path.join(out_dir, "tensorboard"))
+            except Exception as e:       # pragma: no cover
+                print(f"logger: tensorboard unavailable ({e}); "
+                      "scalars go to jsonl only")
 
     def accumulate(self, losses: Dict[str, float]) -> None:
         """Store values AS-IS — device scalars stay on device. A
@@ -67,6 +80,11 @@ class Logger:
             f.write(line + "\n")
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in avg.items():
+                self._tb.add_scalar(k, v, step)
+            self._tb.add_scalar("it_per_sec", ips, step)
+            self._tb.flush()
         self._acc.clear()
         self._t0 = time.time()
         self._last_step = step

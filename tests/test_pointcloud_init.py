@@ -1,5 +1,7 @@
 """PLY loading + bare-geometry cloud initialization."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -102,3 +104,16 @@ def test_stage_timer_and_rate_meter():
     assert rm.tick() == {}
     r = rm.tick(n_items=100)
     assert r["items_per_sec"] > 0
+
+
+def test_logger_tensorboard_export(tmp_path):
+    """Logger(tensorboard=True) writes scalar events (reference
+    visualizer.py:176-182 tensorboardX parity)."""
+    import glob
+
+    from pointnerf2studio_tpu.utils.logger import Logger
+    lg = Logger(str(tmp_path), tensorboard=True)
+    lg.accumulate({"coarse_raycolor_loss": 0.01})
+    lg.flush(10)
+    ev = glob.glob(str(tmp_path / "tensorboard" / "events.out.*"))
+    assert ev and os.path.getsize(ev[0]) > 0
