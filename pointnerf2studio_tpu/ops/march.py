@@ -265,9 +265,17 @@ def plan_march(
     n_done = steps_used[steps_used > 0]
     if n_done.size == 0:
         return (8,), ()
-    qs = [0.5, 0.8, 0.95]
+    # stage boundaries at quantiles of steps-to-done: the shipped
+    # 4-stage default keeps its verified cuts; more stages halve the
+    # remaining active mass per extra cut (total gathered rows =
+    # sum(stage_size * stage_len) approaches sum(steps_used) as the
+    # staging gets finer — each re-pack costs one top_k + state copy)
+    if stages <= 4:
+        qs = [0.5, 0.8, 0.95][: max(stages - 1, 0)]
+    else:
+        qs = [1.0 - 0.5 ** i for i in range(1, stages)]
     cuts = sorted(set(
-        int(np.quantile(n_done, p)) + 1 for p in qs[: stages - 1]))
+        int(np.quantile(n_done, p)) + 1 for p in qs))
     cuts = [c for c in cuts if c < int(n_done.max())]
     bounds = cuts + [int(n_done.max()) + fuel_margin]
     R = rays.shape[0]

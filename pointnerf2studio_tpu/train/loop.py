@@ -35,6 +35,18 @@ class FitResult:
     state: TrainState
     metrics: Dict[str, float]
     out_dir: str
+    # in-training eval trace (one entry per eval_freq crossing):
+    # {"step", "wall_s", "psnr", ...metrics} — the source for
+    # time-to-target-PSNR measurements (BASELINE.md tracked metric)
+    eval_history: list = dataclasses.field(default_factory=list)
+
+    def time_to_psnr(self, target_db: float):
+        """(step, wall_s) of the first eval at/above target, or None.
+        wall_s counts from fit() entry (excludes data/scene setup)."""
+        for rec in self.eval_history:
+            if rec.get("psnr", 0.0) >= target_db:
+                return rec["step"], rec["wall_s"]
+        return None
 
 
 def fit(
@@ -69,6 +81,9 @@ def fit(
     max_steps = max_steps or cfg.train.max_iterations
 
     state = create_train_state(params, points, cfg)
+    import time as _time
+    t_fit0 = _time.time()
+    eval_history: list = []
     start_step = 1
     if resume:
         last = cio.latest_step(os.path.join(out_dir, "ckpt"))
@@ -381,6 +396,9 @@ def fit(
                 cfg, state.params, state.points, grid, eval_dataset,
                 views=eval_views, chunk=eval_chunk, fast=is_hash,
                 bg_src_dataset=dataset if bg_maps is not None else None)
+            eval_history.append({
+                "step": s_end,
+                "wall_s": round(_time.time() - t_fit0, 1), **m})
             logger.flush(s_end, extra={f"eval_{k}": v
                                        for k, v in m.items()})
 
@@ -394,9 +412,13 @@ def fit(
             cfg, state.params, state.points, grid, eval_dataset,
             views=eval_views, chunk=eval_chunk, fast=is_hash,
             bg_src_dataset=dataset if bg_maps is not None else None)
+        eval_history.append({
+            "step": max_steps,
+            "wall_s": round(_time.time() - t_fit0, 1), **metrics})
         logger.flush(max_steps, extra={f"final_{k}": v
                                        for k, v in metrics.items()})
-    return FitResult(state=state, metrics=metrics, out_dir=out_dir)
+    return FitResult(state=state, metrics=metrics, out_dir=out_dir,
+                     eval_history=eval_history)
 
 
 def save_checkpoint(out_dir: str, state: TrainState, step: int,

@@ -50,6 +50,13 @@ def main():
     # GT depth maps (data/procedural.py save_depth; the ScanNet
     # sensor-depth init path, init_points_from_depth).
     ap.add_argument("--init", choices=("mvs", "depth"), default="depth")
+    # full recipe (VERDICT r2 #5): keep the preset's prune/grow
+    # cadences instead of disabling them, eval during training, and
+    # record time-to-target-PSNR from FitResult.eval_history
+    ap.add_argument("--full-recipe", action="store_true")
+    ap.add_argument("--eval-freq", type=int, default=0,
+                    help="in-training eval cadence; 0 = steps // 10")
+    ap.add_argument("--target-db", type=float, default=30.0)
     args = ap.parse_args()
 
     import dataclasses
@@ -79,7 +86,9 @@ def main():
         query=dataclasses.replace(cfg.query, z_depth_dim=args.d,
                                   ray_slot_budget=32, fast_chunk=4096),
         agg=dataclasses.replace(cfg.agg, compute_dtype="bfloat16"),
-        train=dataclasses.replace(cfg.train, prob_freq=0, prune_iter=0,
+        train=dataclasses.replace(cfg.train,
+                                  **({} if args.full_recipe else
+                                     dict(prob_freq=0, prune_iter=0)),
                                   # flagship differentiable fast path
                                   # (trajectory-matched to legacy in
                                   # tests/test_fast_train.py); ~3x the
@@ -135,12 +144,20 @@ def main():
     params = init_aggregator_params(jax.random.PRNGKey(0), cfg.agg)
 
     # ---- 2. fine-tune ----
+    eval_freq = args.eval_freq or max(args.steps // 10, 1)
     res = fit(cfg, train_ds, params, cloud, os.path.join(args.out, "run"),
               max_steps=args.steps, print_freq=500,
-              save_freq=max(args.steps // 2, 1))
+              save_freq=max(args.steps // 2, 1),
+              eval_dataset=test_ds, eval_views=[0, 1],
+              eval_freq=eval_freq)
     state = res.state
     print(f"trained {args.steps} steps (+{time.time()-t0:.0f}s)",
           flush=True)
+    report["eval_history"] = res.eval_history
+    tt = res.time_to_psnr(args.target_db)
+    report[f"time_to_{args.target_db:g}db"] = (
+        None if tt is None else {"step": tt[0], "wall_s": tt[1]})
+    print(f"time to {args.target_db:g} dB: {tt}", flush=True)
 
     # ---- 3. eval both paths ----
     grid = build_grid_from_points(state.points.xyz, state.points.alive,
