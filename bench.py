@@ -260,12 +260,17 @@ def main() -> None:
             # round-end bench rescaled frame totals by 1/n_chunks and
             # under-provisioned chunk 1 by 532 rays — the official
             # number fell back off the march path).
+            # slack/fuel margins absorb host-sim vs device float drift
+            # at voxel boundaries (the r4a bench measured ~800 of 65k
+            # rays needing more than the host-sim max +4 fuel — the
+            # walk diverges at cell edges, not just the bucket counts)
             steps, buckets = plan_march(
                 tbl, scene.grid.ranges_min, cfg.query.scaled_vsize,
                 scene.campos,
                 np.asarray(jax.device_get(raydirs)),
                 float(scene.near), float(scene.far),
-                q.z_depth_dim, cap, slack=1.15, chunk=chunk)
+                q.z_depth_dim, cap, slack=1.35, chunk=chunk,
+                fuel_margin=10)
             print(f"bench: march steps {steps} buckets {buckets}",
                   file=__import__('sys').stderr)
             cfg = dataclasses.replace(

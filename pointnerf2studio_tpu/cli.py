@@ -75,7 +75,8 @@ def cmd_train(args):
     res = fit(cfg, train_ds, params, points, args.out,
               eval_dataset=eval_ds, eval_views=list(range(args.eval_views)),
               eval_freq=args.eval_freq, mesh=mesh,
-              tensorboard=getattr(args, "tensorboard", False))
+              tensorboard=getattr(args, "tensorboard", False),
+              eval_save_images=getattr(args, "eval_images", False))
     print("final metrics:", res.metrics)
 
 
@@ -285,6 +286,43 @@ def cmd_evaluate_images(args):
     print(json.dumps(m))
 
 
+def cmd_grow_video(args):
+    """Stitch the per-eval-step images a training run saved
+    (fit(eval_save_images=True) -> out_dir/evalimg_<step>/eval_NNN.png)
+    into a chronological growth video — the reference's
+    run/vis_grow_train.py render_grow (:36-60), which assembles
+    prob_img_{iter} dumps into grow_video_{vid}.mov/.gif."""
+    import glob as _glob
+
+    import imageio
+    import numpy as np
+    from PIL import Image
+
+    dirs = sorted(_glob.glob(os.path.join(args.run, "evalimg_*")))
+    frames = []
+    for d in dirs:
+        p = os.path.join(d, f"eval_{args.view:03d}.png")
+        if os.path.exists(p):
+            frames.append(np.asarray(Image.open(p).convert("RGB")))
+    if not frames:
+        raise SystemExit(
+            f"no evalimg_*/eval_{args.view:03d}.png under {args.run} — "
+            "train with --eval-images (fit eval_save_images=True)")
+    out = args.out or os.path.join(
+        args.run, f"grow_video_{args.view:04d}.gif")
+    if out.endswith(".gif"):
+        imageio.mimwrite(out, frames, duration=1000.0 / args.fps,
+                         loop=0)
+    else:
+        try:
+            imageio.mimwrite(out, frames, fps=args.fps, quality=8)
+        except (ValueError, ImportError):
+            out = os.path.splitext(out)[0] + ".gif"
+            imageio.mimwrite(out, frames, duration=1000.0 / args.fps,
+                             loop=0)
+    print(f"wrote {out} ({len(frames)} frames)")
+
+
 def cmd_visualize(args):
     """Neural-point-cloud inspection: PLY export + axis projections
     (reference: run/visualize.py pyrender viewer + the visualizer's
@@ -380,6 +418,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tensorboard", action="store_true",
                    help="also export scalars as tensorboard events "
                         "(reference visualizer.py:176-182)")
+    t.add_argument("--eval-images", action="store_true",
+                   help="save eval view renders per eval step "
+                        "(evalimg_<step>/ dirs; input to grow-video)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval")
@@ -457,6 +498,20 @@ def build_parser() -> argparse.ArgumentParser:
     vz.add_argument("--checkpoint", required=True)
     vz.add_argument("--out", required=True)
     vz.set_defaults(fn=cmd_visualize)
+
+    gv = sub.add_parser(
+        "grow-video",
+        help="assemble per-eval-step images from a training run into a "
+             "growth video (reference run/vis_grow_train.py)")
+    gv.add_argument("--run", required=True,
+                    help="fit() out dir containing evalimg_* step dirs "
+                         "(train with eval_save_images/--eval-images)")
+    gv.add_argument("--view", type=int, default=0)
+    gv.add_argument("--out", default=None,
+                    help="output video path (default "
+                         "<run>/grow_video_<view>.gif)")
+    gv.add_argument("--fps", type=float, default=3.0)
+    gv.set_defaults(fn=cmd_grow_video)
 
     ed = sub.add_parser("edit")
     ed.add_argument("--parts", nargs="+", required=True)

@@ -1756,6 +1756,20 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
 def _build_slim(cache: FatCache) -> jnp.ndarray:
     """Slice the [meta, bf16(x,y), bf16(z, emb0)] selection words out of
     the fat rows (extract_mode="krows")."""
+    import os
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PN2S_ALLOW_KROWS")):
+        # reproduced twice (r3h tkkrmcmrbm/tkkrbhpemcmrbm, r4a
+        # tkkrprmcmrbm): krows programs crash the axon TPU backend
+        # compiler (remote_compile HTTP 500, tpu_compile_helper exit
+        # 1). The mode also measured no path to a win (PERF.md r3i) —
+        # fenced on TPU rather than left as a hard crash; CPU keeps it
+        # for the bit-exactness tests. PN2S_ALLOW_KROWS=1 re-enables
+        # for compiler bisects.
+        raise NotImplementedError(
+            "extract_mode='krows' is fenced on the TPU backend (known "
+            "backend-compiler crash, PERF.md r4a); use the default "
+            "'onehot' extract, or set PN2S_ALLOW_KROWS=1 to bisect")
     if cache.kmeta is not None and cache.rows.shape[0] == 1:
         raise ValueError("extract_mode='krows' needs the 'rows' cache "
                          "layout (knn_mode/chunk_mode 'xla')")

@@ -63,6 +63,10 @@ class GeoCache:
     # contract as FatCache.hash_table/logical_dims)
     hash_table: Optional[jnp.ndarray] = None    # [B, S*5] int32
     logical_dims: Optional[jnp.ndarray] = None  # [3] int32
+    # packed qslot + Chebyshev-distance field (ops/march.py) for the
+    # jitter-aware train march; built when QueryConfig.march_steps is
+    # set (dense grids only)
+    march_table: Optional[jnp.ndarray] = None   # [gx, gy, gz] int32
 
     @property
     def cand(self) -> int:
@@ -360,27 +364,64 @@ def fast_train_render(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, conf_coefficient=sub.conf_coefficient,
             pnt_mask=sub.pnt_mask, weight=sub.weight,
-            rb_overflow=rb_overflow)
+            rb_overflow=rb_overflow, mc_overflow=sub.mc_overflow)
 
     raygen = (near_far_disparity_linear_ray_generation if cfg.inverse
               else near_far_linear_ray_generation)
-    raypos, _, _ = raygen(
+    raypos, _, mid_ts = raygen(
         campos, raydirs, D, near=near, far=far,
         jitter=jit_amount, key=key, jitter_u=jitter_u)  # [R, D, 3]
 
-    gc = jnp.floor((raypos - ranges_min) / scaled_vsize).astype(jnp.int32)
-    inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
-    if hash_mode:
-        from pointnerf2studio_tpu.ops.hash_grid import table_qslot
-        qs = table_qslot(geo.hash_table, gc, inb)
+    from pointnerf2studio_tpu.models.fast_render import march_active
+    use_march = (march_active(q) and not hash_mode
+                 and geo.march_table is not None and not cfg.inverse)
+    mc_overflow = None
+    if use_march:
+        # jitter-aware distance-field march (ops/march.py): tests each
+        # sample's TRUE jittered position via the mid_ts table, so the
+        # emitted (ray, d) set equals the dense path's first-cap valid
+        # samples — the [R, D] qslot gather (the largest forward
+        # stage at train scale) never materializes. Exact while
+        # mc_overflow == 0; selection is integer so gradients are
+        # untouched.
+        if geo.rows.shape[0] > (1 << 22) - 2 or D > 512:
+            raise ValueError("march packing needs max_q < 2^22 - 1 "
+                             "and z_depth_dim <= 512")
+        from pointnerf2studio_tpu.ops.march import march_rays
+        from pointnerf2studio_tpu.ops.select import rank_gather_pack
+        cap = min(SR, BP, D)
+        step_t = (far - near) / D
+        emit, cnt, mc_overflow = march_rays(
+            geo.march_table.reshape(-1), dims_arr, gy, gz, ranges_min,
+            scaled_vsize, campos, raydirs, near, far, step_t, D, cap,
+            q.march_steps, q.march_buckets, t_tab=mid_ts,
+            jitter=jit_amount)
+        ray_hit = cnt > 0
+        iota_bp = jnp.broadcast_to(
+            jnp.arange(cap, dtype=jnp.int32), (R, cap))
+        sel_ray, sel_slot, _, _, packed_m, mask_c = rank_gather_pack(
+            emit, iota_bp, cnt, M)
+        qslot_c = jnp.maximum((packed_m >> 9) - 1, 0)
+        sel_d = packed_m & 511
+        pack_end = jnp.cumsum(cnt)
+        pack_cnt = cnt
     else:
-        gcc = jnp.clip(gc, 0, dims_arr - 1)
-        fidx = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
-        qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
+        gc = jnp.floor(
+            (raypos - ranges_min) / scaled_vsize).astype(jnp.int32)
+        inb = jnp.all((gc >= 0) & (gc < dims_arr), axis=-1)
+        if hash_mode:
+            from pointnerf2studio_tpu.ops.hash_grid import table_qslot
+            qs = table_qslot(geo.hash_table, gc, inb)
+        else:
+            gcc = jnp.clip(gc, 0, dims_arr - 1)
+            fidx = (gcc[..., 0] * gy + gcc[..., 1]) * gz + gcc[..., 2]
+            qs = jnp.where(inb, qslot_flat[jnp.where(inb, fidx, 0)], -1)
 
-    mask = qs >= 0
-    ray_hit = jnp.any(mask, axis=-1)
-    if q.compact_mode == "topk":
+        mask = qs >= 0
+        ray_hit = jnp.any(mask, axis=-1)
+    if use_march:
+        pass                    # compaction produced above
+    elif q.compact_mode == "topk":
         # top-k compaction + rank-gather pack shared with the eval
         # fast path (ops/select.py): selection via lax.top_k or the
         # Pallas row-compaction kernel, then [M]-row gathers instead
@@ -563,7 +604,8 @@ def fast_train_render(
         return RenderOutput(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, conf_coefficient=conf_k,
-            pnt_mask=pm_k & mask_c[:, None], weight=w_k)
+            pnt_mask=pm_k & mask_c[:, None], weight=w_k,
+            mc_overflow=mc_overflow)
 
     # ---- grid composite: scatter to [R, BP] slots ----
     dest2 = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
@@ -594,7 +636,7 @@ def fast_train_render(
     return RenderOutput(
         coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
         conf_coefficient=conf_k, pnt_mask=pm_k & mask_c[:, None],
-        weight=w_k)
+        weight=w_k, mc_overflow=mc_overflow)
 
 
 def make_geo_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
@@ -606,6 +648,10 @@ def make_geo_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
         max_q = (nq + 32767) // 32768 * 32768
     geo = build_geo_cache(grid, cloud.xyz, cfg.query.kernel_size, max_q,
                           cfg.query.cand_cap)
+    if cfg.query.march_steps and geo.coor_2_qslot is not None:
+        from pointnerf2studio_tpu.ops.march import build_march_table
+        geo = geo.replace(
+            march_table=build_march_table(geo.coor_2_qslot))
     return geo, grid.ranges_min, grid.scaled_vsize
 
 
@@ -638,6 +684,12 @@ def make_fast_train_step(cfg: PointNerfConfig):
                 # gradients) were dropped this step — raise ray_budget
                 aux = {**aux,
                        "rb_overflow": out.rb_overflow.astype(jnp.float32)}
+            if out.mc_overflow is not None:
+                # nonzero = the train march left rays unfinished this
+                # step (samples + their gradients missing) — raise
+                # march_steps / march_buckets
+                aux = {**aux,
+                       "mc_overflow": out.mc_overflow.astype(jnp.float32)}
             return total, aux
 
         (_, aux), (g_params, g_points) = jax.value_and_grad(

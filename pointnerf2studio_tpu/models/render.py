@@ -61,6 +61,11 @@ class RenderOutput:
     # (nonzero = raise the budget; gradients silently lose those rays).
     # None when ray packing is off.
     rb_overflow: Optional[jnp.ndarray] = None
+    # fast_train march front-end only: rays whose span was not fully
+    # tested within the staged fuel/buckets (nonzero = raise
+    # march_steps/march_buckets; samples may be missing). None when
+    # the march is off.
+    mc_overflow: Optional[jnp.ndarray] = None
     ray_max_shading_opacity: Optional[jnp.ndarray] = None   # [R]
     ray_max_sample_loc_w: Optional[jnp.ndarray] = None      # [R, 3]
     shading_avg_color: Optional[jnp.ndarray] = None         # [R, 3]

@@ -80,6 +80,11 @@ def march_rays(
     cap: int,                       # per-ray slot cap (min(SR, BP, D))
     steps: Tuple[int, ...],
     buckets: Tuple[int, ...],       # static packed sizes, stages 1..
+    t_tab: Optional[jnp.ndarray] = None,   # [R, D] actual per-sample
+                                    # ts (jittered raygen mid_ts);
+                                    # None -> the affine unjittered t
+    jitter: float = 0.0,            # raygen jitter fraction (sizes the
+                                    # skip-safety margin under t_tab)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """March every ray's in-box span through the packed table.
 
@@ -87,12 +92,24 @@ def march_rays(
     unused slots; cnt [R] int32 — emitted samples per ray;
     mc_overflow [] int32 — rays whose span was not fully tested).
     Requires qslot < 2**22 and D <= 512 (packing; callers gate).
+
+    With `t_tab` (the TRAIN path's jittered sample times) each tested
+    sample's t comes from one extra [active]-row gather, so emission
+    tests the TRUE jittered positions; the empty-space skip stays safe
+    because stratified mids are monotonic with per-sample spacing at
+    most step_t * (1 + jitter/2) (consecutive-segment mean of raygen's
+    seg = base * (1 + jitter*(u-0.5))), so dividing the free radius by
+    that bound never skips past a sample that could sit inside it.
+    Termination also reads the true t (t > t_exit ends the convex-box
+    chord exactly); entry starts from the conservative earliest index
+    whose mid could reach t_enter.
     """
     R = raydirs.shape[0]
     assert len(buckets) == max(len(steps) - 1, 0), (
         "march_buckets must have one entry per stage after the first")
     dims_f = dims_arr.astype(jnp.float32)
     s_min = jnp.min(scaled_vsize)
+    jfac = 1.0 + 0.5 * float(jitter)
 
     # slab test — the same float math as the depth-window branch of
     # fast_render_rays, so in-box span coverage is identical
@@ -104,11 +121,29 @@ def march_rays(
     tb = (rmax - campos) * inv
     t_enter = jnp.max(jnp.minimum(ta, tb), -1)
     t_exit = jnp.min(jnp.maximum(ta, tb), -1)
-    d_lo = jnp.floor((t_enter - near) / step_t - 0.5).astype(jnp.int32)
-    d_hi = jnp.minimum(
-        jnp.ceil((jnp.minimum(t_exit, far) - near) / step_t
-                 - 0.5).astype(jnp.int32), D - 1)
+    if t_tab is None:
+        d_lo = jnp.floor((t_enter - near) / step_t
+                         - 0.5).astype(jnp.int32)
+        d_hi = jnp.minimum(
+            jnp.ceil((jnp.minimum(t_exit, far) - near) / step_t
+                     - 0.5).astype(jnp.int32), D - 1)
+    else:
+        # conservative index bounds under jittered mids: mid[d] lies in
+        # near + (d + 0.5) * step_t * [1 -/+ jitter/2]; jittered
+        # segment cumsums can overshoot `far` by jitter/2 * (far-near)
+        # and such samples are still tested by the dense path when
+        # they sit inside the box — the far margin must cover them
+        far_ov = far + 0.5 * float(jitter) * (far - near)
+        d_lo = jnp.floor((t_enter - near) / (step_t * jfac)
+                         - 0.5).astype(jnp.int32)
+        d_hi = jnp.minimum(
+            jnp.ceil((jnp.minimum(t_exit, far_ov) + step_t - near)
+                     / (step_t * max(1.0 - 0.5 * float(jitter), 1e-3))
+                     - 0.5).astype(jnp.int32), D - 1)
+        t_flat = t_tab.reshape(-1)
     hit_box = (t_exit >= t_enter) & (d_hi >= 0)
+    t_stop = (jnp.minimum(t_exit, far if t_tab is None else far_ov)
+              + step_t)                             # true-t termination
 
     d = jnp.clip(d_lo, 0, D - 1)
     dhi_full = d_hi
@@ -117,11 +152,15 @@ def march_rays(
     k = jnp.zeros((R,), jnp.int32)
     emit = jnp.zeros((R, cap), jnp.int32)
     slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    iota = jnp.arange(R, dtype=jnp.int32)
 
-    def run_stage(T, rd, sw, dhi, state):
+    def run_stage(T, rd, sw, dhi, oid, tstop, state):
         def body(_, st):
             d, k, done, emit = st
-            t = near + (d.astype(jnp.float32) + 0.5) * step_t
+            if t_tab is None:
+                t = near + (d.astype(jnp.float32) + 0.5) * step_t
+            else:
+                t = t_flat[jnp.minimum(oid * D + d, R * D - 1)]
             pos = campos + rd * t[:, None]
             gc = jnp.floor((pos - ranges_min) / scaled_vsize
                            ).astype(jnp.int32)
@@ -139,20 +178,24 @@ def march_rays(
                 packed[:, None], emit)
             k = k + emitn.astype(jnp.int32)
             # safety skip: a voxel at Chebyshev distance c has every
-            # point strictly farther than (c-1)*s_min along the ray
+            # point strictly farther than (c-1)*s_min along the ray;
+            # under jittered mids the per-sample advance is bounded by
+            # sw * jfac, so the division stays conservative
             cfree = jnp.where(inb, qsd & 31, 1)
             skip = jnp.where(occ | (cfree <= 1), 1, jnp.maximum(
                 1, jnp.floor((cfree - 1).astype(jnp.float32) * s_min
-                             / sw - 1e-4).astype(jnp.int32)))
+                             / (sw * jfac) - 1e-4).astype(jnp.int32)))
             d = d + jnp.where(active, skip, 0)
             done = done | (d > dhi) | (k >= cap)
+            if t_tab is not None:
+                done = done | (t > tstop)
             return d, k, done, emit
         return jax.lax.fori_loop(0, T, body, state)
 
     d, k, done, emit = run_stage(
-        steps[0], raydirs, stepw, dhi_full, (d, k, done, emit))
+        steps[0], raydirs, stepw, dhi_full, iota, t_stop,
+        (d, k, done, emit))
 
-    iota = jnp.arange(R, dtype=jnp.int32)
     for T, RS in zip(steps[1:], buckets):
         RS = min(RS, R)
         top = jax.lax.top_k(jnp.where(~done, -iota, -(R + 1)), RS)[0]
@@ -161,7 +204,8 @@ def march_rays(
         idc = jnp.minimum(ids, R - 1)
         st = (d[idc], k[idc], done[idc] | ~valid, emit[idc])
         d_s, k_s, done_s, emit_s = run_stage(
-            T, raydirs[idc], stepw[idc], dhi_full[idc], st)
+            T, raydirs[idc], stepw[idc], dhi_full[idc], idc,
+            t_stop[idc], st)
         d = d.at[ids].set(d_s, mode="drop")
         k = k.at[ids].set(k_s, mode="drop")
         done = done.at[ids].set(done_s, mode="drop")

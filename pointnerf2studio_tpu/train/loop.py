@@ -66,6 +66,7 @@ def fit(
     eval_chunk: int = 4096,
     resume: bool = True,
     tensorboard: bool = False,
+    eval_save_images: bool = False,
 ) -> FitResult:
     """Fine-tune `params` + `points` on `dataset`.
 
@@ -395,7 +396,13 @@ def fit(
             m = evaluate_dataset(
                 cfg, state.params, state.points, grid, eval_dataset,
                 views=eval_views, chunk=eval_chunk, fast=is_hash,
-                bg_src_dataset=dataset if bg_maps is not None else None)
+                bg_src_dataset=dataset if bg_maps is not None else None,
+                # one directory per eval step, the reference's
+                # prob_img_{iter} layout that vis_grow_train.py
+                # assembles into growth videos (cli grow-video)
+                save_images=eval_save_images,
+                out_dir=(os.path.join(out_dir, f"evalimg_{s_end:06d}")
+                         if eval_save_images else None))
             eval_history.append({
                 "step": s_end,
                 "wall_s": round(_time.time() - t_fit0, 1), **m})

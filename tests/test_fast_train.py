@@ -331,3 +331,74 @@ def test_remat_gradients_bit_identical(scene, remat):
     assert float(l0) == float(l1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_march_train_exact(scene):
+    """The jitter-aware train march (QueryConfig.march_steps in
+    fast_train_render) must be bit-exact vs the dense [R, D] lookup —
+    forward AND gradients — under the same key: it tests the same
+    jittered positions (mid_ts table), emits the same first-cap valid
+    samples, and selection is integer-only."""
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
+    gt = jnp.asarray(
+        np.random.default_rng(2).random((rays.shape[0], 3)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    D = s.cfg.query.z_depth_dim
+    cfg_m = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, march_steps=(D + 8,), march_buckets=()))
+    geo, rmin, svs = make_geo_scene(s.cfg, s.cloud, s.grid)
+    geo_m, _, _ = make_geo_scene(cfg_m, s.cloud, s.grid)
+    assert geo_m.march_table is not None
+
+    from pointnerf2studio_tpu.train.loss import compute_losses
+
+    def make_loss(cfg, g):
+        def loss(params, pt):
+            points = s.cloud.with_trainable(pt)
+            out = fast_train_render(params, points, g, s.campos,
+                                    s.camrotc2w, rays, s.near, s.far,
+                                    cfg, rmin, svs, key=key,
+                                    training=True)
+            return compute_losses(out, gt, cfg.train)[0], out
+        return loss
+
+    args = (s.params, s.cloud.trainable())
+    (l0, o0), g0 = jax.value_and_grad(
+        make_loss(s.cfg, geo), argnums=(0, 1), has_aux=True)(*args)
+    (l1, o1), g1 = jax.value_and_grad(
+        make_loss(cfg_m, geo_m), argnums=(0, 1), has_aux=True)(*args)
+    assert int(o1.mc_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(o0.ray_mask),
+                                  np.asarray(o1.ray_mask))
+    np.testing.assert_array_equal(np.asarray(o0.coarse_raycolor),
+                                  np.asarray(o1.coarse_raycolor))
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_march_train_staged_and_rb(scene):
+    """Staged fuel/buckets + ray packing composed with the train march
+    stay exact (counters zero) on planned budgets."""
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
+    key = jax.random.PRNGKey(3)
+    D = s.cfg.query.z_depth_dim
+    cfg_m = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(
+            s.cfg.query, march_steps=(D // 3, D), march_buckets=(256,),
+            ray_budget=192))
+    geo_m, rmin, svs = make_geo_scene(cfg_m, s.cloud, s.grid)
+    geo, _, _ = make_geo_scene(s.cfg, s.cloud, s.grid)
+    out = fast_train_render(s.params, s.cloud, geo_m, s.campos,
+                            s.camrotc2w, rays, s.near, s.far, cfg_m,
+                            rmin, svs, key=key, training=True)
+    assert int(out.mc_overflow) == 0
+    assert int(out.rb_overflow) == 0
+    ref = fast_train_render(s.params, s.cloud, geo, s.campos,
+                            s.camrotc2w, rays, s.near, s.far, s.cfg,
+                            rmin, svs, key=key, training=True)
+    np.testing.assert_array_equal(np.asarray(ref.coarse_raycolor),
+                                  np.asarray(out.coarse_raycolor))

@@ -100,3 +100,26 @@ def test_pfm_roundtrip(tmp_path):
         f.write(np.array([[3, 4], [1, 2]], ">f4").tobytes())
     np.testing.assert_array_equal(
         read_pfm(p), np.array([[2, 4], [6, 8]], np.float32))
+
+
+def test_grow_video_cli(tmp_path):
+    """grow-video assembles evalimg_<step>/eval_NNN.png chronologically
+    (reference run/vis_grow_train.py render_grow parity)."""
+    import numpy as np
+    from PIL import Image
+
+    from pointnerf2studio_tpu.cli import main as cli_main
+
+    run = tmp_path / "run"
+    for i, step in enumerate([100, 200, 300]):
+        d = run / f"evalimg_{step:06d}"
+        d.mkdir(parents=True)
+        img = np.full((8, 8, 3), i * 40, np.uint8)
+        Image.fromarray(img).save(d / "eval_000.png")
+    out = str(tmp_path / "grow.gif")
+    cli_main(["grow-video", "--run", str(run), "--view", "0",
+              "--out", out])
+    import imageio
+    frames = imageio.mimread(out)
+    assert len(frames) == 3
+    assert frames[0][..., 0].mean() < frames[2][..., 0].mean()

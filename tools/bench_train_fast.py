@@ -9,6 +9,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointnerf2studio_tpu.config import (
     AggregatorConfig, PointNerfConfig, QueryConfig)
@@ -16,6 +17,23 @@ from pointnerf2studio_tpu.data.synthetic import camera_rays, make_sphere_scene
 from pointnerf2studio_tpu.models.fast_train import (
     make_fast_train_step, make_geo_scene)
 from pointnerf2studio_tpu.train.trainer import create_train_state
+
+
+def _march_plan_rays(scene, chair):
+    """Representative pixel-sampled rays for march planning (same
+    distribution as the benched batches, larger sample)."""
+    import jax
+    import numpy as np
+
+    from pointnerf2studio_tpu.data.synthetic import camera_rays
+    if chair:
+        frame = camera_rays(scene.campos, scene.camrotc2w, 800, 800,
+                            1111.1)
+        idx = np.random.default_rng(7).choice(frame.shape[0], 16384,
+                                              replace=False)
+        return np.asarray(jax.device_get(frame))[idx]
+    return np.asarray(jax.device_get(
+        camera_rays(scene.campos, scene.camrotc2w, 8, 512, 320.0)))
 
 
 def main():
@@ -62,6 +80,32 @@ def main():
         scene = make_chair_scene(n_points=558_000, cfg=cfg)
     else:
         scene = make_sphere_scene(n_points=558_000, cfg=cfg)
+    if "--march" in sys.argv:
+        # jitter-aware train march: plan staged fuel/buckets from the
+        # unjittered host sim, widened for the jittered device walk
+        # (jitter shrinks skips by (1 + j/2) and batches vary step to
+        # step); mc_overflow in the step aux re-verifies on device
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        from pointnerf2studio_tpu.ops.march import (
+            build_march_table, plan_march)
+        occ = jnp.asarray(scene.grid.coor_occ)
+        tbl = np.asarray(jax.device_get(build_march_table(
+            jnp.where(occ.astype(bool), 0, -1))))
+        q = cfg.query
+        capm = min(q.SR, q.ray_slot_budget or q.SR, q.z_depth_dim)
+        steps, buckets = plan_march(
+            tbl, np.asarray(jax.device_get(scene.grid.ranges_min)),
+            q.scaled_vsize, np.asarray(jax.device_get(scene.campos)),
+            _march_plan_rays(scene, chair),
+            float(2.0 if chair else 1.1), float(6.0 if chair else 2.9),
+            q.z_depth_dim, capm, slack=1.6)
+        steps = tuple(int(s * 1.5) + 4 for s in steps)
+        print(f"march steps {steps} buckets {buckets}", flush=True)
+        cfg = _dc.replace(cfg, query=_dc.replace(
+            cfg.query, march_steps=steps, march_buckets=buckets))
     geo, rmin, svs = make_geo_scene(cfg, scene.cloud, scene.grid)
     jax.block_until_ready(geo.rows)
     print(f"scene+geo build {time.time()-t0:.0f}s", flush=True)
@@ -72,7 +116,6 @@ def main():
         # reference sampling: 4096 random pixels of an 800x800 frame
         frame = camera_rays(scene.campos, scene.camrotc2w, 800, 800,
                             1111.1)
-        import numpy as np
         rng = np.random.default_rng(0)
         for i in range(4):
             idx = rng.choice(frame.shape[0], B, replace=False)
@@ -188,6 +231,10 @@ def main():
         n_over = int(jax.device_get(aux["rb_overflow"]))
         print(f"rb_overflow (last step): {n_over} "
               f"{'OK' if n_over == 0 else 'DROPPED RAYS — inexact'}")
+    if "mc_overflow" in aux:
+        n_over = int(jax.device_get(aux["mc_overflow"]))
+        print(f"mc_overflow (last step): {n_over} "
+              f"{'OK' if n_over == 0 else 'UNFINISHED RAYS — inexact'}")
 
 
 if __name__ == "__main__":

@@ -141,9 +141,23 @@ def main():
     print(f"setup {time.time()-t0:.0f}s", flush=True)
 
     R = 65536
-    rd0 = (camera_rays(scene.campos, scene.camrotc2w, 256, 256, 355.5)
-           if use_chair else
-           camera_rays(scene.campos, scene.camrotc2w, 128, 512, 320.0))
+    if os.environ.get("PROBE_RAYS", "") == "shuffle" and use_chair:
+        # exactly the shipped bench's ray distribution: a fixed-perm
+        # shuffle of the FULL 800x800 frame, first chunk — random
+        # directions (no image-space locality), unlike the coherent
+        # 256x256 tile below. Measures whether gather locality explains
+        # a bench-vs-probe throughput gap.
+        frame = camera_rays(scene.campos, scene.camrotc2w, 800, 800,
+                            1111.1)
+        perm = np.random.default_rng(0).permutation(frame.shape[0])
+        rd0 = jnp.asarray(np.asarray(jax.device_get(frame))[perm[:R]])
+        tag = tag + " SHUF"
+    else:
+        rd0 = (camera_rays(scene.campos, scene.camrotc2w, 256, 256,
+                           355.5)
+               if use_chair else
+               camera_rays(scene.campos, scene.camrotc2w, 128, 512,
+                           320.0))
     # 9 DISTINCT ray buffers (8 timed + 1 warmup): block_until_ready is
     # a no-op on this backend (probe_backend_semantics.py), so timing
     # relies on unique inputs + one dependent scalar fetch at the end

@@ -28,6 +28,7 @@ for it in $items $extra; do
     stages:*) timeout 5400 python tools/probe_chunk_stages.py "${it#stages:}" >> "$log" 2>&1 ;;
     chair:*) PROBE_SCENE=chair timeout 1800 python tools/probe_bench_variants.py "${it#chair:}" >> "$log" 2>&1 ;;
     chair7:*) PROBE_SCENE=chair PROBE_MARCH_STAGES=7 timeout 1800 python tools/probe_bench_variants.py "${it#chair7:}" >> "$log" 2>&1 ;;
+    chairsh:*) PROBE_SCENE=chair PROBE_RAYS=shuffle timeout 1800 python tools/probe_bench_variants.py "${it#chairsh:}" >> "$log" 2>&1 ;;
     micro:*) timeout 1200 python tools/probe_microops.py "${it#micro:}" >> "$log" 2>&1 ;;
     py:*)    timeout 1800 python "${it#py:}" >> "$log" 2>&1 ;;
     train:*) a="${it#train:}"; timeout 1800 python tools/bench_train_fast.py ${a//,/ } >> "$log" 2>&1 ;;
