@@ -87,8 +87,6 @@ def main():
         # step); mc_overflow in the step aux re-verifies on device
         import dataclasses as _dc
 
-        import jax.numpy as jnp
-
         from pointnerf2studio_tpu.ops.march import (
             build_march_table, plan_march)
         occ = jnp.asarray(scene.grid.coor_occ)
