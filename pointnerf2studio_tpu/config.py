@@ -422,7 +422,18 @@ class TrainConfig:
     #                 [Mc, CAND] candidate stages never re-run
     #   "full"      — jax.checkpoint with no policy (recompute
     #                 everything incl. the top_k selection)
+    # CHIP-MEASURED (r4b): both modes LOSE on v5e at chair scale
+    # (53.1 / 54+ ms vs 43.6 plain) — the recompute costs more than
+    # the residual round-trip. Kept for memory-bound configs.
     remat: str = "none"
+    # Auto-plan the jitter-aware distance-field march for the fast
+    # train path (fit() sizes march_steps/march_buckets from the
+    # scene's cameras; chip-measured 43.6 -> 40.8 ms/step at chair
+    # scale, bit-exact while the logged mc_overflow aux stays 0).
+    # Off by default: point GROWTH adds occupancy mid-run and can push
+    # the walk past the pre-planned fuel (the counter reports it, but
+    # the affected steps would train on dropped samples).
+    march_auto: bool = False
     # Loss registry (reference: base_rendering_model.py:533-663,
     # options color_loss_items/depth_loss_items/bg_loss_items/
     # sparse_loss_weight). Color items: "coarse_raycolor" (plain MSE),

@@ -226,7 +226,12 @@ def simulate_march(
     Returns steps_used [R] int64 — the number of march iterations each
     ray takes to finish (0 for rays that never start: box misses and
     empty spans). The same float32 math as the device kernel, so the
-    device counts match up to float drift at voxel boundaries."""
+    device counts match up to float drift at voxel boundaries.
+
+    `campos` may be [3] (one camera) or [R, 3] per-ray origins — the
+    latter lets plan_march size budgets over rays drawn from SEVERAL
+    training cameras at once (the device kernel always runs one camera
+    per step, so per-ray origins are a planning-only concept)."""
     dims = np.asarray(table.shape, np.int64)
     gy, gz = int(dims[1]), int(dims[2])
     tflat = np.asarray(table).reshape(-1)
@@ -260,7 +265,8 @@ def simulate_march(
             break
         act = ~done
         t = (near + (d.astype(np.float32) + 0.5) * step_t)[act]
-        pos = campos + rays[act] * t[:, None]
+        pos = ((campos if campos.ndim == 1 else campos[act])
+               + rays[act] * t[:, None])
         gc = np.floor((pos - rmin) / svs).astype(np.int64)
         inb = ((gc >= 0) & (gc < dims)).all(-1)
         gcc = np.clip(gc, 0, dims - 1)

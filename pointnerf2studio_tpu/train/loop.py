@@ -130,6 +130,53 @@ def fit(
             points_xyz=jnp.asarray(np.asarray(state.points.xyz)[alive]))
 
     use_fast = cfg.train.fast_path
+    if (use_fast and cfg.train.march_auto and not cfg.query.march_steps
+            and not isinstance(grid, HashGrid) and not cfg.inverse
+            and cfg.query.compact_mode == "topk"
+            and cfg.query.z_depth_dim <= 512):
+        # auto-plan the jitter-aware train march from this scene's
+        # cameras: sample rays across views, host-simulate, widen for
+        # the jittered walk + batch-to-batch variation. The per-step
+        # mc_overflow aux (logged by the step) re-verifies on device;
+        # chip-measured +7% step rate at chair scale (PERF.md r4b).
+        import dataclasses as _dc
+
+        from pointnerf2studio_tpu.ops.march import (
+            build_march_table, plan_march)
+        occ = jnp.asarray(grid.coor_occ)
+        tbl = np.asarray(jax.device_get(build_march_table(
+            jnp.where(occ.astype(bool), 0, -1))))
+        q = cfg.query
+        vs = list(range(dataset.num_views))[:: max(
+            dataset.num_views // 4, 1)][:4]
+        rays_l, orig_l = [], []
+        for v in vs:
+            rv = np.asarray(dataset.full_image_rays(v))[::13][:8192]
+            rays_l.append(rv)
+            orig_l.append(np.broadcast_to(
+                np.asarray(dataset.campos(v), np.float32), rv.shape))
+        rays_p = np.concatenate(rays_l, 0)
+        capm = min(q.SR, q.ray_slot_budget or q.SR, q.z_depth_dim)
+        try:
+            msteps, mbuckets = plan_march(
+                tbl, np.asarray(jax.device_get(grid.ranges_min)),
+                q.scaled_vsize,
+                np.concatenate(orig_l, 0), rays_p,
+                float(dataset.near), float(dataset.far),
+                q.z_depth_dim, capm, slack=1.3, chunk=8192)
+            msteps = tuple(int(s * 1.5) + 4 for s in msteps)
+            # buckets were sized on 8192-ray per-view blocks; rescale
+            # to the actual batch size with pixel-sampling slack
+            rb_ = cfg.train.rays_per_batch
+            mbuckets = tuple(
+                min(rb_, (int(b * rb_ / 8192 * 1.2) + 255)
+                    // 256 * 256 + 256) for b in mbuckets)
+            cfg = _dc.replace(cfg, query=_dc.replace(
+                q, march_steps=msteps, march_buckets=mbuckets))
+            print(f"train march auto-plan: steps {msteps} "
+                  f"buckets {mbuckets}")
+        except Exception as e:     # planning must never kill training
+            print(f"train march auto-plan failed ({e}); dense lookup")
     geo_state = {}
 
     def _make_geo(points, g):

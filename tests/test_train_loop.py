@@ -277,3 +277,67 @@ def test_fit_resumes_from_checkpoint(tmp_path):
         np.asarray(r2.state.points.points_embeding))
     from pointnerf2studio_tpu.utils import checkpoint_io as cio2
     cio2.save_train_state(os.path.join(out, "ckpt"), r3.state, 4)
+
+
+def test_fit_march_auto_matches_dense(tmp_path):
+    """fit() with TrainConfig.march_auto must produce a bit-identical
+    loss trajectory to the dense lookup (selection is integer-only and
+    the march tests the same jittered positions)."""
+    import dataclasses
+
+    import numpy as np
+
+    from pointnerf2studio_tpu.data.procedural import (
+        generate_chair_dataset)
+    from pointnerf2studio_tpu.data.blender import load_blender
+    from pointnerf2studio_tpu.data.synthetic import (
+        make_sphere_scene, sphere_config)
+    from pointnerf2studio_tpu.train.loop import fit
+
+    cfg = sphere_config(sr=8, d=32)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, fast_path=True, rays_per_batch=256,
+            device_sampling=True))
+    scene = make_sphere_scene(n_points=2000, cfg=cfg)
+
+    # tiny 2-view dataset of the sphere (enough for a march plan)
+    from pointnerf2studio_tpu.train.evaluator import (
+        make_render_chunk_fn, render_image)
+    import jax.numpy as jnp
+    h = w = 16
+    focal = 12.0
+    fn = make_render_chunk_fn(cfg)
+    import numpy as np
+    from pointnerf2studio_tpu.data.blender import BlenderDataset
+    from pointnerf2studio_tpu.data.synthetic import camera_rays
+    rays = np.asarray(camera_rays(scene.campos, scene.camrotc2w, h, w,
+                                  focal))
+    full = render_image(fn, scene.params, scene.cloud, scene.grid,
+                        np.asarray(scene.campos),
+                        np.asarray(scene.camrotc2w), rays, (h, w),
+                        scene.near, scene.far, chunk=128)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.asarray(scene.camrotc2w)
+    pose[:3, 3] = np.asarray(scene.campos)
+    ds = BlenderDataset(
+        images=np.stack([full["coarse_raycolor"]] * 2).astype(
+            np.float32),
+        poses=np.stack([pose, pose]),
+        intrinsics=np.array([[focal, 0, w / 2], [0, focal, h / 2],
+                             [0, 0, 1]], np.float32),
+        near=scene.near, far=scene.far, split="train")
+
+    def run(mcfg, out):
+        res = fit(mcfg, ds, scene.params, scene.cloud, str(tmp_path / out),
+                  max_steps=6, print_freq=3, save_freq=100,
+                  resume=False)
+        return res
+
+    r0 = run(cfg, "dense")
+    cfg_m = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, march_auto=True))
+    r1 = run(cfg_m, "march")
+    a = np.asarray(r0.state.points.points_embeding)
+    b = np.asarray(r1.state.points.points_embeding)
+    np.testing.assert_array_equal(a, b)
