@@ -180,11 +180,26 @@ def march_rays(
             # safety skip: a voxel at Chebyshev distance c has every
             # point strictly farther than (c-1)*s_min along the ray;
             # under jittered mids the per-sample advance is bounded by
-            # sw * jfac, so the division stays conservative
+            # sw * jfac. The skip count is the largest k with
+            # k * bound < radius — computed as a division SEED plus a
+            # multiply-only fixup, because TPU f32 division is
+            # reciprocal-based and its floor systematically reads one
+            # lower than the host planner's IEEE divide (measured:
+            # ~35% more device steps than the host sim predicted,
+            # tripping planned fuel/buckets; XLA-CPU matched the host
+            # exactly). Correctly-rounded multiplies make the fixup
+            # agree bit-for-bit with the planner.
             cfree = jnp.where(inb, qsd & 31, 1)
-            skip = jnp.where(occ | (cfree <= 1), 1, jnp.maximum(
-                1, jnp.floor((cfree - 1).astype(jnp.float32) * s_min
-                             / (sw * jfac) - 1e-4).astype(jnp.int32)))
+            A = (cfree - 1).astype(jnp.float32) * s_min
+            B = sw * jfac
+            q1 = jnp.floor(A / B - 1e-4).astype(jnp.int32)
+            for _ in range(2):      # seed is within +-2 of the target
+                q1 = q1 + ((q1 + 1).astype(jnp.float32) * B < A
+                           ).astype(jnp.int32)
+            for _ in range(2):
+                q1 = q1 - (q1.astype(jnp.float32) * B >= A
+                           ).astype(jnp.int32)
+            skip = jnp.where(occ | (cfree <= 1), 1, jnp.maximum(1, q1))
             d = d + jnp.where(active, skip, 0)
             done = done | (d > dhi) | (k >= cap)
             if t_tab is not None:
@@ -275,9 +290,16 @@ def simulate_march(
         occ = (qsd >> 5) > 0
         kk = k[act] + occ
         cfree = np.where(inb, qsd & 31, 1)
-        skip = np.where(occ | (cfree <= 1), 1, np.maximum(
-            1, np.floor((cfree - 1).astype(np.float32) * s_min
-                        / stepw[act] - 1e-4).astype(np.int64)))
+        # multiply-fixup floor, bit-matching the device kernel (whose
+        # reciprocal-based f32 division needs the same fixup)
+        A = (cfree - 1).astype(np.float32) * s_min
+        B = stepw[act]
+        q1 = np.floor(A / B - 1e-4).astype(np.int64)
+        for _ in range(2):
+            q1 = q1 + ((q1 + 1).astype(np.float32) * B < A)
+        for _ in range(2):
+            q1 = q1 - (q1.astype(np.float32) * B >= A)
+        skip = np.where(occ | (cfree <= 1), 1, np.maximum(1, q1))
         dd = d[act] + skip
         k[act] = kk
         d[act] = dd

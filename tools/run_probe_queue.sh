@@ -31,6 +31,7 @@ for it in $items $extra; do
     chairsh:*) PROBE_SCENE=chair PROBE_RAYS=shuffle timeout 1800 python tools/probe_bench_variants.py "${it#chairsh:}" >> "$log" 2>&1 ;;
     micro:*) timeout 1200 python tools/probe_microops.py "${it#micro:}" >> "$log" 2>&1 ;;
     py:*)    timeout 1800 python "${it#py:}" >> "$log" 2>&1 ;;
+    pyc:*)   a="${it#pyc:}"; timeout 2400 python ${a//,/ } >> "$log" 2>&1 ;;
     train:*) a="${it#train:}"; timeout 1800 python tools/bench_train_fast.py ${a//,/ } >> "$log" 2>&1 ;;
     bench)   timeout 2400 python bench.py >> "$log" 2>&1 ;;
     validate:*) a="${it#validate:}"; timeout 9000 python tools/validate_chair.py /tmp/proc_chair2 ${a%%,*} --steps ${a##*,} >> "$log" 2>&1 ;;
