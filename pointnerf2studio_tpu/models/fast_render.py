@@ -530,6 +530,10 @@ def fast_render_rays(
                                           # (slab i of the named mesh
                                           # axis); per-slot outputs are
                                           # psum'd over it
+    ray_live: Optional[jnp.ndarray] = None,   # [R] bool: real-ray rows
+                                          # (the rb/tier packing pads
+                                          # with dups of row 0; the
+                                          # march must not walk them)
 ) -> FastRenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -637,7 +641,7 @@ def fast_render_rays(
                 debug_ablate=debug_ablate,
                 bg_ray_colors=(None if bg_ray_colors is None
                                else bg_ray_colors[rid]),
-                pshard_axis=pshard_axis)
+                pshard_axis=pshard_axis, ray_live=valid)
             ids_s = jnp.where(valid, rid, R)
             color = color.at[ids_s].set(sub.coarse_raycolor,
                                         mode="drop")
@@ -701,7 +705,7 @@ def fast_render_rays(
             debug_ablate=debug_ablate,
             bg_ray_colors=(None if bg_ray_colors is None
                            else bg_ray_colors[ray_ids]),
-            pshard_axis=pshard_axis)
+            pshard_axis=pshard_axis, ray_live=valid)
 
         ids_s = jnp.where(valid, ray_ids, R)    # padding rows drop
         bg = (bg_ray_colors if bg_ray_colors is not None
@@ -772,7 +776,8 @@ def fast_render_rays(
         emit, cnt, mc_overflow = march_rays(
             cache.march_table.reshape(-1), dims_arr, gy, gz,
             ranges_min, scaled_vsize, campos, raydirs, near, far,
-            step_t, D, cap, q.march_steps, q.march_buckets)
+            step_t, D, cap, q.march_steps, q.march_buckets,
+            live=ray_live)
         ray_hit = cnt > 0
         iota_bp = jnp.broadcast_to(
             jnp.arange(cap, dtype=jnp.int32), (R, cap))

@@ -266,6 +266,10 @@ def fast_train_render(
     bg_ray_colors: Optional[jnp.ndarray] = None,
     jitter_u: Optional[jnp.ndarray] = None,   # [R, D] precomputed
                                               # jitter draws (rb path)
+    ray_live: Optional[jnp.ndarray] = None,   # [R] bool real-ray rows
+                                              # (rb packing pads with
+                                              # dups of row 0; the
+                                              # march skips them)
 ) -> RenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -346,7 +350,8 @@ def fast_train_render(
             training=training,
             bg_ray_colors=(None if bg_ray_colors is None
                            else bg_ray_colors[ray_ids]),
-            jitter_u=(None if u_full is None else u_full[ray_ids]))
+            jitter_u=(None if u_full is None else u_full[ray_ids]),
+            ray_live=valid)
 
         ids_s = jnp.where(valid, ray_ids, R)    # padding rows drop
         bg = (bg_ray_colors if bg_ray_colors is not None
@@ -395,7 +400,7 @@ def fast_train_render(
             geo.march_table.reshape(-1), dims_arr, gy, gz, ranges_min,
             scaled_vsize, campos, raydirs, near, far, step_t, D, cap,
             q.march_steps, q.march_buckets, t_tab=mid_ts,
-            jitter=jit_amount)
+            jitter=jit_amount, live=ray_live)
         ray_hit = cnt > 0
         iota_bp = jnp.broadcast_to(
             jnp.arange(cap, dtype=jnp.int32), (R, cap))

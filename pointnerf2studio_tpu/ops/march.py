@@ -85,6 +85,15 @@ def march_rays(
                                     # None -> the affine unjittered t
     jitter: float = 0.0,            # raygen jitter fraction (sizes the
                                     # skip-safety margin under t_tab)
+    live: Optional[jnp.ndarray] = None,    # [R] bool: rows that carry
+                                    # real rays. Ray-budget packing
+                                    # pads its array with DUPLICATES
+                                    # of row 0; without this mask the
+                                    # dup rows march like real rays,
+                                    # occupy bucket slots and fuel the
+                                    # planner never accounted for, and
+                                    # trip mc_overflow (the r4 bench's
+                                    # chunk-dependent 276-788 trips)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """March every ray's in-box span through the packed table.
 
@@ -149,6 +158,8 @@ def march_rays(
     dhi_full = d_hi
     stepw = step_t * jnp.linalg.norm(raydirs, axis=-1)      # [R]
     done = (~hit_box) | (d > d_hi)
+    if live is not None:
+        done = done | ~live
     k = jnp.zeros((R,), jnp.int32)
     emit = jnp.zeros((R, cap), jnp.int32)
     slot_iota = jnp.arange(cap, dtype=jnp.int32)

@@ -55,8 +55,13 @@ def probe_view(
     padded = (total + chunk - 1) // chunk * chunk
     rays_p = np.pad(rays, ((0, padded - total), (0, 0)))
 
-    fn = jax.jit(lambda rd: render_rays(
-        params, points, grid, jnp.asarray(dataset.campos(view)),
+    # params/points/grid are ARGUMENTS, not closure captures: captured
+    # arrays ship as constants to the (remote) compiler — at real
+    # scene scale that is hundreds of MB and the compile request dies
+    # with HTTP 413 (hit by the 150k-point validate800 run; STATUS.md
+    # measurement rule 2)
+    fn = jax.jit(lambda p, pts, g, rd: render_rays(
+        p, pts, g, jnp.asarray(dataset.campos(view)),
         jnp.asarray(dataset.camrotc2w(view)), rd,
         jnp.asarray(dataset.near), jnp.asarray(dataset.far),
         cfg, prob=True))
@@ -66,7 +71,7 @@ def probe_view(
             "shading_avg_embedding")
     maps = {k: [] for k in keys}
     for i in range(0, padded, chunk):
-        out = fn(jnp.asarray(rays_p[i:i + chunk]))
+        out = fn(params, points, grid, jnp.asarray(rays_p[i:i + chunk]))
         for k in keys:
             maps[k].append(np.asarray(getattr(out, k)))
     maps = {k: np.concatenate(v)[:total] for k, v in maps.items()}

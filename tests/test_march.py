@@ -146,3 +146,59 @@ def test_march_overflow_counters_trip(scene):
         s.params, s.cloud.Rw2c, cache_b, s.campos, s.camrotc2w, rays,
         s.near, s.far, cfg_b, rmin, svs)
     assert int(out_b.mc_overflow) > 0
+
+
+def test_march_live_mask(scene):
+    """march_rays(live=mask): dead rows (the rb packing's padding
+    duplicates) never march — they emit nothing, consume no fuel, and
+    are excluded from mc_overflow (the r4 bench's chunk-dependent
+    overflow trips came from dup rows walking past planned budgets)."""
+    from pointnerf2studio_tpu.data.synthetic import camera_rays
+    from pointnerf2studio_tpu.ops.march import march_rays
+
+    s = scene
+    cache, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    from pointnerf2studio_tpu.ops.march import build_march_table
+    tbl = build_march_table(cache.coor_2_qslot)
+    dims = cache.coor_2_qslot.shape
+    D = s.cfg.query.z_depth_dim
+    rays = camera_rays(s.campos, s.camrotc2w, 16, 16, 12.0)
+    # a packed-style array: real rays then dups of a HITTING ray (the
+    # center ray walks several steps; corner rays miss the sphere and
+    # would be done at start, masking the effect under test)
+    packed = jnp.concatenate(
+        [rays, jnp.broadcast_to(rays[16 * 8 + 8], (64, 3))])
+    live = jnp.concatenate([jnp.ones((rays.shape[0],), bool),
+                            jnp.zeros((64,), bool)])
+    step_t = (s.far - s.near) / D
+
+    def run(**kw):
+        return march_rays(
+            tbl.reshape(-1), jnp.asarray(dims, jnp.int32), dims[1],
+            dims[2], rmin, svs, s.campos, packed,
+            jnp.asarray(s.near), jnp.asarray(s.far),
+            jnp.asarray(step_t), D, 16, (2 * D,), (), **kw)
+
+    emit_all, cnt_all, _ = run()
+    emit_lv, cnt_lv, mc = run(live=live)
+    assert int(mc) == 0
+    np.testing.assert_array_equal(np.asarray(cnt_lv[:256]),
+                                  np.asarray(cnt_all[:256]))
+    np.testing.assert_array_equal(np.asarray(emit_lv[:256]),
+                                  np.asarray(emit_all[:256]))
+    assert int(jnp.sum(cnt_lv[256:])) == 0
+    # fuel sized at 1 step: unfinished counts exclude dead rows
+    _, _, mc1 = run(live=live)
+    _, _, mc1b = march_rays(
+        tbl.reshape(-1), jnp.asarray(dims, jnp.int32), dims[1],
+        dims[2], rmin, svs, s.campos, packed,
+        jnp.asarray(s.near), jnp.asarray(s.far),
+        jnp.asarray(step_t), D, 16, (1,), (), live=live)
+    _, _, mc1c = march_rays(
+        tbl.reshape(-1), jnp.asarray(dims, jnp.int32), dims[1],
+        dims[2], rmin, svs, s.campos, packed,
+        jnp.asarray(s.near), jnp.asarray(s.far),
+        jnp.asarray(step_t), D, 16, (1,), ())
+    # with the dup ray needing > 1 step, live masking removes exactly
+    # the 64 dead copies from the unfinished count
+    assert int(mc1c) - int(mc1b) == 64

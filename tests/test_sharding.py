@@ -210,9 +210,11 @@ def test_graft_dryrun_multichip():
     import sys
 
     entry = pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    # 1800 s: the dryrun grew 2-D-mesh grow/prune sections (round 3)
+    # and shares this 1-core box with background TPU-probe hosts
     r = subprocess.run(
         [sys.executable, str(entry), "8"], capture_output=True,
-        text=True, timeout=900,
+        text=True, timeout=1800,
         cwd=str(pathlib.Path(__file__).parent.parent))
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "point-sharded fat-cache render OK" in r.stdout, r.stdout
