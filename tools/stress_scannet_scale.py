@@ -161,9 +161,32 @@ def main():
     params = init_aggregator_params(jax.random.PRNGKey(0), cfg.agg)
     params["density_head"][0]["bias"] = (
         params["density_head"][0]["bias"] + 5.0)
-    cache, rmin, svs = make_hash_fast_scene(cfg, cloud, hg,
-                                            params=params)
-    jax.block_until_ready(cache.rows)
+    # measured single-chip envelope (r4c): n_q ~2.8-3.1M at cand_cap
+    # 32 RESOURCE_EXHAUSTs a 16 GB v5e during the cache build (and one
+    # earlier run crashed the backend compiler outright) — the
+    # intended path for this scale is the point-sharded slab cache
+    # over a 'points' mesh axis (parallel/sharding.py). Single-chip,
+    # degrade cand_cap until the build fits and SAY SO.
+    cache = None
+    for cc in (cand_cap, 16, 8):
+        try:
+            cfg = dataclasses.replace(cfg, query=dataclasses.replace(
+                cfg.query, cand_cap=cc))
+            cache, rmin, svs = make_hash_fast_scene(cfg, cloud, hg,
+                                                    params=params)
+            jax.block_until_ready(cache.rows)
+            if cc != cand_cap:
+                print(f"cand_cap degraded {cand_cap} -> {cc} to fit "
+                      f"HBM (approximate beyond nearest-{cc})",
+                      flush=True)
+            cand_cap = cc
+            break
+        except Exception as e:
+            print(f"cache build failed at cand_cap={cc}: "
+                  f"{type(e).__name__} {str(e)[:100]}", flush=True)
+            cache = None
+    if cache is None:
+        raise SystemExit("cache build failed at every cand_cap tier")
     print(f"fat cache built (+{time.time()-t0:.0f}s)", flush=True)
     hbm_stats("after_cache")
 
