@@ -350,6 +350,23 @@ def main() -> None:
     near, far = jnp.asarray(scene.near), jnp.asarray(scene.far)
 
     def make_run_chunk(c):
+        if mesh.devices.size == 1:
+            # single chip: the 1-device shard_map wrapper is pure
+            # overhead (and the last unexplained bench-vs-probe gap
+            # candidate — every probe measures the direct jit); use
+            # the identical direct path the probes time
+            from pointnerf2studio_tpu.models.fast_render import (
+                fast_render_rays_jit)
+
+            def run_chunk(i):
+                rays = jax.lax.dynamic_slice_in_dim(
+                    raydirs, i * chunk, chunk)
+                return fast_render_rays_jit(
+                    scene.params, scene.cloud.Rw2c, cache,
+                    scene.campos, scene.camrotc2w, rays, near, far,
+                    c, rmin, svs)
+
+            return run_chunk
         render = make_sharded_fast_render(c, mesh)
 
         def run_chunk(i):
