@@ -138,9 +138,22 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     The scalar exactness counters (win_overflow / dw_overflow), when
     the corresponding reducer is on, are psum'd over the rays axis and
     come back replicated.
+
+    A ONE-device mesh returns the direct jit instead: the degenerate
+    shard_map wrapper measured ~65 ms/65k-ray chunk of pure overhead
+    on the axon v5e backend (r4d bench 162 -> ~98 ms/chunk after the
+    bypass — the whole residual bench-vs-probe gap; PERF.md).
     """
     from pointnerf2studio_tpu.models.fast_render import (
         FastRenderOutput, counter_presence, fast_render_rays)
+
+    if mesh.devices.size == 1:
+        def direct(params, Rw2c, cache, campos, camrotc2w, raydirs,
+                   near, far, ranges_min, scaled_vsize):
+            return fast_render_rays(params, Rw2c, cache, campos,
+                                    camrotc2w, raydirs, near, far, cfg,
+                                    ranges_min, scaled_vsize)
+        return jax.jit(direct)
 
     q = cfg.query
     has_win, has_dw, has_rb, has_cb, has_mc, has_pb = counter_presence(q)
