@@ -84,22 +84,39 @@ _PART_COLORS = np.array([
 ], np.float32)
 
 
-def _albedo(p, part):
+def _albedo(p, part, style: str = "v1"):
     """Per-part base color + wood grain + fine view-consistent detail.
 
     The high-frequency component (~6-10 px period at 400^2) gives the
     stereo matcher real texture — a textureless SDF render starves
     MVSNet's cost volume (photometric confidence collapses) in a way
-    real photographed chairs do not."""
+    real photographed chairs do not.
+
+    style="v2": the fine/speck components drop to ~1/3 the spatial
+    frequency (>= 10 px period at 400^2). The v1 texture's ~3 px
+    period components alias under per-pixel point sampling — the
+    rendered images carry view-INCONSISTENT texture noise no radiance
+    field can fit, which is what capped the v1 validation scene's
+    trained PSNR at ~26.5 dB (VALIDATION_RESULTS.json; VERDICT r3
+    weak #6). v2 keeps real stereo texture for MVSNet while keeping
+    every image component view-consistent and band-limited."""
     import jax.numpy as jnp
     base = jnp.asarray(_PART_COLORS)[part]
     grain = 0.5 + 0.5 * jnp.sin(23.0 * p[..., 0] + 17.0 * p[..., 2]
                                 + 3.0 * jnp.sin(5.0 * p[..., 1]))
-    fine = (jnp.sin(210.0 * p[..., 0] + 2.0 * jnp.sin(160.0 * p[..., 2]))
-            * jnp.sin(190.0 * p[..., 2] + 170.0 * p[..., 1]))
-    speck = jnp.sin(151.0 * p[..., 0] + 173.0 * p[..., 1]
-                    + 137.0 * p[..., 2])
-    tex = 0.85 + 0.22 * grain + 0.12 * fine + 0.08 * speck
+    if style == "v2":
+        fine = (jnp.sin(63.0 * p[..., 0] + 2.0 * jnp.sin(48.0 * p[..., 2]))
+                * jnp.sin(57.0 * p[..., 2] + 51.0 * p[..., 1]))
+        speck = jnp.sin(45.0 * p[..., 0] + 52.0 * p[..., 1]
+                        + 41.0 * p[..., 2])
+        tex = 0.85 + 0.22 * grain + 0.10 * fine + 0.06 * speck
+    else:
+        fine = (jnp.sin(210.0 * p[..., 0]
+                        + 2.0 * jnp.sin(160.0 * p[..., 2]))
+                * jnp.sin(190.0 * p[..., 2] + 170.0 * p[..., 1]))
+        speck = jnp.sin(151.0 * p[..., 0] + 173.0 * p[..., 1]
+                        + 137.0 * p[..., 2])
+        tex = 0.85 + 0.22 * grain + 0.12 * fine + 0.08 * speck
     return jnp.clip(base * tex[..., None], 0.0, 1.0)
 
 
@@ -150,9 +167,14 @@ def render_depth(c2w_gl: np.ndarray, hw: Tuple[int, int],
     return z.reshape(H, W)
 
 
-def _march_rays(origin, dirs, n_steps: int):
+def _march_rays(origin, dirs, n_steps: int, style: str = "v1"):
     """Jitted sphere-tracing over all rays (runs on CPU; np funcs in
-    chair_sdf/_albedo are jnp-compatible)."""
+    chair_sdf/_albedo are jnp-compatible).
+
+    style="v2" adds a Blinn-Phong specular lobe: view-DEPENDENT but
+    spatially and angularly smooth — exactly the radiance class the
+    per-point MLP's viewdir branch exists to fit (and what the real
+    NeRF-Synthetic renders contain), unlike v1's pure Lambertian."""
     import jax
     import jax.numpy as jnp
 
@@ -186,33 +208,55 @@ def _march_rays(origin, dirs, n_steps: int):
     l2 = l2 / jnp.linalg.norm(l2)
     diff = (0.65 * jnp.maximum(n @ l1, 0.0)
             + 0.35 * jnp.maximum(n @ l2, 0.0) + 0.25)
-    rgb = jnp.clip(_albedo(ph, part) * diff[:, None], 0.0, 1.0)
+    rgb = _albedo(ph, part, style=style) * diff[:, None]
+    if style == "v2":
+        view = -dirs                                     # to-camera
+        ks = jnp.asarray([0.18, 0.30, 0.22, 0.15])[part]  # per-part gloss
+        spec = jnp.zeros_like(diff)
+        for l in (l1, l2):
+            h = l + view
+            h = h / jnp.maximum(
+                jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+            spec = spec + jnp.maximum(
+                jnp.sum(n * h, -1), 0.0) ** 24.0
+        rgb = rgb + (ks * spec)[:, None]
+    rgb = jnp.clip(rgb, 0.0, 1.0)
     rgba = jnp.concatenate(
         [rgb, jnp.ones_like(rgb[:, :1])], -1) * hit[:, None]
     return rgba
 
 
 def render_view(c2w_gl: np.ndarray, hw: Tuple[int, int], focal: float,
-                n_steps: int = 128) -> np.ndarray:
+                n_steps: int = 128, style: str = "v1",
+                ss: int = 1) -> np.ndarray:
     """Ray-march one view -> RGBA [H, W, 4] float in [0, 1].
 
     c2w_gl is the OpenGL-convention camera (blender transform_matrix):
     camera looks along -Z, +Y up.
+
+    `ss` > 1 renders at ss x ss subpixel samples and box-downsamples —
+    the anti-aliasing real blender renders have. Without it the
+    remaining texture/edge frequencies alias into view-inconsistent
+    noise that bounds any model's reachable PSNR.
     """
     import jax
 
     H, W = hw
-    i, j = np.meshgrid(np.arange(W), np.arange(H))
+    Hs, Ws, fs = H * ss, W * ss, focal * ss
+    i, j = np.meshgrid(np.arange(Ws), np.arange(Hs))
     dirs_cam = np.stack(
-        [(i + 0.5 - W / 2) / focal, -(j + 0.5 - H / 2) / focal,
+        [(i + 0.5 - Ws / 2) / fs, -(j + 0.5 - Hs / 2) / fs,
          -np.ones_like(i, np.float32)], -1).astype(np.float32)
     dirs = dirs_cam @ c2w_gl[:3, :3].T
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     origin = c2w_gl[:3, 3].astype(np.float32)
-    march = jax.jit(_march_rays, static_argnums=2)
+    march = jax.jit(_march_rays, static_argnums=(2, 3))
     rgba = np.asarray(march(origin, dirs.reshape(-1, 3).astype(np.float32),
-                            n_steps))
-    return rgba.reshape(H, W, 4)
+                            n_steps, style))
+    rgba = rgba.reshape(Hs, Ws, 4)
+    if ss > 1:
+        rgba = rgba.reshape(H, ss, W, ss, 4).mean((1, 3))
+    return rgba
 
 
 def spherical_c2w_gl(theta: float, phi: float,
@@ -233,12 +277,19 @@ def spherical_c2w_gl(theta: float, phi: float,
 
 def generate_chair_dataset(out_dir: str, n_train: int = 32,
                            n_test: int = 8, hw: Tuple[int, int] = (400, 400),
-                           seed: int = 0, save_depth: bool = False) -> str:
+                           seed: int = 0, save_depth: bool = False,
+                           style: str = "v1", ss: int = 1) -> str:
     """Write a NeRF-Synthetic-format chair dataset; returns out_dir.
 
     With `save_depth`, train views also get `depth_<k>.npy` GT
     camera-Z maps (the ScanNet sensor-depth analogue, consumed by the
-    depth-init validation path)."""
+    depth-init validation path).
+
+    style="v2" + ss=2 is the high-fidelity validation variant
+    (band-limited texture, specular shading, anti-aliased) whose
+    reachable PSNR clears 30 dB — the time-to-30dB instrument
+    (BASELINE.md tracked metric) can only fire on a scene whose
+    ceiling is above the threshold."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -256,7 +307,7 @@ def generate_chair_dataset(out_dir: str, n_train: int = 32,
                 theta = -np.pi + 2 * np.pi * k / n
                 phi = np.deg2rad(30.0)
             c2w = spherical_c2w_gl(theta, phi)
-            rgba = render_view(c2w, hw, focal)
+            rgba = render_view(c2w, hw, focal, style=style, ss=ss)
             img8 = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
             name = f"./{split}/r_{k}"
             Image.fromarray(img8, "RGBA").save(
@@ -285,7 +336,9 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/proc_chair"
     n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 400
-    save_depth = len(sys.argv) > 4 and sys.argv[4] == "depth"
+    save_depth = "depth" in sys.argv[4:]
+    style = "v2" if "v2" in sys.argv[4:] else "v1"
     generate_chair_dataset(out, n_train=n_train, hw=(res, res),
-                           save_depth=save_depth)
-    print("wrote", out)
+                           save_depth=save_depth, style=style,
+                           ss=2 if style == "v2" else 1)
+    print("wrote", out, style)

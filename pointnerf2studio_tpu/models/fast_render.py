@@ -351,6 +351,8 @@ def make_hash_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
                          params: Optional[AggregatorParams] = None):
     """Build the hash-backed fat cache; returns (cache, rmin, svs) —
     drop-in for make_fast_scene on huge-extent scenes."""
+    from pointnerf2studio_tpu.ops.grid import localize_tree_for_build
+    cloud, hg = localize_tree_for_build((cloud, hg))
     if max_q is None:
         nq = int(jax.device_get(hg.n_q))
         max_q = (nq + 32767) // 32768 * 32768
@@ -1729,6 +1731,8 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
     cfg.query.base_cache is on: the per-point layer-1 partial product
     is part of the cache and depends on mlp_base's first kernel.
     """
+    from pointnerf2studio_tpu.ops.grid import localize_tree_for_build
+    cloud, grid = localize_tree_for_build((cloud, grid))
     if max_q is None:
         nq = int(jax.device_get(jnp.sum(
             grid.coor_occ.reshape(-1).astype(jnp.int32))))

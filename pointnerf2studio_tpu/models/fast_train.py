@@ -241,6 +241,8 @@ def make_hash_geo_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
                         hg, max_q: Optional[int] = None):
     """Hash-backed geometry cache; drop-in for make_geo_scene on
     huge-extent scenes. Returns (geo, ranges_min, scaled_vsize)."""
+    from pointnerf2studio_tpu.ops.grid import localize_tree_for_build
+    cloud, hg = localize_tree_for_build((cloud, hg))
     if max_q is None:
         nq = int(jax.device_get(hg.n_q))
         max_q = (nq + 32767) // 32768 * 32768
@@ -647,6 +649,8 @@ def fast_train_render(
 def make_geo_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
                    grid: PointGrid, max_q: Optional[int] = None):
     """Build the geometry cache (rebuild on prune/grow/jitter)."""
+    from pointnerf2studio_tpu.ops.grid import localize_tree_for_build
+    cloud, grid = localize_tree_for_build((cloud, grid))
     if max_q is None:
         nq = int(jax.device_get(jnp.sum(
             grid.coor_occ.reshape(-1).astype(jnp.int32))))

@@ -18,6 +18,7 @@ or per-point Rw2c rotation (per-point appears after scene editing).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -149,17 +150,23 @@ def gather_neighbors(
     return out
 
 
+@jax.jit
 def prune(points: NeuralPointCloud, conf_thresh: float) -> NeuralPointCloud:
     """Kill points whose confidence fell below `conf_thresh`.
 
     Reference: `NeuralPoints.prune`
     (models/neural_points/neural_points.py:341-364) — there it shrinks
     tensors and forces an optimizer rebuild; here only the mask changes.
+
+    Jitted: on a sharded cloud (the 2-D rays x points mesh) the eager
+    form dispatches one distributed program per jnp op, which dominates
+    structure-change wall time on small hosts (dryrun r4 decomposition).
     """
     keep = points.alive & (points.points_conf[:, 0] >= conf_thresh)
     return points.replace(alive=keep)
 
 
+@jax.jit
 def grow(
     points: NeuralPointCloud,
     new_xyz: jnp.ndarray,          # [M, 3]
@@ -204,14 +211,15 @@ def grow(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def expand_capacity(points: NeuralPointCloud,
                     new_capacity: int) -> NeuralPointCloud:
     """Re-pad every per-point array to `new_capacity` slots (dead).
 
     Growth beyond the free-slot budget triggers this (SURVEY §7
     "static capacity + doubling"); shapes change, so the jitted train
-    step recompiles once per expansion.
-    """
+    step recompiles once per expansion. Jitted (one program, not one
+    eager pad dispatch per field — see prune())."""
     cap = points.capacity
     if new_capacity < cap:
         raise ValueError(f"cannot shrink capacity {cap} -> {new_capacity}")

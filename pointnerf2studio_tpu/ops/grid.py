@@ -306,6 +306,34 @@ def build_candidate_cache(
     )
 
 
+def localize_for_build(*arrays):
+    """Re-home multi-device-committed arrays onto ONE device.
+
+    Structure builds (grid / candidate caches) are single-device
+    programs. Fed mesh-committed inputs (e.g. a point cloud sharded or
+    replicated over a live training mesh) they compile + execute as
+    n-way SPMD programs instead — measured 134 s vs <1 s for the same
+    grid build on the 8-virtual-device CPU mesh (r4 dryrun bisection).
+    One device-to-device copy per structure change is off every hot
+    path; downstream sharded steps re-shard the results per their own
+    specs."""
+    dev = jax.devices()[0]
+    out = []
+    for a in arrays:
+        try:
+            multi = (hasattr(a, "sharding")
+                     and len(a.sharding.device_set) > 1)
+        except Exception:
+            multi = False
+        out.append(jax.device_put(a, dev) if multi else a)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def localize_tree_for_build(tree):
+    """localize_for_build over every array leaf of a pytree."""
+    return jax.tree.map(localize_for_build, tree)
+
+
 def build_grid_from_points(
     xyz: jnp.ndarray, alive: jnp.ndarray, cfg: QueryConfig
 ) -> PointGrid:
@@ -315,6 +343,7 @@ def build_grid_from_points(
     happen only when points change (init/prune/grow), so this sync is
     off the training hot path.
     """
+    xyz, alive = localize_for_build(xyz, alive)
     big = jnp.float32(1e30)
     alive3 = alive[:, None]
     xyz_min = np.asarray(jnp.min(jnp.where(alive3, xyz, big), axis=0))

@@ -330,6 +330,8 @@ def build_hash_grid_from_points(
     Unlike the dense path, `dims` here are LOGICAL bounds — they never
     size an allocation, so multi-thousand dims are fine.
     """
+    from pointnerf2studio_tpu.ops.grid import localize_for_build
+    xyz, alive = localize_for_build(xyz, alive)
     big = jnp.float32(1e30)
     alive3 = alive[:, None]
     xyz_min = np.asarray(jnp.min(jnp.where(alive3, xyz, big), axis=0))

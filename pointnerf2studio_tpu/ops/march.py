@@ -40,7 +40,7 @@ order, the TPU form of get_shadingloc (query_worldcoords.cu:192-214).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -246,6 +246,7 @@ def simulate_march(
     ranges_min, scaled_vsize, campos,
     rays: np.ndarray,               # [R, 3]
     near: float, far: float, D: int, cap: int,
+    jitter: float = 0.0,
 ) -> np.ndarray:
     """Host simulation of march_rays with unbounded fuel.
 
@@ -253,6 +254,14 @@ def simulate_march(
     ray takes to finish (0 for rays that never start: box misses and
     empty spans). The same float32 math as the device kernel, so the
     device counts match up to float drift at voxel boundaries.
+
+    `jitter` > 0 models the TRAIN path's jittered device walk (the
+    t_tab branch of march_rays): the skip free-radius divides by
+    jfac = 1 + jitter/2 and the d_lo/d_hi index bounds widen the same
+    way the device's conservative bounds do, so every simulated walk
+    is at least as long as the device's. Without it, march_auto train
+    plans systematically UNDERESTIMATE device steps and lean on ad-hoc
+    caller margins (ADVICE r3).
 
     `campos` may be [3] (one camera) or [R, 3] per-ray origins — the
     latter lets plan_march size budgets over rays drawn from SEVERAL
@@ -275,10 +284,23 @@ def simulate_march(
     tb = (rmin + dims.astype(np.float32) * svs - campos) * inv
     t_enter = np.minimum(ta, tb).max(-1)
     t_exit = np.maximum(ta, tb).min(-1)
-    d_lo = np.floor((t_enter - near) / step_t - 0.5).astype(np.int64)
-    d_hi = np.minimum(
-        np.ceil((np.minimum(t_exit, far) - near) / step_t
-                - 0.5).astype(np.int64), D - 1)
+    jfac = np.float32(1.0 + 0.5 * float(jitter))
+    if jitter <= 0.0:
+        d_lo = np.floor((t_enter - near) / step_t - 0.5).astype(np.int64)
+        d_hi = np.minimum(
+            np.ceil((np.minimum(t_exit, far) - near) / step_t
+                    - 0.5).astype(np.int64), D - 1)
+    else:
+        # the device t_tab branch's conservative jittered bounds
+        # (march_rays d_lo/d_hi): earlier entry, later exit
+        far_ov = np.float32(far + 0.5 * float(jitter) * (far - near))
+        d_lo = np.floor((t_enter - near) / (step_t * jfac)
+                        - 0.5).astype(np.int64)
+        d_hi = np.minimum(
+            np.ceil((np.minimum(t_exit, far_ov) + step_t - near)
+                    / (step_t
+                       * np.float32(max(1.0 - 0.5 * float(jitter), 1e-3)))
+                    - 0.5).astype(np.int64), D - 1)
     hit = (t_exit >= t_enter) & (d_hi >= 0)
 
     d = np.clip(d_lo, 0, D - 1)
@@ -304,7 +326,7 @@ def simulate_march(
         # multiply-fixup floor, bit-matching the device kernel (whose
         # reciprocal-based f32 division needs the same fixup)
         A = (cfree - 1).astype(np.float32) * s_min
-        B = stepw[act]
+        B = stepw[act] * jfac
         q1 = np.floor(A / B - 1e-4).astype(np.int64)
         for _ in range(2):
             q1 = q1 + ((q1 + 1).astype(np.float32) * B < A)
@@ -327,24 +349,34 @@ def plan_march(
     near: float, far: float, D: int, cap: int,
     stages: int = 4, slack: float = 1.10,
     chunk: int = 0, fuel_margin: int = 4,
+    jitter: float = 0.0,
+    block_lens: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
     """Size (march_steps, march_buckets) from a host simulation.
 
-    Simulates the march on `rays` with unbounded fuel (simulate_march),
-    records each ray's steps-to-done, and cuts stages at quantiles:
-    stage fuel boundaries at ~p50/p80/p95/max(+fuel_margin), bucket
-    sizes at the simulated active counts x `slack` (+256, rounded to
-    256). Margins absorb host/device float drift; mc_overflow still
-    verifies exactness on device.
+    Simulates the march on `rays` with unbounded fuel (simulate_march,
+    with `jitter` modeling the train path's jittered walk), records
+    each ray's steps-to-done, and cuts stages at quantiles: stage fuel
+    boundaries at ~p50/p80/p95/max(+fuel_margin), bucket sizes at the
+    simulated active counts x `slack` (+256, rounded to 256). Margins
+    absorb host/device float drift; mc_overflow still verifies
+    exactness on device.
 
     `chunk` > 0: the rays will be rendered in `chunk`-sized chunks (in
     THIS order) — buckets are sized at the MAX over chunks of each
     chunk's own active count at the stage boundary, not a rescale of
     the frame total (the r2 round-end bench under-provisioned chunk 1
-    by exactly that rescale and fell back off the march path).
+    by exactly that rescale and fell back off the march path). A tail
+    partial chunk is zero-padded into the per-chunk max, not dropped.
+
+    `block_lens` overrides the uniform chunking: the rays are grouped
+    into consecutive blocks of these exact lengths (one block = one
+    device dispatch — e.g. fit()'s per-view probe sets, which can be
+    shorter than the nominal chunk on small images).
     """
     steps_used = simulate_march(table, ranges_min, scaled_vsize,
-                                campos, rays, near, far, D, cap)
+                                campos, rays, near, far, D, cap,
+                                jitter=jitter)
     n_done = steps_used[steps_used > 0]
     if n_done.size == 0:
         return (8,), ()
@@ -362,11 +394,23 @@ def plan_march(
     cuts = [c for c in cuts if c < int(n_done.max())]
     bounds = cuts + [int(n_done.max()) + fuel_margin]
     R = rays.shape[0]
-    cap_rays = min(chunk, R) if chunk else R
-    if chunk and R >= chunk:
-        n_chunks = R // chunk
-        su_c = steps_used[: n_chunks * chunk].reshape(n_chunks, chunk)
+    if block_lens is not None:
+        assert sum(block_lens) == R, (block_lens, R)
+        max_l = max(block_lens)
+        rows, off = [], 0
+        for bl in block_lens:
+            rows.append(np.pad(steps_used[off:off + bl],
+                               (0, max_l - bl)))
+            off += bl
+        su_c = np.stack(rows)
+        cap_rays = max_l
+    elif chunk:
+        cap_rays = min(chunk, R)
+        n_chunks = (R + chunk - 1) // chunk
+        su_c = np.pad(steps_used,
+                      (0, n_chunks * chunk - R)).reshape(n_chunks, chunk)
     else:
+        cap_rays = R
         su_c = steps_used[None, :]
     steps_plan, buckets, prev = [], [], 0
     for i, b in enumerate(bounds):

@@ -106,6 +106,35 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_vma=False)
 
 
+def _jit_sharded(fn, mesh, in_specs, out_specs):
+    """shard_map + jit with EXPLICIT in/out shardings from the specs.
+
+    Without in_shardings the jit cache keys on the CALLER's concrete
+    input shardings: the first call (uncommitted inputs) and the second
+    call (inputs that round-tripped through the step's out_specs) key
+    differently and each triggers a FULL compile — the r4 dryrun's
+    post-prune "cache hit" recompiled for 231 s exactly this way.
+    Declaring the shardings makes the key canonical; inputs arriving in
+    another layout get resharded (cheap) instead of recompiled."""
+    def ns(tree):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    in_sh = ns(in_specs)
+    jf = jax.jit(_shard_map(fn, mesh, in_specs, out_specs),
+                 out_shardings=ns(out_specs))
+
+    def call(*args):
+        assert len(args) == len(in_sh), (len(args), len(in_sh))
+        # device_put reshards committed arrays (jit's in_shardings
+        # would ERROR on them instead); correctly-laid-out inputs are
+        # a no-op
+        args = jax.device_put(list(args), list(in_sh))
+        return jf(*args)
+
+    return call
+
+
 def make_sharded_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
     """Jitted render step with rays sharded over the mesh.
 
@@ -120,12 +149,11 @@ def make_sharded_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
                            raydirs, near, far, cfg, training=False,
                            points_axis=pts_axis)
 
-    fn = _shard_map(
+    return _jit_sharded(
         local, mesh,
         in_specs=(P(), cloud_pspec(pts_axis is not None), P(), P(), P(),
                   P("rays"), P(), P()),
         out_specs=P("rays"))
-    return jax.jit(fn)
 
 
 def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
@@ -174,11 +202,10 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
         cb_overflow=P() if has_cb else None,
         mc_overflow=P() if has_mc else None,
         pb_overflow=P() if has_pb else None)
-    fn = _shard_map(
+    return _jit_sharded(
         local, mesh,
         in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P(), P(), P()),
         out_specs=out_specs)
-    return jax.jit(fn)
 
 
 def _psum_counters(out):
@@ -242,12 +269,11 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
         cb_overflow=P() if has_cb else None,
         mc_overflow=P() if has_mc else None,
         pb_overflow=P() if has_pb else None)
-    fn = _shard_map(
+    return _jit_sharded(
         local, mesh,
         in_specs=(P(), P(), cache_specs, P(), P(), P("rays"), P(), P(),
                   P(), P()),
         out_specs=out_specs)
-    return jax.jit(fn)
 
 
 def shard_fat_cache(cache, mesh: Mesh):
@@ -315,12 +341,11 @@ def make_sharded_fast_train_step(
             opt_state_fields=opt_f, opt_state_points=opt_p,
             step=state.step + 1), aux
 
-    fn = _shard_map(
+    return _jit_sharded(
         local_step, mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P("rays"), P("rays"),
                   P(), P(), P()) + ((P("rays"),) if with_bg_ray else ()),
         out_specs=(P(), P()))
-    return jax.jit(fn)
 
 
 def make_sharded_train_step(
@@ -386,9 +411,8 @@ def make_sharded_train_step(
             step=state.step + 1)
         return new_state, aux
 
-    fn = _shard_map(
+    return _jit_sharded(
         local_step, mesh,
         in_specs=(state_spec, P(), P(), P(), P("rays"), P("rays"),
                   P(), P(), P()) + ((P("rays"),) if with_bg_ray else ()),
         out_specs=(state_spec, P()))
-    return jax.jit(fn)

@@ -16,6 +16,7 @@ Adam moments in place.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -40,6 +41,17 @@ def _dilate1(mask: np.ndarray) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=8)
+def _probe_render_fn(cfg: PointNerfConfig):
+    """One jitted prob-mode renderer per cfg (frozen dataclass, so it
+    hashes); pose and clip planes are runtime arguments."""
+    @jax.jit
+    def fn(p, pts, g, campos, camrot, near, far, rd):
+        return render_rays(p, pts, g, campos, camrot, rd, near, far,
+                           cfg, prob=True)
+    return fn
+
+
 def probe_view(
     cfg: PointNerfConfig, params, points, grid,
     dataset: BlenderDataset, view: int,
@@ -59,19 +71,28 @@ def probe_view(
     # arrays ship as constants to the (remote) compiler — at real
     # scene scale that is hundreds of MB and the compile request dies
     # with HTTP 413 (hit by the 150k-point validate800 run; STATUS.md
-    # measurement rule 2)
-    fn = jax.jit(lambda p, pts, g, rd: render_rays(
-        p, pts, g, jnp.asarray(dataset.campos(view)),
-        jnp.asarray(dataset.camrotc2w(view)), rd,
-        jnp.asarray(dataset.near), jnp.asarray(dataset.far),
-        cfg, prob=True))
+    # measurement rule 2). The jitted renderer is cached per cfg —
+    # camera pose/near/far are arguments too, so repeated probe events
+    # across views and training steps reuse ONE compiled program.
+    from pointnerf2studio_tpu.ops.grid import localize_tree_for_build
+    # the probe is a small chunked render: run it on ONE device even
+    # when params/points arrive committed to a live training mesh
+    # (mixed-device args are a jit error; n-way replicated execution
+    # of the probe would also be pure waste)
+    params, points, grid = localize_tree_for_build((params, points, grid))
+    fn = _probe_render_fn(cfg)
+    campos = jnp.asarray(dataset.campos(view))
+    camrot = jnp.asarray(dataset.camrotc2w(view))
+    near_j = jnp.asarray(dataset.near)
+    far_j = jnp.asarray(dataset.far)
 
     keys = ("ray_mask", "ray_max_shading_opacity", "ray_max_sample_loc_w",
             "shading_avg_color", "shading_avg_dir", "shading_avg_conf",
             "shading_avg_embedding")
     maps = {k: [] for k in keys}
     for i in range(0, padded, chunk):
-        out = fn(params, points, grid, jnp.asarray(rays_p[i:i + chunk]))
+        out = fn(params, points, grid, campos, camrot, near_j, far_j,
+                 jnp.asarray(rays_p[i:i + chunk]))
         for k in keys:
             maps[k].append(np.asarray(getattr(out, k)))
     maps = {k: np.concatenate(v)[:total] for k, v in maps.items()}
@@ -94,9 +115,14 @@ def probe_view(
     }
 
 
-def reset_point_opt_slots(opt_state, slots: np.ndarray):
+@jax.jit
+def reset_point_opt_slots(opt_state, slots):
     """Zero Adam moments at grown slots (their history belonged to a
-    previously pruned point). `slots` is an index array into N."""
+    previously pruned point). `slots` is an index array into N.
+
+    Jitted as ONE program: the eager tree.map form dispatches one
+    distributed scatter per moment leaf, which dominates grow wall
+    time on sharded state (dryrun r4 decomposition)."""
     idx = jnp.asarray(slots)
 
     def zero_rows(x):
@@ -107,12 +133,13 @@ def reset_point_opt_slots(opt_state, slots: np.ndarray):
     return jax.tree.map(zero_rows, opt_state)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def expand_state_capacity(state: TrainState,
                           new_capacity: int) -> TrainState:
     """Re-pad the point cloud AND its Adam moments to `new_capacity`
     rows (SURVEY §7 capacity doubling). Leaves whose leading dim equals
     the old capacity (the per-point mu/nu moments) get zero rows; the
-    fields group is untouched."""
+    fields group is untouched. Jitted (see reset_point_opt_slots)."""
     cap = state.points.capacity
     pad = new_capacity - cap
 

@@ -158,18 +158,25 @@ def fit(
         rays_p = np.concatenate(rays_l, 0)
         capm = min(q.SR, q.ray_slot_budget or q.SR, q.z_depth_dim)
         try:
+            block_lens = tuple(rv.shape[0] for rv in rays_l)
             msteps, mbuckets = plan_march(
                 tbl, np.asarray(jax.device_get(grid.ranges_min)),
                 q.scaled_vsize,
                 np.concatenate(orig_l, 0), rays_p,
                 float(dataset.near), float(dataset.far),
-                q.z_depth_dim, capm, slack=1.3, chunk=8192)
+                q.z_depth_dim, capm, slack=1.3,
+                jitter=float(cfg.train.jitter),
+                block_lens=block_lens)
+            # the sim now models the jittered walk (plan_march jitter=)
+            # so the fuel margin only covers batch-to-batch sampling
+            # variation + growth headroom, not an unmodeled kernel
             msteps = tuple(int(s * 1.5) + 4 for s in msteps)
-            # buckets were sized on 8192-ray per-view blocks; rescale
-            # to the actual batch size with pixel-sampling slack
+            # buckets were sized on per-view probe blocks; rescale to
+            # the actual batch size with pixel-sampling slack
             rb_ = cfg.train.rays_per_batch
+            bl0 = max(block_lens)
             mbuckets = tuple(
-                min(rb_, (int(b * rb_ / 8192 * 1.2) + 255)
+                min(rb_, (int(b * rb_ / bl0 * 1.2) + 255)
                     // 256 * 256 + 256) for b in mbuckets)
             cfg = _dc.replace(cfg, query=_dc.replace(
                 q, march_steps=msteps, march_buckets=mbuckets))

@@ -21,11 +21,21 @@ masking, PE formula, weight application, raw2out activations).
 """
 
 import importlib
+import os
 import sys
 import types
 
 import numpy as np
 import pytest
+
+# Opt-in gate (ADVICE r3): these tests EXECUTE code from the untrusted
+# public reference checkout (/root/reference). The default suite never
+# runs it; set PN2S_RUN_REFERENCE_ORACLE=1 for the golden-parity pass.
+if not os.environ.get("PN2S_RUN_REFERENCE_ORACLE"):
+    pytest.skip(
+        "reference-oracle tests execute the untrusted /root/reference "
+        "checkout; opt in with PN2S_RUN_REFERENCE_ORACLE=1",
+        allow_module_level=True)
 
 torch = pytest.importorskip("torch")
 

@@ -405,6 +405,25 @@ VARIANTS = {
                             composite_mode="packed", march_steps=(-2,),
                             ray_budget=-2),
                    None),
+    # cand_cap pricing under the SHIPPED march+rb config: how much of
+    # the chunk pipeline (gather width / [Mc, C] geometry / extract
+    # einsum width) scales with the candidate width C. cc32 is a
+    # PRICING probe (~0.003% rays deviated at 32 in r2 — check
+    # exactness before adopting); if C=32/16 saves real ms, the exact
+    # per-voxel candidate-reduction build (keep only candidates that
+    # can be a K-NN for SOME position in the voxel) is worth building.
+    "tkpcmcmrbmcc32": ("b8 ch=4096 topk packed march+rb cand=32",
+                       base_cfg(fast_chunk=4096, compact_mode="topk",
+                                composite_mode="packed",
+                                march_steps=(-2,), ray_budget=-2,
+                                cand_cap=32),
+                       None),
+    "tkpcmcmrbmcc16": ("b8 ch=4096 topk packed march+rb cand=16",
+                       base_cfg(fast_chunk=4096, compact_mode="topk",
+                                composite_mode="packed",
+                                march_steps=(-2,), ray_budget=-2,
+                                cand_cap=16),
+                       None),
     "tkpcbhmcmrbm": ("b8 ch=4096 topk packed base_h march+rb",
                      base_cfg(fast_chunk=4096, compact_mode="topk",
                               composite_mode="packed", march_steps=(-2,),

@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 
 
+_SENTINEL_SALT = [0]  # per-invocation buffer salt (see below)
+
+
 def congestion_sentinel(n_calls: int = 8):
     """Time a FIXED small program to price this measurement window.
 
@@ -45,7 +48,14 @@ def congestion_sentinel(n_calls: int = 8):
             a = jnp.tanh(a @ a) * 0.1
         return a.sum()
 
-    xs = [jnp.asarray(np.random.default_rng(i)
+    # Salt the input seeds per invocation: a SECOND sentinel call in the
+    # same process must not re-submit identical (program, args) pairs,
+    # or result memoization returns a phantom ~0 ms reading (rule 2 of
+    # the module docstring; BENCH_r03 recorded sentinel[post]=3.9 ms
+    # from exactly this).
+    _SENTINEL_SALT[0] += 1
+    base = _SENTINEL_SALT[0] * 100_003
+    xs = [jnp.asarray(np.random.default_rng(base + i)
                       .standard_normal((2048, 2048)).astype(np.float32))
           for i in range(n_calls + 1)]
     dt, _ = timed_scalar_calls(f, xs[:-1], warmup_input=xs[-1])
