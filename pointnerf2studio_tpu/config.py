@@ -64,6 +64,16 @@ class QueryConfig:
     # candidates per shell are kept.
     use_cache: bool = True
     cand_cap: int = 64
+    # EXACT build-time candidate reduction (ops/query.
+    # candidate_keep_mask): drop candidates that can never be among the
+    # K selected neighbors for ANY shading location in their voxel
+    # (radius-infeasible anywhere, or K provably-closer same-or-inner-
+    # shell candidates), then store rows at the max KEPT width. Every
+    # C-scaled stage (fat gather bytes, candidate geometry, the extract
+    # einsum) shrinks by the same factor; selection is bit-exact
+    # (tests/test_candidate_cache.py). Chip pricing: cand_cap 64 -> 32
+    # alone measured 94.9 -> 78.5 ms per 65k rays (PERF.md r4).
+    cand_prune: bool = False
     # Capacity for dilated-occupied (query) voxels; 0 -> 4 * max_o.
     max_q: int = 0
     # Fast-path per-ray shading-slot layout cap (models/fast_render.py).

@@ -112,7 +112,8 @@ class FatCache:
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_size", "max_q", "cand_cap", "chunk",
-                     "coarse_dilate", "layout"))
+                     "coarse_dilate", "layout", "cand_prune", "radius2",
+                     "knn_k"))
 def build_fat_cache(
     grid: PointGrid,
     cloud: NeuralPointCloud,
@@ -122,6 +123,9 @@ def build_fat_cache(
     chunk: int = 32768,
     coarse_dilate: int = 0,
     layout: str = "rows",
+    cand_prune: bool = False,
+    radius2: float = 0.0,
+    knn_k: int = 8,
 ) -> FatCache:
     """Build the fat candidate cache (once per point/attr change).
 
@@ -185,10 +189,29 @@ def build_fat_cache(
         sel_ok = jnp.take_along_axis(okf, top, -1)
         sel_pidx = jnp.take_along_axis(cand.reshape(B, V * P), top, -1)
         sel_sh = jnp.take_along_axis(sh.reshape(B, V * P), top, -1)
-        meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
         sel_xyz = jnp.take_along_axis(
             cxyz.reshape(B, V * P, 3), top[..., None], 1)
         rel = (sel_xyz - cw[:, None, :]).astype(jnp.bfloat16)  # [B, C, 3]
+        if cand_prune:
+            # EXACT reduction (ops/query.candidate_keep_mask): bounds
+            # are computed from the bf16-QUANTIZED rel — the value the
+            # render's d2 actually uses — so lo/hi bracket the render
+            # distances exactly. Kept candidates pack first in their
+            # original order; make_*_scene slices the stored width to
+            # the max kept count.
+            from pointnerf2studio_tpu.ops.query import candidate_keep_mask
+            num_shells_ = (kernel_size[0] + 1) // 2
+            keep = candidate_keep_mask(
+                rel.astype(jnp.float32), sel_sh, sel_ok,
+                grid.scaled_vsize * 0.5, radius2, knn_k,
+                max_shell=num_shells_ - 1)
+            okey = jnp.where(keep, jnp.arange(C, dtype=jnp.int32), C + 1)
+            _, pos = jax.lax.top_k(-okey, C)        # kept first, stable
+            sel_ok = jnp.take_along_axis(keep, pos, -1)
+            sel_pidx = jnp.take_along_axis(sel_pidx, pos, -1)
+            sel_sh = jnp.take_along_axis(sel_sh, pos, -1)
+            rel = jnp.take_along_axis(rel, pos[..., None], 1)
+        meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
         sel_attr = attrs[jnp.clip(sel_pidx, 0, N - 1)]         # [B, C, 39]
         payload = jnp.concatenate([
             rel, sel_attr,
@@ -1745,12 +1768,31 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
         coarse_dilate = math.ceil(
             (cfg.query.coarse_step - 1) / 2 * dt
             / min(cfg.query.scaled_vsize))
+    layout = ("fused" if "fused" in (cfg.query.knn_mode,
+                                     cfg.query.chunk_mode) else "rows")
+    prune = cfg.query.cand_prune and layout == "rows"
     cache = build_fat_cache(
         grid, cloud, cfg.query.kernel_size, max_q, cfg.query.cand_cap,
-        coarse_dilate=coarse_dilate,
-        layout=("fused" if "fused" in (cfg.query.knn_mode,
-                                       cfg.query.chunk_mode)
-                else "rows"))
+        coarse_dilate=coarse_dilate, layout=layout,
+        cand_prune=prune,
+        radius2=float(cfg.query.radius_limit) ** 2,
+        knn_k=cfg.query.K)
+    if prune:
+        # slice the candidate width to the max KEPT count: every stage
+        # that scales with C (fat-row gather bytes, [Mc, C] geometry,
+        # the one-hot extract einsum) shrinks by the same factor, with
+        # selection provably unchanged (candidate_keep_mask)
+        C = cache.cand
+        counts = jnp.sum((jax.lax.bitcast_convert_type(
+            cache.rows.reshape(-1, C, ROWW)[..., 0], jnp.int32)
+            >= 0).astype(jnp.int32), -1)
+        c2 = int(jax.device_get(counts.max()))
+        c2 = min(C, max(8, -(-c2 // 8) * 8))
+        if c2 < C:
+            cache = cache.replace(rows=cache.rows.reshape(
+                -1, C, ROWW)[:, :c2].reshape(-1, c2 * ROWW))
+        print(f"cand_prune: width {C} -> {c2} "
+              f"(max kept {int(jax.device_get(counts.max()))})")
     if march_active(cfg.query) and cache.coor_2_qslot is not None:
         from pointnerf2studio_tpu.ops.march import build_march_table
         cache = cache.replace(

@@ -74,7 +74,8 @@ class GeoCache:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel_size", "max_q", "cand_cap", "chunk"))
+    jax.jit, static_argnames=("kernel_size", "max_q", "cand_cap", "chunk",
+                              "cand_prune", "radius2", "knn_k"))
 def build_geo_cache(
     grid: PointGrid,
     xyz: jnp.ndarray,
@@ -82,6 +83,9 @@ def build_geo_cache(
     max_q: int,
     cand_cap: int = 64,
     chunk: int = 32768,
+    cand_prune: bool = False,
+    radius2: float = 0.0,
+    knn_k: int = 8,
 ) -> GeoCache:
     """Per-query-voxel candidate geometry (rebuild on point moves)."""
     offs_np, shells_np = neighbor_offsets(kernel_size)
@@ -130,10 +134,25 @@ def build_geo_cache(
         sel_ok = jnp.take_along_axis(okf, top, -1)
         sel_pidx = jnp.take_along_axis(cand.reshape(B, V * P), top, -1)
         sel_sh = jnp.take_along_axis(sh.reshape(B, V * P), top, -1)
-        meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
         sel_xyz = jnp.take_along_axis(
             cxyz.reshape(B, V * P, 3), top[..., None], 1)
         rel = sel_xyz - cw[:, None, :]                           # f32
+        if cand_prune:
+            # EXACT reduction — see build_fat_cache / ops/query.
+            # candidate_keep_mask (the train rows keep f32 rel, so the
+            # bounds use the stored value directly)
+            from pointnerf2studio_tpu.ops.query import candidate_keep_mask
+            num_shells_ = (kernel_size[0] + 1) // 2
+            keep = candidate_keep_mask(
+                rel, sel_sh, sel_ok, grid.scaled_vsize * 0.5, radius2,
+                knn_k, max_shell=num_shells_ - 1)
+            okey = jnp.where(keep, jnp.arange(C, dtype=jnp.int32), C + 1)
+            _, pos = jax.lax.top_k(-okey, C)        # kept first, stable
+            sel_ok = jnp.take_along_axis(keep, pos, -1)
+            sel_pidx = jnp.take_along_axis(sel_pidx, pos, -1)
+            sel_sh = jnp.take_along_axis(sel_sh, pos, -1)
+            rel = jnp.take_along_axis(rel, pos[..., None], 1)
+        meta = jnp.where(sel_ok, sel_pidx * 4 + sel_sh, -1)
         pack = jnp.concatenate([
             jax.lax.bitcast_convert_type(meta, jnp.float32)[..., None],
             rel,
@@ -272,6 +291,13 @@ def fast_train_render(
                                               # (rb packing pads with
                                               # dups of row 0; the
                                               # march skips them)
+    debug_prefix: Optional[str] = None,       # perf probes only:
+                                              # cumulative cutoffs
+                                              # "raygen" | "front" |
+                                              # "gather" | "knn" |
+                                              # "attrs" | "decode" —
+                                              # WRONG outputs, real
+                                              # timing of the prefix
 ) -> RenderOutput:
     q = cfg.query
     R = raydirs.shape[0]
@@ -353,7 +379,7 @@ def fast_train_render(
             bg_ray_colors=(None if bg_ray_colors is None
                            else bg_ray_colors[ray_ids]),
             jitter_u=(None if u_full is None else u_full[ray_ids]),
-            ray_live=valid)
+            ray_live=valid, debug_prefix=debug_prefix)
 
         ids_s = jnp.where(valid, ray_ids, R)    # padding rows drop
         bg = (bg_ray_colors if bg_ray_colors is not None
@@ -378,6 +404,20 @@ def fast_train_render(
     raypos, _, mid_ts = raygen(
         campos, raydirs, D, near=near, far=far,
         jitter=jit_amount, key=key, jitter_u=jitter_u)  # [R, D, 3]
+
+    def _fake_output(color, mask=None):
+        # shape-correct RenderOutput from a prefix reduction (probes)
+        return RenderOutput(
+            coarse_raycolor=jnp.broadcast_to(color, (R, 3)),
+            ray_mask=(jnp.zeros((R,), bool) if mask is None else mask),
+            acc=jnp.zeros((R,), jnp.float32),
+            depth=jnp.zeros((R,), jnp.float32),
+            conf_coefficient=jnp.zeros((M, K), jnp.float32),
+            pnt_mask=jnp.zeros((M, K), bool),
+            weight=jnp.zeros((M, K), jnp.float32))
+
+    if debug_prefix == "raygen":
+        return _fake_output(raypos.sum((0, 1)) + mid_ts.sum() * 1e-6)
 
     from pointnerf2studio_tpu.models.fast_render import march_active
     use_march = (march_active(q) and not hash_mode
@@ -463,6 +503,13 @@ def fast_train_render(
         total = jnp.minimum(jnp.sum(cnt), M)
         mask_c = jnp.arange(M, dtype=jnp.int32) < total
 
+    if debug_prefix == "front":
+        return _fake_output(
+            jnp.stack([qslot_c.astype(jnp.float32).sum() * 1e-6,
+                       sel_ray.astype(jnp.float32).sum() * 1e-6,
+                       mask_c.astype(jnp.float32).sum() * 1e-6]),
+            mask=ray_hit)
+
     # jittered sample positions for the compacted slots (gather, not
     # recompute: t is per-(ray, d) random)
     locs_flat = raypos.reshape(R * D, 3)
@@ -483,6 +530,12 @@ def fast_train_render(
         meta = jax.lax.bitcast_convert_type(rows3[..., 0], jnp.int32)
         shell = (meta & 3).astype(jnp.int32)
         rel = rows3[..., 1:]                                    # [Mc,C,3]
+        if debug_prefix == "gather":
+            z = rel.sum((-1, -2)) + meta.astype(jnp.float32).sum(-1)
+            return (z, jnp.broadcast_to(z[:, None], (Mc, 3)), mask_cc,
+                    jnp.zeros((Mc, K), jnp.float32),
+                    jnp.zeros((Mc, K), bool),
+                    jnp.zeros((Mc, K), jnp.float32))
 
         locs = locs_flat[sel_rd_c]                              # [Mc, 3]
         vox = jnp.floor((locs - ranges_min) / scaled_vsize)
@@ -505,6 +558,12 @@ def fast_train_render(
         kkey = jnp.where(ok, d2, jnp.inf)
         neg_top, top_idx = jax.lax.top_k(-kkey, K)              # [Mc, K]
         pnt_mask = neg_top > -jnp.inf
+        if debug_prefix == "knn":
+            z = jnp.where(pnt_mask, -neg_top, 0.0).sum(-1)
+            return (z, jnp.broadcast_to(z[:, None], (Mc, 3)),
+                    jnp.any(pnt_mask, -1),
+                    jnp.zeros((Mc, K), jnp.float32), pnt_mask,
+                    jnp.zeros((Mc, K), jnp.float32))
         pidx = jnp.take_along_axis(meta >> 2, top_idx, -1)      # [Mc, K]
         nxyz = (jnp.take_along_axis(rel, top_idx[..., None], 1)
                 + center[:, None, :])                           # [Mc,K,3]
@@ -523,6 +582,13 @@ def fast_train_render(
         conf = vals[..., CA]
         ndir = vals[..., CA + 1:CA + 4]
         ncol = vals[..., CA + 4:CA + 7]
+
+        if debug_prefix == "attrs":
+            z = (vals.astype(jnp.float32).sum((-1, -2))
+                 + nxyz.sum((-1, -2)))
+            return (z, jnp.broadcast_to(z[:, None], (Mc, 3)),
+                    jnp.any(pnt_mask, -1), conf, pnt_mask,
+                    jnp.zeros((Mc, K), jnp.float32))
 
         rd_sel = raydirs[sel_ray_c]
         nei_pers = w2pers(nxyz, camrotc2w, campos)
@@ -588,6 +654,12 @@ def fast_train_render(
     else:
         sig, rgb, found, conf_k, pm_k, w_k = chunk_or_skip(
             (qslot_c, sel_ray, sel_rd, mask_c))
+
+    if debug_prefix == "decode":
+        return _fake_output(
+            jnp.stack([sig.sum() * 1e-6, rgb.sum() * 1e-6,
+                       found.astype(jnp.float32).sum() * 1e-6]),
+            mask=ray_hit)
 
     # ---- composite ----
     slot_ok = mask_c & found
@@ -656,7 +728,21 @@ def make_geo_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
             grid.coor_occ.reshape(-1).astype(jnp.int32))))
         max_q = (nq + 32767) // 32768 * 32768
     geo = build_geo_cache(grid, cloud.xyz, cfg.query.kernel_size, max_q,
-                          cfg.query.cand_cap)
+                          cfg.query.cand_cap,
+                          cand_prune=cfg.query.cand_prune,
+                          radius2=float(cfg.query.radius_limit) ** 2,
+                          knn_k=cfg.query.K)
+    if cfg.query.cand_prune:
+        C = geo.cand
+        counts = jnp.sum((jax.lax.bitcast_convert_type(
+            geo.rows.reshape(-1, C, GEOW)[..., 0], jnp.int32)
+            >= 0).astype(jnp.int32), -1)
+        c2 = int(jax.device_get(counts.max()))
+        c2 = min(C, max(8, -(-c2 // 8) * 8))
+        if c2 < C:
+            geo = geo.replace(rows=geo.rows.reshape(
+                -1, C, GEOW)[:, :c2].reshape(-1, c2 * GEOW))
+        print(f"cand_prune(train): width {C} -> {c2}")
     if cfg.query.march_steps and geo.coor_2_qslot is not None:
         from pointnerf2studio_tpu.ops.march import build_march_table
         geo = geo.replace(

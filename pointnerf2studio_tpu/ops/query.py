@@ -65,6 +65,52 @@ def neighbor_offsets(kernel_size: Tuple[int, int, int]) -> Tuple[np.ndarray, np.
     return np.asarray(offs, np.int32), np.asarray(shells, np.int32)
 
 
+def candidate_keep_mask(
+    rel: jnp.ndarray,        # [B, C, 3] candidate offset from voxel CENTER
+    shell: jnp.ndarray,      # [B, C] int32 Chebyshev shell per candidate
+    valid: jnp.ndarray,      # [B, C] bool
+    half: jnp.ndarray,       # [3] scaled_vsize / 2
+    radius2: float,
+    K: int,
+    max_shell: int,
+) -> jnp.ndarray:
+    """EXACT build-time candidate pruning for the fat/geo caches.
+
+    Keeps only candidates that can be among the K selected neighbors
+    for SOME shading location inside the query voxel. Two provably
+    safe rules (render selection: in-radius + shell-eligible + K
+    nearest by distance, models/fast_render.chunk_pipeline):
+
+    1. radius prune (any shell): lo_p^2 > radius2, where lo_p is the
+       candidate's MIN distance to the voxel cube — such a candidate is
+       never in-radius, and since `ok` includes the radius test it also
+       never contributes to shell-eligibility `before` counts.
+    2. domination prune (OUTERMOST shell only): if K valid radius-
+       feasible candidates q satisfy hi_q < lo_p (their MAX cube
+       distance below p's min), then wherever p is ok all K are ok,
+       strictly closer, and eligible whenever p is (shell_q <=
+       shell_p) — p never reaches the top-K. Restricted to the
+       outermost shell because inner-shell candidates feed the
+       `before` eligibility counts of outer shells; dropping one
+       could flip an outer candidate eligible and change the selected
+       set. Outermost-shell candidates feed no such count.
+
+    Survivors keep their relative order, so re-packing them first
+    leaves the render's tie-breaking identical: the selection over the
+    kept set is BIT-EXACT vs the unpruned cache
+    (tests/test_candidate_cache.py)."""
+    a = jnp.abs(rel)
+    lo = jnp.linalg.norm(jnp.maximum(a - half, 0.0), axis=-1)   # [B, C]
+    hi = jnp.linalg.norm(a + half, axis=-1)
+    feasible = valid
+    if radius2 > 0:
+        feasible = feasible & (lo * lo <= radius2)
+    # dom_cnt[b, p] = #{q: feasible, hi_q < lo_p}
+    dom = (hi[:, None, :] < lo[:, :, None]) & feasible[:, None, :]
+    dom_cnt = jnp.sum(dom.astype(jnp.int32), -1)
+    return feasible & ~((shell >= max_shell) & (dom_cnt >= K))
+
+
 def mask_raypos(grid: PointGrid, raypos: jnp.ndarray) -> jnp.ndarray:
     """[R, D] bool: sample position lies in a dilated-occupied voxel."""
     dims = jnp.array(grid.dims, jnp.int32)

@@ -39,6 +39,11 @@ class FitResult:
     # {"step", "wall_s", "psnr", ...metrics} — the source for
     # time-to-target-PSNR measurements (BASELINE.md tracked metric)
     eval_history: list = dataclasses.field(default_factory=list)
+    # growth events: {"step", "grown_points", "n_alive"} per
+    # probe_and_grow crossing (reference behavior anchor:
+    # run/train_ft.py:844-923) — lets validation report the PSNR
+    # trajectory across a growth event without log scraping
+    grow_history: list = dataclasses.field(default_factory=list)
 
     def time_to_psnr(self, target_db: float):
         """(step, wall_s) of the first eval at/above target, or None.
@@ -85,6 +90,7 @@ def fit(
     import time as _time
     t_fit0 = _time.time()
     eval_history: list = []
+    grow_history: list = []
     start_step = 1
     if resume:
         last = cio.latest_step(os.path.join(out_dir, "ckpt"))
@@ -440,6 +446,9 @@ def fit(
                 prob_mul=t.prob_mul)
             if use_fast and n_new:
                 geo_state["geo"] = _make_geo(state.points, grid)
+            grow_history.append({
+                "step": s_end, "grown_points": int(n_new),
+                "n_alive": int(np.asarray(state.points.num_alive))})
             logger.flush(s_end, extra={"grown_points": n_new})
 
         if save_freq and crossed(save_freq):
@@ -479,7 +488,7 @@ def fit(
         logger.flush(max_steps, extra={f"final_{k}": v
                                        for k, v in metrics.items()})
     return FitResult(state=state, metrics=metrics, out_dir=out_dir,
-                     eval_history=eval_history)
+                     eval_history=eval_history, grow_history=grow_history)
 
 
 def save_checkpoint(out_dir: str, state: TrainState, step: int,

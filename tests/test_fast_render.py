@@ -610,3 +610,29 @@ def test_base_cache_requires_params(scene):
         s.cfg, query=dataclasses.replace(s.cfg.query, base_cache=True))
     with pytest.raises(ValueError, match="params"):
         make_fast_scene(cfg_bh, s.cloud, s.grid)
+
+
+def test_cand_prune_bit_exact(scene):
+    """QueryConfig.cand_prune: the pruned-width cache renders BIT-
+    identically to the unpruned one (ops/query.candidate_keep_mask's
+    exactness argument), and the stored width actually shrinks."""
+    s = scene
+    rays = _rays(s)
+    cache0, rmin, svs = make_fast_scene(s.cfg, s.cloud, s.grid)
+    base = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache0, s.campos, s.camrotc2w, rays,
+        s.near, s.far, s.cfg, rmin, svs)
+    cfgp = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, cand_prune=True))
+    cache1, rmin1, svs1 = make_fast_scene(cfgp, s.cloud, s.grid)
+    assert cache1.cand <= cache0.cand
+    out = fast_render_rays_jit(
+        s.params, s.cloud.Rw2c, cache1, s.campos, s.camrotc2w, rays,
+        s.near, s.far, cfgp, rmin1, svs1)
+    np.testing.assert_array_equal(
+        np.asarray(out.ray_mask), np.asarray(base.ray_mask))
+    np.testing.assert_array_equal(
+        np.asarray(out.coarse_raycolor),
+        np.asarray(base.coarse_raycolor))
+    np.testing.assert_array_equal(
+        np.asarray(out.acc), np.asarray(base.acc))

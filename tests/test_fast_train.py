@@ -402,3 +402,42 @@ def test_march_train_staged_and_rb(scene):
                             rmin, svs, key=key, training=True)
     np.testing.assert_array_equal(np.asarray(ref.coarse_raycolor),
                                   np.asarray(out.coarse_raycolor))
+
+
+def test_cand_prune_train_bit_exact(scene):
+    """cand_prune on the TRAIN geo cache: forward and gradients match
+    the unpruned cache bit-for-bit (selection provably unchanged)."""
+    import jax
+
+    from pointnerf2studio_tpu.models.fast_train import (
+        fast_train_render, make_geo_scene)
+    s = scene
+    rays = camera_rays(s.campos, s.camrotc2w, 8, 24, 16.0)
+    key = jax.random.PRNGKey(3)
+
+    def run(cfg):
+        geo, rmin, svs = make_geo_scene(cfg, s.cloud, s.grid)
+
+        def loss(pt):
+            points = s.cloud.with_trainable(pt)
+            out = fast_train_render(
+                s.params, points, geo, s.campos, s.camrotc2w, rays,
+                jnp.asarray(s.near), jnp.asarray(s.far), cfg,
+                jnp.asarray(rmin), jnp.asarray(svs), key=key,
+                training=True)
+            return (out.coarse_raycolor.sum()
+                    + 0.1 * out.weight.sum()), out.coarse_raycolor
+
+        (l, c), g = jax.value_and_grad(loss, has_aux=True)(
+            s.cloud.trainable())
+        return l, c, g, geo.cand
+
+    l0, c0, g0, w0 = run(s.cfg)
+    cfgp = dataclasses.replace(
+        s.cfg, query=dataclasses.replace(s.cfg.query, cand_prune=True))
+    l1, c1, g1, w1 = run(cfgp)
+    assert w1 <= w0
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

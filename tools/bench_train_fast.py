@@ -74,6 +74,10 @@ def main():
     if remat != "none":
         import dataclasses as _dc
         cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, remat=remat))
+    if "--cp" in sys.argv:       # exact candidate reduction (cand_prune)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, query=_dc.replace(cfg.query,
+                                                 cand_prune=True))
     t0 = time.time()
     if chair:
         from pointnerf2studio_tpu.data.synthetic import make_chair_scene
@@ -161,6 +165,14 @@ def main():
              else "gradp" if "--grad-params" in sys.argv
              else "grada" if "--grad-attrs" in sys.argv
              else "grad" if "--grad" in sys.argv else "full")
+    # --prefix <name>: cumulative forward cutoffs (fast_train_render
+    # debug_prefix: raygen|front|gather|knn|attrs|decode) — deltas
+    # between consecutive prefixes attribute the forward's cost the
+    # way tools/probe_chunk_stages.py does for the eval chunk
+    prefix = None
+    if "--prefix" in sys.argv:
+        prefix = sys.argv[sys.argv.index("--prefix") + 1]
+        stage = "fwd"
     if stage == "full":
         step_fn = make_fast_train_step(cfg)
     else:
@@ -174,7 +186,8 @@ def main():
             points = st.points.with_trainable(pt)
             out = fast_train_render(
                 params, points, geo_, cpos, crot,
-                rays, near, far, cfg, rmin, svs, key=key, training=True)
+                rays, near, far, cfg, rmin, svs, key=key, training=True,
+                debug_prefix=prefix)
             return compute_losses(out, gt_, cfg.train)[0]
 
         if stage == "fwd":
@@ -220,7 +233,8 @@ def main():
     float(jax.device_get(aux["total"]))
     dt = (time.perf_counter() - t1) / n
     tag = (("chair " if chair else "") + ("rb " if rb is not None else "")
-           + (f"{stage}-only " if stage != "full" else ""))
+           + (f"{stage}-only " if stage != "full" else "")
+           + (f"prefix={prefix} " if prefix else ""))
     print(f"fast train step {tag}ch={fast_chunk} b={budget} {mode}: "
           f"{dt*1e3:.1f} ms "
           f"-> {1/dt:.1f} it/s, {B/dt:,.0f} rays/s "

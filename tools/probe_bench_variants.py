@@ -424,6 +424,15 @@ VARIANTS = {
                                 march_steps=(-2,), ray_budget=-2,
                                 cand_cap=16),
                        None),
+    # EXACT candidate reduction (QueryConfig.cand_prune): stored width
+    # = max kept after the provably-safe prune; selection bit-exact vs
+    # the unpruned cache (tests/test_fast_render.py)
+    "tkpcmcmrbmcp": ("b8 ch=4096 topk packed march+rb cand_prune",
+                     base_cfg(fast_chunk=4096, compact_mode="topk",
+                              composite_mode="packed",
+                              march_steps=(-2,), ray_budget=-2,
+                              cand_prune=True),
+                     None),
     "tkpcbhmcmrbm": ("b8 ch=4096 topk packed base_h march+rb",
                      base_cfg(fast_chunk=4096, compact_mode="topk",
                               composite_mode="packed", march_steps=(-2,),

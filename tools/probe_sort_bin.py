@@ -22,8 +22,10 @@ Usage: python tools/probe_sort_bin.py {sort1m|sort4m|sort16m|
 One micro per process (phantom-timing rules, STATUS.md).
 """
 
+import os
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
