@@ -369,6 +369,50 @@ def build_fat_cache_hash(
     )
 
 
+def fit_cand_cap(max_q: int, cand_cap: int, row_words: int = ROWW,
+                 budget_bytes: Optional[int] = None,
+                 what: str = "fat cache") -> int:
+    """HBM feasibility fence for the candidate caches (the krows-fence
+    pattern, VERDICT r3 #4): the ScanNet stress runs measured hash
+    fat-cache builds at n_q ~3M x cand_cap 32 RESOURCE_EXHAUSTing the
+    16 GB chip — and once hard-crashing the backend compiler — from a
+    PUBLIC config with no guard. Degrades cand_cap (halving, floor 8)
+    until rows + a build/working-set allowance fit the budget;
+    actionable error when even 8 does not (-> the point-sharded slab
+    cache over a "points" mesh axis, parallel/sharding.py).
+
+    Budget default: 60% of the device's memory space (the render also
+    needs the qslot/hash table, per-chunk intermediates, and the build
+    holds one padded chunk of candidates), or 9.6 GB when the backend
+    does not report memory."""
+    if budget_bytes is None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            budget_bytes = int(stats.get("bytes_limit", 16 << 30) * 0.6)
+        except Exception:
+            budget_bytes = int((16 << 30) * 0.6)
+    cc = cand_cap
+    while cc > 8 and max_q * cc * row_words * 4 > budget_bytes:
+        cc //= 2
+    if max_q * cc * row_words * 4 > budget_bytes:
+        raise ValueError(
+            f"{what} infeasible: {max_q} query voxels x cand_cap {cc} "
+            f"x {row_words * 4} B = "
+            f"{max_q * cc * row_words * 4 / 2 ** 30:.1f} GiB exceeds the "
+            f"{budget_bytes / 2 ** 30:.1f} GiB single-chip budget even at "
+            f"the minimum candidate width; shard the cache over a "
+            f"'points' mesh axis (parallel/sharding."
+            f"make_sharded_fast_render_pt + shard_fat_cache) or coarsen "
+            f"vsize/vox_res")
+    if cc != cand_cap:
+        print(f"{what}: cand_cap {cand_cap} -> {cc} to fit "
+              f"{max_q} query voxels in "
+              f"{budget_bytes / 2 ** 30:.1f} GiB (degraded EXACTNESS: "
+              f"dense neighborhoods truncate to the {cc} nearest-to-"
+              f"center per shell)")
+    return cc
+
+
 def make_hash_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
                          hg, max_q: Optional[int] = None,
                          params: Optional[AggregatorParams] = None):
@@ -385,8 +429,10 @@ def make_hash_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
             "hash mode")
     if cfg.query.knn_mode == "fused":
         raise NotImplementedError("knn_mode='fused' is dense-only")
+    cc = fit_cand_cap(max_q, cfg.query.cand_cap,
+                      what="hash fat cache")
     cache = build_fat_cache_hash(hg, cloud, cfg.query.kernel_size,
-                                 max_q, cfg.query.cand_cap)
+                                 max_q, cc)
     if cfg.query.base_cache:
         cache = cache.replace(base_h=_build_base_h(cfg, cloud, params))
     if cfg.query.extract_mode == "krows":
@@ -1771,8 +1817,9 @@ def make_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
     layout = ("fused" if "fused" in (cfg.query.knn_mode,
                                      cfg.query.chunk_mode) else "rows")
     prune = cfg.query.cand_prune and layout == "rows"
+    cc_fit = fit_cand_cap(max_q, cfg.query.cand_cap)
     cache = build_fat_cache(
-        grid, cloud, cfg.query.kernel_size, max_q, cfg.query.cand_cap,
+        grid, cloud, cfg.query.kernel_size, max_q, cc_fit,
         coarse_dilate=coarse_dilate, layout=layout,
         cand_prune=prune,
         radius2=float(cfg.query.radius_limit) ** 2,

@@ -202,3 +202,22 @@ def test_huge_extent_render():
                                   np.asarray(ref.coarse_raycolor))
     np.testing.assert_array_equal(np.asarray(out.depth),
                                   np.asarray(ref.depth))
+
+
+def test_fit_cand_cap_guard():
+    """HBM feasibility fence: ScanNet-scale query-voxel counts degrade
+    cand_cap instead of RESOURCE_EXHAUSTing the chip (VERDICT r3 #4),
+    and truly infeasible sizes raise an actionable error."""
+    import pytest
+
+    from pointnerf2studio_tpu.models.fast_render import fit_cand_cap
+
+    # fits: untouched
+    assert fit_cand_cap(100_000, 64,
+                        budget_bytes=4 << 30) == 64
+    # 3M voxels x 64 x 92 B ~ 17 GiB: degrades to fit ~9.6 GiB
+    cc = fit_cand_cap(3_000_000, 64, budget_bytes=int(9.6 * 2 ** 30))
+    assert cc < 64 and 3_000_000 * cc * 23 * 4 <= 9.6 * 2 ** 30
+    # infeasible even at 8: actionable error pointing at the sharded path
+    with pytest.raises(ValueError, match="points' mesh axis"):
+        fit_cand_cap(50_000_000, 64, budget_bytes=4 << 30)

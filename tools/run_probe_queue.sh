@@ -35,6 +35,8 @@ for it in $items $extra; do
     train:*) a="${it#train:}"; timeout 1800 python tools/bench_train_fast.py ${a//,/ } >> "$log" 2>&1 ;;
     bench)   timeout 2400 python bench.py >> "$log" 2>&1 ;;
     validate:*) a="${it#validate:}"; timeout 9000 python tools/validate_chair.py /tmp/proc_chair2 ${a%%,*} --steps ${a##*,} >> "$log" 2>&1 ;;
+    validatev2:*) a="${it#validatev2:}"; timeout 14000 python tools/validate_chair.py ${a//,/ } >> "$log" 2>&1 ;;
+    stress:*) a="${it#stress:}"; timeout 4800 python tools/stress_scannet_scale.py ${a//,/ } >> "$log" 2>&1 ;;
     validate800:*) a="${it#validate800:}"; timeout 21000 python tools/validate_chair.py /tmp/proc_chair800 ${a%%,*} --steps ${a##*,} --full-recipe >> "$log" 2>&1 ;;
     fit:*) a="${it#fit:}"; timeout 3000 python tools/bench_fit.py ${a//,/ } >> "$log" 2>&1 ;;
     *)       timeout 1500 python tools/probe_bench_variants.py "$it" >> "$log" 2>&1 ;;
