@@ -546,7 +546,7 @@ def main() -> None:
         float(jax.device_get(jnp.stack(sums).sum()))
         dt = time.perf_counter() - t0
         n_of = (int(jax.device_get(
-            jnp.stack(ctrs).astype(jnp.int64).sum())) if ctrs else 0)
+            jnp.stack(ctrs).astype(jnp.int32).sum())) if ctrs else 0)
         return dt, n_of
 
     if not shuffled:

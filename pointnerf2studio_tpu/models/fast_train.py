@@ -370,6 +370,21 @@ def fast_train_render(
             u_full = jax.random.uniform(key, (R, D), dtype=jnp.float32)
         elif jitter_u is not None:
             u_full = jitter_u
+        if debug_prefix == "draw":
+            # probe cutoff: the PRNG draw + rb slab/pack alone
+            z = (jnp.zeros((), jnp.float32) if u_full is None
+                 else u_full.sum())
+            return RenderOutput(
+                coarse_raycolor=jnp.broadcast_to(
+                    z * 1e-6 + ray_ids.astype(jnp.float32).sum() * 1e-9,
+                    (R, 3)),
+                ray_mask=valid[:R] if valid.shape[0] >= R
+                else jnp.zeros((R,), bool),
+                acc=jnp.zeros((R,), jnp.float32),
+                depth=jnp.zeros((R,), jnp.float32),
+                conf_coefficient=jnp.zeros((1, K), jnp.float32),
+                pnt_mask=jnp.zeros((1, K), bool),
+                weight=jnp.zeros((1, K), jnp.float32))
 
         cfg0 = _dc.replace(cfg, query=_dc.replace(q, ray_budget=0))
         sub = fast_train_render(
@@ -416,6 +431,11 @@ def fast_train_render(
             pnt_mask=jnp.zeros((M, K), bool),
             weight=jnp.zeros((M, K), jnp.float32))
 
+    if debug_prefix == "mid":
+        # draw + jitter cumsum (mid_ts) WITHOUT materializing the
+        # [R, D, 3] raypos (DCE'd: nothing reads it on this cut)
+        return _fake_output(
+            jnp.broadcast_to(mid_ts.sum() * 1e-6, (3,)))
     if debug_prefix == "raygen":
         return _fake_output(raypos.sum((0, 1)) + mid_ts.sum() * 1e-6)
 
@@ -512,7 +532,14 @@ def fast_train_render(
 
     # jittered sample positions for the compacted slots (gather, not
     # recompute: t is per-(ray, d) random)
-    locs_flat = raypos.reshape(R * D, 3)
+    # gather the jittered t and RECOMPUTE positions per compacted slot
+    # (campos + dir * t — the identical float expression raygen uses,
+    # so values are bit-equal) instead of gathering rows of a
+    # materialized [R, D, 3] raypos: in the march branch nothing else
+    # reads raypos, so the 3x-wide table is never written (the r4c
+    # prefix probes put the raygen phase at 11.1 of the 20.5 ms
+    # forward)
+    t_flat = mid_ts.reshape(R * D)
     sel_rd = jnp.minimum(sel_ray * D + sel_d, R * D - 1)
 
     attrs = jnp.concatenate(
@@ -537,7 +564,8 @@ def fast_train_render(
                     jnp.zeros((Mc, K), bool),
                     jnp.zeros((Mc, K), jnp.float32))
 
-        locs = locs_flat[sel_rd_c]                              # [Mc, 3]
+        rd_sel0 = raydirs[sel_ray_c]
+        locs = campos + rd_sel0 * t_flat[sel_rd_c][:, None]     # [Mc, 3]
         vox = jnp.floor((locs - ranges_min) / scaled_vsize)
         center = ranges_min + (vox + 0.5) * scaled_vsize
         cdelta = rel + (center - locs)[:, None, :]
@@ -590,7 +618,7 @@ def fast_train_render(
                     jnp.any(pnt_mask, -1), conf, pnt_mask,
                     jnp.zeros((Mc, K), jnp.float32))
 
-        rd_sel = raydirs[sel_ray_c]
+        rd_sel = rd_sel0
         nei_pers = w2pers(nxyz, camrotc2w, campos)
         lp = w2pers(locs, camrotc2w, campos)[..., None, :]
         pdist = jnp.stack(
@@ -666,7 +694,8 @@ def fast_train_render(
     sig = sig * slot_ok.astype(sig.dtype)
     bg = (bg_ray_colors if bg_ray_colors is not None
           else jnp.asarray(cfg.bg_color, jnp.float32))
-    z_sel = w2pers(locs_flat[sel_rd], camrotc2w, campos)[..., 2]
+    z_sel = w2pers(campos + raydirs[sel_ray] * t_flat[sel_rd][:, None],
+                   camrotc2w, campos)[..., 2]
     if q.composite_mode == "packed" and q.compact_mode == "topk":
         # packed composite on the [M] compacted axis — no scatter-back
         # (ops/compositing.packed_alpha_composite); differentiable
