@@ -429,6 +429,23 @@ def make_hash_fast_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
             "hash mode")
     if cfg.query.knn_mode == "fused":
         raise NotImplementedError("knn_mode='fused' is dense-only")
+    # Compiler-crash fence, separate from the HBM fence: the axon TPU
+    # backend compiler hard-crashes (remote_compile HTTP 500) on hash
+    # fat-cache BUILD programs past ~3M query voxels at EVERY candidate
+    # width (r4 stress run: n_q=3.07M crashed at cand_cap 32/16/8 with
+    # the 8.4/4.2/2.1 GiB rows all within budget). Env-overridable for
+    # bisecting on other backends.
+    import os as _os
+    maxq_fence = int(_os.environ.get("PN2S_HASH_BUILD_MAXQ", 3_000_000))
+    if max_q > maxq_fence and jax.default_backend() == "tpu":
+        raise ValueError(
+            f"hash fat-cache build at {max_q} query voxels exceeds the "
+            f"TPU backend compiler's measured crash envelope "
+            f"(~{maxq_fence}; r4 stress: HTTP 500 at n_q=3.07M for all "
+            f"candidate widths). Coarsen vsize (x2 cuts n_q ~4-8x) or "
+            f"voxel-downsample the cloud (vox_res), or shard the cache "
+            f"over a 'points' mesh axis. PN2S_HASH_BUILD_MAXQ overrides "
+            f"the fence for compiler bisects.")
     cc = fit_cand_cap(max_q, cfg.query.cand_cap,
                       what="hash fat cache")
     cache = build_fat_cache_hash(hg, cloud, cfg.query.kernel_size,

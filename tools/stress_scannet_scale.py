@@ -168,25 +168,46 @@ def main():
     # over a 'points' mesh axis (parallel/sharding.py). Single-chip,
     # degrade cand_cap until the build fits and SAY SO.
     cache = None
-    for cc in (cand_cap, 16, 8):
-        try:
+    for vs_mul in (1, 2, 4):
+        if vs_mul > 1:
+            # the TPU backend compiler crashes on hash-cache BUILD
+            # programs past ~3M query voxels at EVERY candidate width
+            # (fenced in make_hash_fast_scene); coarsening vsize cuts
+            # n_q ~4-8x per doubling — the single-chip degradation
+            # rung after cand_cap
             cfg = dataclasses.replace(cfg, query=dataclasses.replace(
-                cfg.query, cand_cap=cc))
-            cache, rmin, svs = make_hash_fast_scene(cfg, cloud, hg,
-                                                    params=params)
-            jax.block_until_ready(cache.rows)
-            if cc != cand_cap:
-                print(f"cand_cap degraded {cand_cap} -> {cc} to fit "
-                      f"HBM (approximate beyond nearest-{cc})",
-                      flush=True)
-            cand_cap = cc
+                cfg.query, vsize=tuple(v * vs_mul for v in
+                                       (0.008,) * 3)))
+            print(f"coarsening vsize x{vs_mul} "
+                  f"(query-voxel count over the build fence)",
+                  flush=True)
+            hg = build_hash_grid_from_points(cloud.xyz, cloud.alive,
+                                             cfg.query)
+            n_q = int(jax.device_get(hg.n_q))
+            dims = [int(x) for x in np.asarray(jax.device_get(hg.dims))]
+            print(f"hash grid rebuilt: dims {dims} n_q={n_q} "
+                  f"(+{time.time()-t0:.0f}s)", flush=True)
+        for cc in (cand_cap, 16, 8):
+            try:
+                cfg = dataclasses.replace(cfg, query=dataclasses.replace(
+                    cfg.query, cand_cap=cc))
+                cache, rmin, svs = make_hash_fast_scene(cfg, cloud, hg,
+                                                        params=params)
+                jax.block_until_ready(cache.rows)
+                if cc != cand_cap or vs_mul > 1:
+                    print(f"degraded to cand_cap={cc} vsize x{vs_mul} "
+                          f"(approximate beyond nearest-{cc})",
+                          flush=True)
+                cand_cap = cc
+                break
+            except Exception as e:
+                print(f"cache build failed at cand_cap={cc}: "
+                      f"{type(e).__name__} {str(e)[:100]}", flush=True)
+                cache = None
+        if cache is not None:
             break
-        except Exception as e:
-            print(f"cache build failed at cand_cap={cc}: "
-                  f"{type(e).__name__} {str(e)[:100]}", flush=True)
-            cache = None
     if cache is None:
-        raise SystemExit("cache build failed at every cand_cap tier")
+        raise SystemExit("cache build failed at every tier")
     print(f"fat cache built (+{time.time()-t0:.0f}s)", flush=True)
     hbm_stats("after_cache")
 
