@@ -155,7 +155,14 @@ def main():
     if args.hole_wedge > 0:
         # deliberate init hole: drop points whose azimuth falls in the
         # wedge. Growth must rediscover this geometry from the miss-ray
-        # probes (reference behavior: train_ft.py:844-923).
+        # probes (reference behavior: train_ft.py:844-923). The preset
+        # probes at 10001 steps; shorter demonstration runs need the
+        # cadence inside their budget — several growth events with
+        # PSNR evals between them.
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, prob_freq=min(cfg.train.prob_freq,
+                                     max(args.steps // 4, 500))))
+        print(f"hole run: prob_freq -> {cfg.train.prob_freq}")
         xyz_np = np.asarray(cloud.xyz)
         az = np.degrees(np.arctan2(xyz_np[:, 1], xyz_np[:, 0]))
         in_wedge = np.abs(az) < args.hole_wedge / 2
