@@ -598,11 +598,20 @@ def main() -> None:
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops_per_chunk = float(ca.get("flops", 0.0)) or None
+        if flops_per_chunk and flops_per_chunk < 1e6 * chunk:
+            # XLA's analysis counts a lax.map/while BODY once, not per
+            # trip — the chunked decode makes that a ~70x undercount
+            # (observed 0.29 MFLOP/ray vs the ~20 MFLOP/ray analytic
+            # budget). Fall back to the analytic figure.
+            print(f"bench: cost_analysis undercounts loop bodies "
+                  f"({flops_per_chunk / chunk / 1e6:.2f} MFLOP/ray); "
+                  f"using the analytic estimate", file=sys.stderr)
+            flops_per_chunk = None
     except Exception as e:
         print(f"bench: cost_analysis unavailable ({e}); "
               f"using the PERF.md analytic estimate", file=sys.stderr)
     if flops_per_chunk is None:
-        # analytic fallback: ~20M useful MLP flops/ray at chair density
+        # analytic estimate: ~20M useful MLP flops/ray at chair density
         # (PERF.md r3i: ~92 ns/slot tower at 5.7 slots/ray x K=8)
         flops_per_chunk = 20e6 * chunk
     V5E_BF16_PEAK = 197e12
