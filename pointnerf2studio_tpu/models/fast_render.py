@@ -514,6 +514,24 @@ class FastRenderOutput:
     # QueryConfig.pair_budget — neighbors were lost). None when the
     # budget cannot overflow (pair_budget >= K) or pair mode is off.
     pb_overflow: Optional[jnp.ndarray] = None
+    # Occupancy counter (scalar int32): number of VALID compacted
+    # sample slots this batch (the rows the decode tower actually
+    # shades). Feeds the bench's analytic flops-per-ray so the MFU of
+    # record derives from measured occupancy instead of a hardcoded
+    # constant (utils/flops.py). None only on aggregation paths that
+    # predate the counter (frame tiers).
+    n_valid_slots: Optional[jnp.ndarray] = None
+    # prob-mode outputs (point growing, prob=True only — the fast
+    # twin of models/render.py's prob path; reference anchor:
+    # neural_points_volumetric_model.py:331-362). Per ray: the
+    # max-opacity shading location + conf-weighted neighbor averages
+    # there. None unless prob=True.
+    ray_max_shading_opacity: Optional[jnp.ndarray] = None   # [R]
+    ray_max_sample_loc_w: Optional[jnp.ndarray] = None      # [R, 3]
+    shading_avg_color: Optional[jnp.ndarray] = None         # [R, 3]
+    shading_avg_dir: Optional[jnp.ndarray] = None           # [R, 3]
+    shading_avg_conf: Optional[jnp.ndarray] = None          # [R, 1]
+    shading_avg_embedding: Optional[jnp.ndarray] = None     # [R, F]
 
 
 def counter_presence(q):
@@ -622,8 +640,15 @@ def fast_render_rays(
                                           # (the rb/tier packing pads
                                           # with dups of row 0; the
                                           # march must not walk them)
+    prob: bool = False,                   # emit prob-mode outputs for
+                                          # point growing (the fast
+                                          # twin of render.py's prob
+                                          # path; grid composite)
 ) -> FastRenderOutput:
     q = cfg.query
+    if prob and q.span_tiers:
+        raise ValueError("prob mode + span_tiers not supported "
+                         "(growth probes render plain chunks)")
     R = raydirs.shape[0]
     D = q.z_depth_dim
     SR, K = q.SR, q.K
@@ -698,7 +723,7 @@ def fast_render_rays(
         depth = jnp.zeros((R,), jnp.float32)
         rb_overflow = jnp.zeros((), jnp.int32)
         dw_overflow = jnp.zeros((), jnp.int32)
-        cb_list, win_list, pb_list = [], [], []
+        cb_list, win_list, pb_list, nv_list = [], [], [], []
         for i, w in enumerate(widths):
             in_t = hit & (ti == i)
             RB = min(budgets[i], R)
@@ -746,13 +771,15 @@ def fast_render_rays(
                 win_list.append(sub.win_overflow)
             if sub.pb_overflow is not None:
                 pb_list.append(sub.pb_overflow)
+            nv_list.append(sub.n_valid_slots)
         return FastRenderOutput(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth,
             win_overflow=(sum(win_list) if win_list else None),
             dw_overflow=dw_overflow, rb_overflow=rb_overflow,
             cb_overflow=(sum(cb_list) if cb_list else None),
-            pb_overflow=(sum(pb_list) if pb_list else None))
+            pb_overflow=(sum(pb_list) if pb_list else None),
+            n_valid_slots=sum(nv_list))
 
     if q.ray_budget > 0:
         # ---- ray packing: the front-end only sees box-hitting rays —
@@ -793,7 +820,7 @@ def fast_render_rays(
             debug_ablate=debug_ablate,
             bg_ray_colors=(None if bg_ray_colors is None
                            else bg_ray_colors[ray_ids]),
-            pshard_axis=pshard_axis, ray_live=valid)
+            pshard_axis=pshard_axis, ray_live=valid, prob=prob)
 
         ids_s = jnp.where(valid, ray_ids, R)    # padding rows drop
         bg = (bg_ray_colors if bg_ray_colors is not None
@@ -807,12 +834,22 @@ def fast_render_rays(
             sub.acc, mode="drop")
         depth = jnp.zeros((R,), sub.depth.dtype).at[ids_s].set(
             sub.depth, mode="drop")
+        prob_kw = {}
+        if prob:
+            def scat(x):       # miss rays keep zeros (opacity 0)
+                z = jnp.zeros((R,) + x.shape[1:], x.dtype)
+                return z.at[ids_s].set(x, mode="drop")
+            prob_kw = {f: scat(getattr(sub, f)) for f in (
+                "ray_max_shading_opacity", "ray_max_sample_loc_w",
+                "shading_avg_color", "shading_avg_dir",
+                "shading_avg_conf", "shading_avg_embedding")}
         return FastRenderOutput(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, win_overflow=sub.win_overflow,
             dw_overflow=sub.dw_overflow, rb_overflow=rb_overflow,
             cb_overflow=sub.cb_overflow, mc_overflow=sub.mc_overflow,
-            pb_overflow=sub.pb_overflow)
+            pb_overflow=sub.pb_overflow,
+            n_valid_slots=sub.n_valid_slots, **prob_kw)
 
     qslot_flat = (None if hash_mode
                   else cache.coor_2_qslot.reshape(-1))
@@ -1106,22 +1143,30 @@ def fast_render_rays(
         n_local = cache.rows.shape[0]
         off_q = jax.lax.axis_index(pshard_axis) * n_local
         owned = (qslot_c >= off_q) & (qslot_c < off_q + n_local)
-        sig, rgb, found, pb = chunk_pipeline(
+        res = chunk_pipeline(
             params, Rw2c, cache, raydirs, campos, camrotc2w, near,
             step_t, cfg, ranges_min, scaled_vsize,
             jnp.where(owned, qslot_c - off_q, 0), sel_ray, sel_d,
             mask_c & owned, debug_ablate=debug_ablate,
-            skip_policy="any")
+            skip_policy="any", want_attrs=prob)
+        sig, rgb, found, pb = res[:4]
+        attrs_m = res[4] if prob else None
         okl = (mask_c & owned & found).astype(sig.dtype)
         sig = jax.lax.psum(sig * okl, pshard_axis)
         rgb = jax.lax.psum(rgb * okl[:, None], pshard_axis)
+        if prob:
+            attrs_m = jax.lax.psum(
+                attrs_m * okl[:, None].astype(attrs_m.dtype),
+                pshard_axis)
         found = jax.lax.psum(found.astype(jnp.int32), pshard_axis) > 0
         pb = jax.lax.psum(pb, pshard_axis)
     else:
-        sig, rgb, found, pb = chunk_pipeline(
+        res = chunk_pipeline(
             params, Rw2c, cache, raydirs, campos, camrotc2w, near,
             step_t, cfg, ranges_min, scaled_vsize, qslot_c, sel_ray,
-            sel_d, mask_c, debug_ablate=debug_ablate)
+            sel_d, mask_c, debug_ablate=debug_ablate, want_attrs=prob)
+        sig, rgb, found, pb = res[:4]
+        attrs_m = res[4] if prob else None
     pb_overflow = pb if has_pb_overflow(q) else None
 
     # ---- composite ----
@@ -1131,7 +1176,9 @@ def fast_render_rays(
           else jnp.asarray(cfg.bg_color, jnp.float32))
     use_packed = (q.composite_mode == "packed"
                   and q.compact_mode == "topk"
-                  and debug_ablate != "compact")
+                  and debug_ablate != "compact"
+                  and not prob)   # prob needs the [R, BP] slot grid
+                                  # for the per-ray opacity argmax
     if use_packed:
         # packed composite on the [M] compacted axis — no scatter-back
         # (ops/compositing.packed_alpha_composite)
@@ -1151,7 +1198,8 @@ def fast_render_rays(
             coarse_raycolor=color, ray_mask=ray_mask, acc=acc,
             depth=depth, win_overflow=win_overflow,
             dw_overflow=dw_overflow, cb_overflow=cb_overflow,
-            mc_overflow=mc_overflow, pb_overflow=pb_overflow)
+            mc_overflow=mc_overflow, pb_overflow=pb_overflow,
+            n_valid_slots=jnp.sum(mask_c.astype(jnp.int32)))
 
     # ---- grid composite: scatter to [R, BP] slots ----
     if debug_ablate == "scatterback":
@@ -1191,18 +1239,45 @@ def fast_render_rays(
     ray_found = jnp.any(valid_rb, -1)
     ray_mask = ray_hit & ray_found
     color = jnp.where(ray_mask[:, None], color, bg)
+    prob_kw = {}
+    if prob:
+        # per-ray max-opacity shading slot + the conf-weighted
+        # neighbor averages there — same semantics as render.py's
+        # prob path (argmax over the [R, BP] slot grid; reference:
+        # neural_points_volumetric_model.py:331-362)
+        dest_a = jnp.where(slot_ok, sel_ray * BP + sel_slot, R * BP)
+        attrs_rb = jnp.zeros((R * BP, attrs_m.shape[-1]),
+                             attrs_m.dtype).at[dest_a].set(
+            attrs_m, mode="drop").reshape(R, BP, -1)
+        s_star = jnp.argmax(opacity, axis=-1)                   # [R]
+        take = lambda x: jnp.take_along_axis(     # noqa: E731
+            x, s_star[:, None, None] if x.ndim == 3
+            else s_star[:, None], axis=1)
+        max_op = take(opacity)[:, 0]
+        loc_star = take(pos_rb)[:, 0]
+        a_star = take(attrs_rb)[:, 0]                           # [R, AW]
+        prob_kw = {
+            "ray_max_shading_opacity": max_op,
+            "ray_max_sample_loc_w": loc_star,
+            "shading_avg_color": a_star[:, 0:3],
+            "shading_avg_dir": a_star[:, 3:6],
+            "shading_avg_conf": a_star[:, 6:7],
+            "shading_avg_embedding": a_star[:, 7:],
+        }
     return FastRenderOutput(
         coarse_raycolor=color, ray_mask=ray_mask, acc=acc, depth=depth,
         win_overflow=win_overflow, dw_overflow=dw_overflow,
         cb_overflow=cb_overflow, mc_overflow=mc_overflow,
-        pb_overflow=pb_overflow)
+        pb_overflow=pb_overflow,
+        n_valid_slots=jnp.sum(mask_c.astype(jnp.int32)), **prob_kw)
 
 
 def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                    near, step_t, cfg, ranges_min, scaled_vsize,
                    qslot_c, sel_ray, sel_d, mask_c,
                    debug_ablate: Optional[str] = None,
-                   skip_policy: str = "prefix"):
+                   skip_policy: str = "prefix",
+                   want_attrs: bool = False):
     """Fat gather + K-NN + extract + decode, chunked over the [M]
     compacted slot axis (lax.map). Module-level so perf probes can time
     it against real precomputed compaction outputs.
@@ -1215,7 +1290,10 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
     scale): the per-chunk working set stays near VMEM and the
     tail-chunk skip quantizes finer. Floor of 2048 keeps GEMMs full.
     Returns (sig [M], rgb [M, 3], found [M], pb_overflow [] — dropped
-    valid pairs under decode_mode="pair", 0 otherwise)."""
+    valid pairs under decode_mode="pair", 0 otherwise), plus a
+    [M, 39] per-slot conf-weighted neighbor-average block (color 3,
+    dir 3, conf 1, embedding 32) when `want_attrs` (prob-mode point
+    growing; the fast twin of render.py's prob outputs)."""
     q = cfg.query
     M = qslot_c.shape[0]
     K = q.K
@@ -1262,6 +1340,14 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                 "the lane layout)")
         use_pair = True
     zero_pb = jnp.zeros((), jnp.int32)
+    AW = PAYW - 5    # avg-attrs width: color 3 + dir 3 + conf 1 + emb
+    if want_attrs and (use_fused_chunk or use_fused_sel or use_pair
+                       or q.extract_mode == "krows"
+                       or debug_ablate is not None):
+        raise ValueError(
+            "prob-mode neighbor averages (want_attrs) need the default "
+            "XLA one-hot decode path (knn_mode/chunk_mode 'xla', "
+            "decode_mode 'lanes', extract_mode 'onehot'/'gather')")
     if (cache.kmeta is not None and not (use_fused_sel or use_fused_chunk)
             and cache.rows.shape[0] == 1 and cache.kmeta.shape[0] > 1):
         # fused-layout caches carry only a placeholder `rows`; the XLA
@@ -1547,6 +1633,20 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
                 neigh_dir=ndir, dists=dists, weight=weight,
                 pnt_mask=pnt_mask, viewdirs=vd, Rw2c=Rw2c,
                 base_h=base_h)
+        if want_attrs:
+            # conf-weighted neighbor averages for prob-mode growing —
+            # the same wc = weight * conf the legacy prob path uses
+            # (render.py prob_out; reference
+            # neural_points_volumetric_model.py:331-362). weight
+            # already folds conf when conf_in_weight, matching legacy.
+            wc = (weight * conf * pnt_mask.astype(weight.dtype)
+                  )[..., None].astype(jnp.float32)             # [Mc,K,1]
+            attrs = jnp.concatenate([
+                jnp.sum(ncol.astype(jnp.float32) * wc, -2),
+                jnp.sum(ndir.astype(jnp.float32) * wc, -2),
+                jnp.sum(conf[..., None] * wc, -2),
+                jnp.sum(emb.astype(jnp.float32) * wc, -2)], -1)
+            return sig_c, rgb_c, jnp.any(pnt_mask, -1), attrs
         return sig_c, rgb_c, jnp.any(pnt_mask, -1)
 
     def _pair_tail(pnt_mask, top_idx, locs, center, rd_sel, fetch_pay):
@@ -1634,10 +1734,12 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
         CHc = args[0].shape[0]
 
         def skip(_):
-            return (jnp.zeros((CHc,), jnp.float32),
-                    jnp.zeros((CHc, 3), jnp.float32),
-                    jnp.zeros((CHc,), jnp.bool_),
-                    jnp.zeros((), jnp.int32))
+            z = (jnp.zeros((CHc,), jnp.float32),
+                 jnp.zeros((CHc, 3), jnp.float32),
+                 jnp.zeros((CHc,), jnp.bool_))
+            if want_attrs:
+                z = z + (jnp.zeros((CHc, AW), jnp.float32),)
+            return z + (jnp.zeros((), jnp.int32),)
 
         go = args[3][0] if skip_policy == "prefix" else jnp.any(args[3])
         return jax.lax.cond(go, chunk_body, skip, args)
@@ -1649,16 +1751,21 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
         def cpad(x):
             return jnp.pad(x, ((0, pad),)).reshape((n, CH))
 
-        sig, rgb, found, pb = jax.lax.map(
+        res = jax.lax.map(
             chunk_or_skip, (cpad(qslot_c), cpad(sel_ray), cpad(sel_d),
                             cpad(mask_c)))
-        sig = sig.reshape(n * CH)[:M]
-        rgb = rgb.reshape(n * CH, 3)[:M]
-        found = found.reshape(n * CH)[:M]
-        pb = jnp.sum(pb)
+        sig, rgb, found = (res[0].reshape(n * CH)[:M],
+                           res[1].reshape(n * CH, 3)[:M],
+                           res[2].reshape(n * CH)[:M])
+        attrs = (res[3].reshape(n * CH, AW)[:M] if want_attrs else None)
+        pb = jnp.sum(res[-1])
     else:
-        sig, rgb, found, pb = chunk_or_skip(
-            (qslot_c, sel_ray, sel_d, mask_c))
+        res = chunk_or_skip((qslot_c, sel_ray, sel_d, mask_c))
+        sig, rgb, found = res[0], res[1], res[2]
+        attrs = res[3] if want_attrs else None
+        pb = res[-1]
+    if want_attrs:
+        return sig, rgb, found, pb, attrs
     return sig, rgb, found, pb
 
 
@@ -1915,13 +2022,14 @@ def _build_base_h(cfg: PointNerfConfig, cloud: NeuralPointCloud,
     return precompute_base_h(params, cfg.agg, cloud.points_embeding)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "prob"))
 def fast_render_rays_jit(params, Rw2c, cache, campos, camrotc2w, raydirs,
                          near, far, cfg, ranges_min, scaled_vsize,
-                         bg_ray_colors=None):
+                         bg_ray_colors=None, prob=False):
     return fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
                             raydirs, near, far, cfg, ranges_min,
-                            scaled_vsize, bg_ray_colors=bg_ray_colors)
+                            scaled_vsize, bg_ray_colors=bg_ray_colors,
+                            prob=prob)
 
 
 def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,

@@ -316,13 +316,34 @@ def localize_for_build(*arrays):
     grid build on the 8-virtual-device CPU mesh (r4 dryrun bisection).
     One device-to-device copy per structure change is off every hot
     path; downstream sharded steps re-shard the results per their own
-    specs."""
+    specs.
+
+    Escape hatch (ADVICE r4): an array SHARDED over a points axis
+    precisely because it exceeds one chip's HBM must NOT be force-
+    replicated here — that turns an expensive-but-working distributed
+    build into a deterministic OOM. Arrays whose replicated footprint
+    would exceed PN2S_LOCALIZE_MAX_BYTES (default 4 GiB) stay on their
+    mesh; the (slow) n-way SPMD build still completes. Set the env var
+    to 0 to disable localization entirely."""
+    import os
+    max_bytes = int(os.environ.get("PN2S_LOCALIZE_MAX_BYTES",
+                                   4 << 30) or 0)
     dev = jax.devices()[0]
     out = []
     for a in arrays:
         try:
             multi = (hasattr(a, "sharding")
                      and len(a.sharding.device_set) > 1)
+            if multi and max_bytes:
+                nbytes = int(np.prod(a.shape)) * a.dtype.itemsize
+                if nbytes > max_bytes:
+                    print(f"localize_for_build: keeping a "
+                          f"{nbytes / 2 ** 30:.1f} GiB sharded array "
+                          f"on its mesh (> PN2S_LOCALIZE_MAX_BYTES); "
+                          f"build runs distributed")
+                    multi = False
+            elif multi and not max_bytes:
+                multi = False
         except Exception:
             multi = False
         out.append(jax.device_put(a, dev) if multi else a)

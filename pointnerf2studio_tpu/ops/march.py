@@ -258,10 +258,14 @@ def simulate_march(
     `jitter` > 0 models the TRAIN path's jittered device walk (the
     t_tab branch of march_rays): the skip free-radius divides by
     jfac = 1 + jitter/2 and the d_lo/d_hi index bounds widen the same
-    way the device's conservative bounds do, so every simulated walk
-    is at least as long as the device's. Without it, march_auto train
-    plans systematically UNDERESTIMATE device steps and lean on ad-hoc
-    caller margins (ADVICE r3).
+    way the device's conservative bounds do — conservative in the
+    bound/skip terms, though not a strict per-ray guarantee (the
+    device walks the true jittered positions through potentially
+    different voxels than the unjittered sim); the residual divergence
+    is absorbed by the callers' fuel margins and verified on device by
+    the mc_overflow counter. Without the jitter model, march_auto
+    train plans systematically UNDERESTIMATE device steps and lean on
+    ad-hoc caller margins (ADVICE r3).
 
     `campos` may be [3] (one camera) or [R, 3] per-ray origins — the
     latter lets plan_march size budgets over rays drawn from SEVERAL

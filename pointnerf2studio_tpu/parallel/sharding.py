@@ -201,7 +201,8 @@ def make_sharded_fast_render(cfg: PointNerfConfig, mesh: Mesh) -> Callable:
         rb_overflow=P() if has_rb else None,
         cb_overflow=P() if has_cb else None,
         mc_overflow=P() if has_mc else None,
-        pb_overflow=P() if has_pb else None)
+        pb_overflow=P() if has_pb else None,
+        n_valid_slots=P())
     return _jit_sharded(
         local, mesh,
         in_specs=(P(), P(), P(), P(), P(), P("rays"), P(), P(), P(), P()),
@@ -212,7 +213,8 @@ def _psum_counters(out):
     """Sum a FastRenderOutput's scalar exactness counters over the rays
     axis so they come back replicated (shard_map helpers)."""
     for f in ("win_overflow", "dw_overflow", "rb_overflow",
-              "cb_overflow", "mc_overflow", "pb_overflow"):
+              "cb_overflow", "mc_overflow", "pb_overflow",
+              "n_valid_slots"):
         v = getattr(out, f)
         if v is not None:
             out = out.replace(**{f: jax.lax.psum(v, "rays")})
@@ -268,7 +270,8 @@ def make_sharded_fast_render_pt(cfg: PointNerfConfig,
         rb_overflow=P() if has_rb else None,
         cb_overflow=P() if has_cb else None,
         mc_overflow=P() if has_mc else None,
-        pb_overflow=P() if has_pb else None)
+        pb_overflow=P() if has_pb else None,
+        n_valid_slots=P())
     return _jit_sharded(
         local, mesh,
         in_specs=(P(), P(), cache_specs, P(), P(), P("rays"), P(), P(),

@@ -52,6 +52,44 @@ def _probe_render_fn(cfg: PointNerfConfig):
     return fn
 
 
+def probe_cfg(cfg: PointNerfConfig) -> PointNerfConfig:
+    """The FAST prob-mode probe's query config: the plain topk-packed
+    chunk pipeline with every front-end reducer stripped.
+
+    - march/rb/span/dw budgets were planned for TRAINING batches
+      (pixel-sampled, frame-average density); probe chunks are
+      raster-order full-image slices whose center chunks run ~2.4x
+      average density, so those static budgets would silently drop
+      probe samples.
+    - compact_budget = the per-ray slot cap, so cb_overflow cannot
+      drop slots at any density (has_cb_overflow -> None).
+    - prob-mode neighbor averages need the default XLA decode path
+      (chunk_pipeline want_attrs guard)."""
+    import dataclasses
+    q = cfg.query
+    BP = q.ray_slot_budget or min(q.SR, 32)
+    return dataclasses.replace(cfg, query=dataclasses.replace(
+        q, march_steps=(), march_buckets=(), ray_budget=0,
+        span_tiers=(), span_tier_budgets=(), depth_window=0,
+        coarse_step=0, knn_mode="xla", chunk_mode="xla",
+        decode_mode="lanes", extract_mode="onehot",
+        compact_budget=min(q.SR, BP), use_cache=False))
+
+
+def make_probe_scene(cfg: PointNerfConfig, params, points, grid,
+                     near, far):
+    """(cfg_p, cache, rmin, svs) for fast prob-mode probes — ONE fat
+    cache per growth event, shared by every probe view (VERDICT r4
+    #3i: the legacy prob-mode render's remote compile at scene scale
+    is the known 50+ min pathology; the fast path compiles the same
+    ~40 s program family the training loop already uses)."""
+    from pointnerf2studio_tpu.models.fast_render import make_fast_scene
+    cfg_p = probe_cfg(cfg)
+    cache, rmin, svs = make_fast_scene(cfg_p, points, grid, near=near,
+                                       far=far, params=params)
+    return cfg_p, cache, rmin, svs
+
+
 def probe_view(
     cfg: PointNerfConfig, params, points, grid,
     dataset: BlenderDataset, view: int,
@@ -59,6 +97,7 @@ def probe_view(
     opacity_thresh: float = 0.7,
     prob_mul: float = 1.0,
     bg_eps: float = 0.002,
+    fast_scene=None,      # make_probe_scene result -> fast prob path
 ) -> Dict[str, np.ndarray]:
     """Probe one view -> candidate new-point arrays (may be empty)."""
     h, w = dataset.hw
@@ -79,8 +118,6 @@ def probe_view(
     # when params/points arrive committed to a live training mesh
     # (mixed-device args are a jit error; n-way replicated execution
     # of the probe would also be pure waste)
-    params, points, grid = localize_tree_for_build((params, points, grid))
-    fn = _probe_render_fn(cfg)
     campos = jnp.asarray(dataset.campos(view))
     camrot = jnp.asarray(dataset.camrotc2w(view))
     near_j = jnp.asarray(dataset.near)
@@ -90,11 +127,29 @@ def probe_view(
             "shading_avg_color", "shading_avg_dir", "shading_avg_conf",
             "shading_avg_embedding")
     maps = {k: [] for k in keys}
-    for i in range(0, padded, chunk):
-        out = fn(params, points, grid, campos, camrot, near_j, far_j,
-                 jnp.asarray(rays_p[i:i + chunk]))
-        for k in keys:
-            maps[k].append(np.asarray(getattr(out, k)))
+    if fast_scene is not None:
+        from pointnerf2studio_tpu.models.fast_render import (
+            fast_render_rays_jit)
+        cfg_p, cache, rmin, svs = fast_scene
+        params, Rw2c = localize_tree_for_build((params, points.Rw2c))
+        rmin_j, svs_j = jnp.asarray(rmin), jnp.asarray(svs)
+        for i in range(0, padded, chunk):
+            out = fast_render_rays_jit(
+                params, Rw2c, cache, campos, camrot,
+                jnp.asarray(rays_p[i:i + chunk]), near_j, far_j,
+                cfg_p, rmin_j, svs_j, prob=True)
+            for k in keys:
+                maps[k].append(np.asarray(jax.device_get(
+                    getattr(out, k))))
+    else:
+        params, points, grid = localize_tree_for_build(
+            (params, points, grid))
+        fn = _probe_render_fn(cfg)
+        for i in range(0, padded, chunk):
+            out = fn(params, points, grid, campos, camrot, near_j,
+                     far_j, jnp.asarray(rays_p[i:i + chunk]))
+            for k in keys:
+                maps[k].append(np.asarray(getattr(out, k)))
     maps = {k: np.concatenate(v)[:total] for k, v in maps.items()}
 
     gt = dataset.images[view].reshape(h, w, 3)
@@ -118,7 +173,10 @@ def probe_view(
 @jax.jit
 def reset_point_opt_slots(opt_state, slots):
     """Zero Adam moments at grown slots (their history belonged to a
-    previously pruned point). `slots` is an index array into N.
+    previously pruned point). `slots` is an index array into N —
+    bucket-padded by the caller (pad_grow_count) so growth events with
+    similar counts reuse ONE compiled program; padding entries are
+    out-of-range sentinels dropped by the scatter.
 
     Jitted as ONE program: the eager tree.map form dispatches one
     distributed scatter per moment leaf, which dominates grow wall
@@ -127,10 +185,18 @@ def reset_point_opt_slots(opt_state, slots):
 
     def zero_rows(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.dtype.kind == "f":
-            return x.at[idx].set(0.0)
+            return x.at[idx].set(0.0, mode="drop")
         return x
 
     return jax.tree.map(zero_rows, opt_state)
+
+
+def pad_grow_count(m: int, bucket: int = 256) -> int:
+    """Round a growth-event size up to a compile bucket (ADVICE r4:
+    variable-length grow/reset index arrays retraced + recompiled on
+    EVERY event with a new count — expensive on the remote compiler
+    and unbounded over a long run)."""
+    return max(bucket, -(-m // bucket) * bucket)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -174,9 +240,27 @@ def probe_and_grow(
     train step). With expansion off, the overflow is DROPPED and
     reported, never silent."""
     views = views if views is not None else list(range(dataset.num_views))
+    # FAST prob-mode probes by default (VERDICT r4 #3i): one fat cache
+    # per growth event, one ~40 s-class compiled program reused across
+    # events — instead of the legacy prob render whose remote compile
+    # at scene scale is the measured 50+ min pathology (STATUS.md r4).
+    # PN2S_LEGACY_PROBE=1 falls back to the legacy path.
+    import os
+    fast_scene = None
+    if os.environ.get("PN2S_LEGACY_PROBE", "0") != "1":
+        try:
+            fast_scene = make_probe_scene(
+                cfg, state.params, state.points, grid,
+                near=dataset.near, far=dataset.far)
+        except Exception as e:    # probe must never kill training
+            print(f"grow: fast probe scene failed ({e}); legacy probe")
     parts = [probe_view(cfg, state.params, state.points, grid, dataset, v,
                         chunk=chunk, opacity_thresh=opacity_thresh,
-                        prob_mul=prob_mul) for v in views]
+                        prob_mul=prob_mul, fast_scene=fast_scene)
+             for v in views]
+    del fast_scene    # free the probe fat cache before the geo rebuild
+                      # (the r4 hole run RESOURCE_EXHAUSTed right after
+                      # a probe event, logs_r4/queue_r4c.log:509-534)
     xyz = np.concatenate([p["xyz"] for p in parts], 0)
     if xyz.shape[0] == 0:
         return state, grid, 0
@@ -197,16 +281,34 @@ def probe_and_grow(
                   f"expansion disabled)")
 
     alive_before = np.asarray(state.points.alive)
+    # bucket-pad the candidate batch (ADVICE r4): every distinct M
+    # would otherwise trace + remote-compile a fresh grow program;
+    # padding rows carry valid=False and are never placed
+    m = xyz.shape[0]
+    mp = pad_grow_count(m)
+
+    def padm(a):
+        a = np.asarray(a)
+        return jnp.asarray(np.pad(a, ((0, mp - m),) + ((0, 0),)
+                                  * (a.ndim - 1)))
+
+    valid = np.zeros((mp,), bool)
+    valid[:m] = True
     points = npts.grow(
         state.points,
-        jnp.asarray(xyz),
-        jnp.asarray(np.concatenate([p["embedding"] for p in parts], 0)),
-        jnp.asarray(np.concatenate([p["conf"] for p in parts], 0)),
-        jnp.asarray(np.concatenate([p["dir"] for p in parts], 0)),
-        jnp.asarray(np.concatenate([p["color"] for p in parts], 0)),
-        jnp.ones((xyz.shape[0],), bool))
+        padm(xyz),
+        padm(np.concatenate([p["embedding"] for p in parts], 0)),
+        padm(np.concatenate([p["conf"] for p in parts], 0)),
+        padm(np.concatenate([p["dir"] for p in parts], 0)),
+        padm(np.concatenate([p["color"] for p in parts], 0)),
+        jnp.asarray(valid))
     grown = np.flatnonzero(np.asarray(points.alive) & ~alive_before)
-    opt_p = reset_point_opt_slots(state.opt_state_points, grown)
+    # same bucketing for the moment-reset index array (sentinel
+    # indices are out of range -> dropped by the jitted scatter)
+    gp = np.full((pad_grow_count(max(grown.shape[0], 1)),), 2 ** 30,
+                 np.int64)
+    gp[:grown.shape[0]] = grown
+    opt_p = reset_point_opt_slots(state.opt_state_points, gp)
     state = state.replace(points=points, opt_state_points=opt_p)
     grid = build_grid_from_points(points.xyz, points.alive, cfg.query)
     return state, grid, int(grown.shape[0])

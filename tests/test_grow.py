@@ -163,3 +163,53 @@ class TestGrowMechanics:
         if new_xyz.shape[0]:
             r_xy = np.linalg.norm(new_xyz[:, :2], axis=-1)
             assert r_xy.mean() < 0.4
+
+
+class TestFastProbeParity:
+    """The fast prob-mode probe (VERDICT r4 #3i) against the legacy
+    prob render on the same scene: same growth signals, up to the fast
+    path's documented bf16 payload quantization."""
+
+    def test_fast_prob_matches_legacy(self, scene):
+        from pointnerf2studio_tpu.models.fast_render import (
+            fast_render_rays_jit)
+        from pointnerf2studio_tpu.train.grow import make_probe_scene
+
+        raydirs = camera_rays(scene.campos, scene.camrotc2w, 16, 16, 12.0)
+        leg = render_rays_jit(scene.params, scene.cloud, scene.grid,
+                              scene.campos, scene.camrotc2w, raydirs,
+                              scene.near, scene.far, scene.cfg, prob=True)
+        cfg_p, cache, rmin, svs = make_probe_scene(
+            scene.cfg, scene.params, scene.cloud, scene.grid,
+            near=scene.near, far=scene.far)
+        fast = fast_render_rays_jit(
+            scene.params, scene.cloud.Rw2c, cache, scene.campos,
+            scene.camrotc2w, raydirs, scene.near, scene.far, cfg_p,
+            jnp.asarray(rmin), jnp.asarray(svs), prob=True)
+
+        m_leg = np.asarray(leg.ray_mask)
+        m_fast = np.asarray(fast.ray_mask)
+        agree = (m_leg == m_fast).mean()
+        assert agree >= 0.99, f"mask agreement {agree}"
+        both = m_leg & m_fast
+        assert both.any()
+        # max-opacity location: same sample up to bf16-candidate
+        # selection ties -> compare within a voxel for ~all rays
+        dloc = np.linalg.norm(
+            np.asarray(leg.ray_max_sample_loc_w)[both]
+            - np.asarray(fast.ray_max_sample_loc_w)[both], axis=-1)
+        vs = float(max(scene.cfg.query.scaled_vsize))
+        assert (dloc < vs).mean() >= 0.9, (
+            f"loc within-voxel frac {(dloc < vs).mean()}")
+        same = both.copy()
+        same[both] = dloc < 1e-4      # rays whose argmax slot matched
+        assert same.any()
+        dop = np.abs(np.asarray(leg.ray_max_shading_opacity)[same]
+                     - np.asarray(fast.ray_max_shading_opacity)[same])
+        assert dop.max() < 2e-2
+        for f in ("shading_avg_color", "shading_avg_dir",
+                  "shading_avg_conf", "shading_avg_embedding"):
+            a = np.asarray(getattr(leg, f))[same]
+            b = np.asarray(getattr(fast, f))[same]
+            err = np.abs(a - b).max()
+            assert err < 3e-2, f"{f} max err {err}"
