@@ -747,13 +747,23 @@ def main() -> None:
     # (query_worldcoords.cu:153-158, which drops candidates far more
     # aggressively). Quality is MEASURED live against the exact pass
     # on the same rays and reported next to the number.
-    tier_name = os.environ.get("BENCH_TIER", "cand32")
+    # Tier grammar: "cand<C>[_k<K>]" — cand_cap truncation optionally
+    # composed with a reduced K-NN fan-in (K=4 keeps the 4 nearest of
+    # the exact path's 8; the tower/extract/dists stages all scale in
+    # K, and the reference's own P=12 reservoir bounds per-voxel
+    # neighbor supply far harder than either knob).
+    tier_name = os.environ.get("BENCH_TIER", "cand16_k4")
     if tier_name not in ("", "0", "off") and not sphere:
-        tier_cap = {"cand32": 32, "cand16": 16}.get(tier_name, 32)
+        import re as _re
+        m = _re.fullmatch(r"cand(\d+)(?:_k(\d+))?", tier_name)
+        tier_cap = int(m.group(1)) if m else 32
+        tier_k = int(m.group(2)) if (m and m.group(2)) else 0
         try:
+            qkw = {"cand_cap": tier_cap}
+            if tier_k:
+                qkw["K"] = tier_k
             cfg_t = dataclasses.replace(
-                cfg, query=dataclasses.replace(cfg.query,
-                                               cand_cap=tier_cap))
+                cfg, query=dataclasses.replace(cfg.query, **qkw))
             cache_t, rmin_t, svs_t = make_fast_scene(
                 cfg_t, scene.cloud, scene.grid, near=scene.near,
                 far=scene.far, params=scene.params)
@@ -783,13 +793,16 @@ def main() -> None:
             tfs_t = fpr_t * n_chunks * chunk / 1e12 * rps_t / (
                 n_chunks * chunk)
             record["perf_tier"] = {
-                "name": f"approx_cand_cap{tier_cap}",
+                "name": (f"approx_cand_cap{tier_cap}"
+                         + (f"_k{tier_k}" if tier_k else "")),
                 "rays_per_sec": rps_t,
                 "vs_baseline": round(rps_t / BASELINE_RAYS_PER_SEC, 3),
                 "exactness": (
                     f"approximate: per-voxel candidate lists "
-                    f"build-truncated at {tier_cap} (reference "
-                    f"truncates at P=12/voxel)"),
+                    f"build-truncated at {tier_cap}"
+                    + (f", K-NN fan-in {tier_k} of {cfg.query.K}"
+                       if tier_k else "")
+                    + " (reference truncates at P=12/voxel)"),
                 "quality_vs_exact": {
                     "rays_compared": int(n_cmp),
                     "ray_mask_agreement": float(magree.mean()),
