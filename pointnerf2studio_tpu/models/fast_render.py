@@ -644,6 +644,12 @@ def fast_render_rays(
                                           # point growing (the fast
                                           # twin of render.py's prob
                                           # path; grid composite)
+    premarch: Optional[jnp.ndarray] = None,  # [R, cap] packed
+                                          # (qslot+1)<<9|d emit rows
+                                          # from ops/raster (frame
+                                          # front-end); replaces the
+                                          # per-chunk ray march when
+                                          # march_active(q)
 ) -> FastRenderOutput:
     q = cfg.query
     if prob and q.span_tiers:
@@ -820,7 +826,8 @@ def fast_render_rays(
             debug_ablate=debug_ablate,
             bg_ray_colors=(None if bg_ray_colors is None
                            else bg_ray_colors[ray_ids]),
-            pshard_axis=pshard_axis, ray_live=valid, prob=prob)
+            pshard_axis=pshard_axis, ray_live=valid, prob=prob,
+            premarch=(None if premarch is None else premarch[ray_ids]))
 
         ids_s = jnp.where(valid, ray_ids, R)    # padding rows drop
         bg = (bg_ray_colors if bg_ray_colors is not None
@@ -887,22 +894,37 @@ def fast_render_rays(
         # ~= steps taken instead of the dense [R, D(W)] table gather;
         # emits each ray's first-cap occupied samples directly, so the
         # select/compact machinery below is skipped too. Exact while
-        # mc_overflow == 0.
-        if hash_mode or cache.march_table is None:
-            raise ValueError(
-                "march_steps needs a dense-grid cache with march_table "
-                "(make_fast_scene builds it when march_steps is set)")
-        if cache.rows.shape[0] > (1 << 22) - 2 or D > 512:
-            raise ValueError("march packing needs max_q < 2^22 - 1 "
-                             "and z_depth_dim <= 512")
-        from pointnerf2studio_tpu.ops.march import march_rays
-        from pointnerf2studio_tpu.ops.select import rank_gather_pack
+        # mc_overflow == 0. With `premarch` (ops/raster.py frame
+        # front-end) the walk is skipped entirely: the caller already
+        # binned this chunk's rays' first-cap occupied samples, in the
+        # identical packed format (exact while the raster counters
+        # read zero — asserted by the caller per frame).
         cap = min(SR, BP, D)
-        emit, cnt, mc_overflow = march_rays(
-            cache.march_table.reshape(-1), dims_arr, gy, gz,
-            ranges_min, scaled_vsize, campos, raydirs, near, far,
-            step_t, D, cap, q.march_steps, q.march_buckets,
-            live=ray_live)
+        from pointnerf2studio_tpu.ops.select import rank_gather_pack
+        if premarch is not None:
+            if premarch.shape != (R, cap):
+                raise ValueError(
+                    f"premarch shape {premarch.shape} != {(R, cap)}")
+            emit = premarch
+            cnt = jnp.sum((premarch != 0).astype(jnp.int32), -1)
+            if ray_live is not None:
+                cnt = jnp.where(ray_live, cnt, 0)
+            mc_overflow = None
+        else:
+            if hash_mode or cache.march_table is None:
+                raise ValueError(
+                    "march_steps needs a dense-grid cache with "
+                    "march_table (make_fast_scene builds it when "
+                    "march_steps is set)")
+            if cache.rows.shape[0] > (1 << 22) - 2 or D > 512:
+                raise ValueError("march packing needs max_q < 2^22 - 1 "
+                                 "and z_depth_dim <= 512")
+            from pointnerf2studio_tpu.ops.march import march_rays
+            emit, cnt, mc_overflow = march_rays(
+                cache.march_table.reshape(-1), dims_arr, gy, gz,
+                ranges_min, scaled_vsize, campos, raydirs, near, far,
+                step_t, D, cap, q.march_steps, q.march_buckets,
+                live=ray_live)
         ray_hit = cnt > 0
         iota_bp = jnp.broadcast_to(
             jnp.arange(cap, dtype=jnp.int32), (R, cap))
@@ -2025,11 +2047,11 @@ def _build_base_h(cfg: PointNerfConfig, cloud: NeuralPointCloud,
 @functools.partial(jax.jit, static_argnames=("cfg", "prob"))
 def fast_render_rays_jit(params, Rw2c, cache, campos, camrotc2w, raydirs,
                          near, far, cfg, ranges_min, scaled_vsize,
-                         bg_ray_colors=None, prob=False):
+                         bg_ray_colors=None, prob=False, premarch=None):
     return fast_render_rays(params, Rw2c, cache, campos, camrotc2w,
                             raydirs, near, far, cfg, ranges_min,
                             scaled_vsize, bg_ray_colors=bg_ray_colors,
-                            prob=prob)
+                            prob=prob, premarch=premarch)
 
 
 def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
