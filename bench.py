@@ -17,6 +17,11 @@ Env knobs:
   BENCH_SCENE=sphere  render the r1 sphere-shell scene instead
                       (180 samples over [1.1, 2.9]) for continuity
                       with BENCH_r01/r02 numbers.
+  BENCH_FRONT=march   disable the raster frame front-end (default
+                      "raster": ONE sort-based binning program per
+                      frame replaces the per-chunk march walk, chip-
+                      verified bit-identical each run with automatic
+                      fallback to the march on any counter/mismatch)
   BENCH_MC=0          disable the distance-field ray-march front-end
                       (default auto: plan staged fuel/buckets from the
                       first shuffled chunk; mc_overflow == 0 asserted
@@ -374,7 +379,8 @@ def main() -> None:
     # fast_render_rays_jit is a module-level jit.
     _sharded_renders = {}
 
-    def make_run_chunk(c, rays_all, cache_=None):
+    def make_run_chunk(c, rays_all, cache_=None, emit_tbl=None,
+                       ids_all=None):
         cache_c = cache if cache_ is None else cache_
 
         if mesh.devices.size == 1:
@@ -388,10 +394,17 @@ def main() -> None:
             def run_chunk(i):
                 rays = jax.lax.dynamic_slice_in_dim(
                     rays_all, i * chunk, chunk)
+                pm = None
+                if emit_tbl is not None:
+                    # frame ray ids of this chunk; the emit-row gather
+                    # runs inside the jitted render program
+                    ids = jax.lax.dynamic_slice_in_dim(
+                        ids_all, i * chunk, chunk)
+                    pm = (emit_tbl, ids)
                 return fast_render_rays_jit(
                     scene.params, scene.cloud.Rw2c, cache_c,
                     scene.campos, scene.camrotc2w, rays, near, far,
-                    c, rmin, svs)
+                    c, rmin, svs, premarch=pm)
 
             return run_chunk
         try:
@@ -526,6 +539,126 @@ def main() -> None:
             cfg = dataclasses.replace(
                 cfg, query=dataclasses.replace(cfg.query, **e.fix))
 
+    # ---- raster frame front-end (ops/raster.py, BENCH_FRONT=raster):
+    # ONE sort-based binning program per frame replaces the per-chunk
+    # ray march. Verified here untimed: counters must read zero AND
+    # every chunk must render bit-identically to the march path; any
+    # violation falls back to the march (the raster is then simply
+    # not used — the bench never records unverified numbers).
+    use_raster = (os.environ.get("BENCH_FRONT", "raster") == "raster"
+                  and not sphere and bool(cfg.query.march_steps)
+                  and cache.coor_2_qslot is not None
+                  and mesh.devices.size == 1 and shuffled)
+    raster_prog = None
+    raster_qvox = {}
+    raydirs_frame = jnp.asarray(rd_host0)
+    ids0 = jnp.asarray(perm.astype(np.int32)) if shuffled else None
+    step_t_f = jnp.float32((float(scene.far) - float(scene.near))
+                           / cfg.query.z_depth_dim)
+    near_f = jnp.float32(float(scene.near))
+
+    def build_emit(c, cache_c, salt):
+        qv = raster_qvox.get(id(cache_c))
+        if qv is None:
+            from pointnerf2studio_tpu.ops.raster import build_qvox
+            qv = build_qvox(cache_c.coor_2_qslot, cache_c.rows.shape[0])
+            raster_qvox[id(cache_c)] = qv
+        return raster_prog(qv, rmin, svs, scene.campos,
+                           scene.camrotc2w, raydirs_frame, near_f,
+                           step_t_f, jnp.float32(salt))
+
+    if use_raster:
+        try:
+            from pointnerf2studio_tpu.ops.raster import (
+                _voxel_footprint, build_qvox, make_raster_program)
+            q_ = cfg.query
+            capr = min(q_.SR, q_.ray_slot_budget or min(q_.SR, 32),
+                       q_.z_depth_dim)
+            # auto-ladder: measure this scene+camera's footprint
+            # distribution once (untimed) and size the emit classes
+            # from it — chair-800p lands at ((3,3,2),(4,4,2),(4,5,2))
+            # with ~16M static rows (tools/probe_raster.py --stats)
+            qv0 = build_qvox(cache.coor_2_qslot, cache.rows.shape[0])
+            raster_qvox[id(cache)] = qv0
+            fw, fh, fnd, fok = jax.jit(lambda qq: (
+                lambda r: (r[3], r[4], r[5], r[6]))(_voxel_footprint(
+                    qq, rmin, svs, scene.campos, scene.camrotc2w,
+                    H, W, focal, near_f, jnp.float32(float(scene.far)),
+                    q_.z_depth_dim, step_t_f)))(qv0)
+            fok = np.asarray(jax.device_get(fok))
+            fw = np.asarray(jax.device_get(fw))[fok]
+            fh = np.asarray(jax.device_get(fh))[fok]
+            fnd = np.asarray(jax.device_get(fnd))[fok]
+            # behind-camera voxels read INT_MAX: real class_overflow
+            finite = fw < (1 << 30)
+            if not finite.all():
+                raise RuntimeError(
+                    f"{int((~finite).sum())} voxels straddle the "
+                    f"camera plane — raster needs the camera outside "
+                    f"the grid box")
+
+            def _cls(pw, ph, pnd):
+                return (int(np.percentile(fw, pw)),
+                        int(np.percentile(fh, ph)),
+                        int(np.percentile(fnd, pnd)))
+
+            classes = [_cls(60, 60, 90)]
+            classes.append((max(int(fw.max() + 1) // 2, classes[0][0] + 1),
+                            max(int(fh.max() + 1) // 2, classes[0][1] + 1),
+                            max(int(fnd.max() + 1) // 2,
+                                classes[0][2] + 1)))
+            classes.append((int(fw.max()), int(fh.max()),
+                            int(fnd.max())))
+            classes = tuple(dict.fromkeys(
+                tuple(c) for c in classes))    # dedupe, order kept
+            rem = np.ones(fw.shape[0], bool)
+            budgets = []
+            rows_static = 0
+            for (px, py, ndc) in classes:
+                fits = rem & (fw <= px) & (fh <= py) & (fnd <= ndc)
+                nb = int(fits.sum() * 1.25) + 4096
+                budgets.append(nb)
+                rows_static += nb * px * py * ndc
+                rem &= ~fits
+            budgets = tuple(budgets)
+            if rows_static > 40_000_000:
+                raise RuntimeError(
+                    f"emit ladder needs {rows_static:,} static rows "
+                    f"(> 40M cap) — footprints too large for the "
+                    f"sort-raster at this camera")
+            print(f"bench: raster ladder {classes} budgets {budgets} "
+                  f"static rows {rows_static:,}", file=sys.stderr)
+            live_budget = int(os.environ.get(
+                "BENCH_RASTER_LIVE", str((1 << 20) if smoke
+                                         else 3_670_016)))
+            raster_prog = make_raster_program(
+                H, W, focal, q_.z_depth_dim, capr, classes=classes,
+                class_budgets=budgets, live_budget=live_budget)
+            emit_v, ctr_v = build_emit(cfg, cache, 0.5)
+            ctr_np = np.asarray(jax.device_get(ctr_v))
+            if ctr_np.sum() != 0:
+                raise RuntimeError(f"raster counters {ctr_np.tolist()}")
+            rc_r = make_run_chunk(cfg, raydirs, emit_tbl=emit_v,
+                                  ids_all=ids0)
+            for i in range(n_chunks):
+                om = run_chunk(i)
+                orr = rc_r(i)
+                for f in ("coarse_raycolor", "ray_mask", "acc", "depth"):
+                    a = np.asarray(jax.device_get(getattr(om, f)))
+                    b = np.asarray(jax.device_get(getattr(orr, f)))
+                    if not np.array_equal(a, b):
+                        raise RuntimeError(
+                            f"raster != march on chunk {i} field {f} "
+                            f"({np.sum(a != b)} elements)")
+            print("bench: raster front-end verified bit-identical to "
+                  "the march on all chunks; timing through raster",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"bench: raster front-end disabled ({e})",
+                  file=sys.stderr)
+            raster_prog = None
+            use_raster = False
+
     # pre-compile the per-chunk scalar-sum programs outside the timed
     # window (block_until_ready is a no-op on the axon backend; the
     # end-of-loop fetch of the stacked sums is the real barrier)
@@ -551,31 +684,44 @@ def main() -> None:
     # suspect bracket; if the window never clears, record anyway with
     # congested=true plus the last clean-window anchor so the driver
     # artifact can never silently regress on congestion again.
-    PRE_CLEAN_BAND = (150.0, 215.0)
+    # r5 recalibration (logs: /tmp/queue_r5a.log): the 150-215 ms
+    # "clean band" measured in r3/r4 was the FIRST sentinel call of a
+    # process — it bills the sentinel program's compile + buffer
+    # uploads. Warm salted sentinels read ~4-5 ms in a clean window;
+    # congestion INFLATES wall times (up to ~9x for hours), it never
+    # deflates them. So the gate is one-sided on warm readings: clean
+    # iff <= PRE_WARM_CLEAN_MS; the first (cold) reading of a process
+    # is discarded as a warmup, and only a LARGE post (window opened
+    # mid-bench) invalidates a bracket.
+    PRE_WARM_CLEAN_MS = 20.0
     POST_SHIFT_MS = 60.0
     # last clean-window anchor for THIS config family (chair, exact,
     # march+rb): 690,778 rays/s @ sentinel 168 ms, reproduced 3x
     # (PERF.md r5b; logs_r4/queue_r4a.log:51)
     CLEAN_ANCHOR = 690_778.0 if (not sphere and not smoke) else None
 
+    _sentinel_warm = [False]
+
     def sentinel(tag):
         if jax.default_backend() != "tpu":
-            return None     # the band is tunnel-calibrated; a CPU run
-                            # would read permanently "congested"
+            return None     # thresholds are tunnel-calibrated; a CPU
+                            # run would read permanently "congested"
         try:
             from tools.timing import congestion_sentinel
             ms = congestion_sentinel()
             print(f"bench: sentinel[{tag}] {ms:.1f} ms "
-                  f"(clean pre-band {PRE_CLEAN_BAND})", file=sys.stderr)
+                  f"(warm clean <= {PRE_WARM_CLEAN_MS})",
+                  file=sys.stderr)
             return ms
         except Exception as e:  # never let diagnostics break the bench
             print(f"bench: sentinel unavailable ({e})", file=sys.stderr)
             return None
 
     def wait_clean_pre(tag):
-        """Probe the pre-sentinel until it lands in the clean band
-        (bounded: BENCH_CLEAN_TRIES probes, BENCH_CLEAN_WAIT_S apart).
-        Returns (last_ms, clean_bool)."""
+        """Probe the warm pre-sentinel until it reads clean (bounded:
+        BENCH_CLEAN_TRIES probes, BENCH_CLEAN_WAIT_S apart). The first
+        reading of the process is a warmup (compile + uploads) and is
+        never used as evidence. Returns (last_ms, clean_bool)."""
         tries = int(os.environ.get("BENCH_CLEAN_TRIES", "4"))
         wait_s = float(os.environ.get("BENCH_CLEAN_WAIT_S", "60"))
         ms = None
@@ -583,11 +729,16 @@ def main() -> None:
             ms = sentinel(f"{tag}{k if k else ''}")
             if ms is None:
                 return None, False      # no sentinel (cpu smoke): pass
-            if PRE_CLEAN_BAND[0] <= ms <= PRE_CLEAN_BAND[1]:
+            if not _sentinel_warm[0]:
+                _sentinel_warm[0] = True
+                ms = sentinel(f"{tag}{k}w")     # warm re-read
+                if ms is None:
+                    return None, False
+            if ms <= PRE_WARM_CLEAN_MS:
                 return ms, True
             if k + 1 < tries:
-                print(f"bench: pre-sentinel {ms:.1f} ms out of band; "
-                      f"waiting {wait_s:.0f}s for a clean window "
+                print(f"bench: warm pre-sentinel {ms:.1f} ms high "
+                      f"(congestion); waiting {wait_s:.0f}s "
                       f"({k + 1}/{tries})", file=sys.stderr)
                 time.sleep(wait_s)
         return ms, False
@@ -599,10 +750,25 @@ def main() -> None:
         exactness counter over every timed chunk — it must read 0 or
         the measured number dropped work (asserted by the caller).
         """
-        rays_t = permuted_rays(seed) if shuffled else raydirs
-        rc = make_run_chunk(c, rays_t, cache_c)
+        if shuffled:
+            p = np.random.default_rng(seed).permutation(total)
+            rays_t = jnp.asarray(rd_host0[p])
+            ids_t = jnp.asarray(p.astype(np.int32))
+        else:
+            rays_t, ids_t = raydirs, ids0
         t0 = time.perf_counter()
         sums, ctrs = [], []
+        if raster_prog is not None:
+            # the frame's emit table is real per-frame work: built
+            # INSIDE the timed window, salted per pass (content-
+            # distinct args defeat the backend's result memoization)
+            emit_t, ctr_t = build_emit(c, cache_c,
+                                       float(seed) + 0.25)
+            ctrs.append(ctr_t.sum())
+            rc = make_run_chunk(c, rays_t, cache_c, emit_tbl=emit_t,
+                                ids_all=ids_t)
+        else:
+            rc = make_run_chunk(c, rays_t, cache_c)
         for i in range(n_chunks):
             out = rc(i)
             sums.append(out.coarse_raycolor.astype(jnp.float32).sum())
@@ -769,7 +935,19 @@ def main() -> None:
                 far=scene.far, params=scene.params)
             assert np.allclose(np.asarray(rmin_t), np.asarray(rmin))
             # verify + quality vs the exact pass on identical rays
-            rc_t = make_run_chunk(cfg_t, raydirs, cache_t)
+            if raster_prog is not None:
+                # precompile the tier's qvox + emit + raster chunk
+                # programs OUTSIDE the timed window (the tier cache's
+                # qslot table is rebuilt, so its emit table must be
+                # too — voxel numbering is not guaranteed stable
+                # across cand_cap rebuilds)
+                emit_vt, ctr_vt = build_emit(cfg_t, cache_t, 0.75)
+                if int(np.asarray(jax.device_get(ctr_vt)).sum()):
+                    raise RuntimeError("tier raster counters nonzero")
+                rc_t = make_run_chunk(cfg_t, raydirs, cache_t,
+                                      emit_tbl=emit_vt, ids_all=ids0)
+            else:
+                rc_t = make_run_chunk(cfg_t, raydirs, cache_t)
             nv_t = 0
             diffs, masks_agree, n_cmp = [], [], 0
             for i in range(n_chunks):

@@ -655,6 +655,14 @@ def fast_render_rays(
     if prob and q.span_tiers:
         raise ValueError("prob mode + span_tiers not supported "
                          "(growth probes render plain chunks)")
+    if isinstance(premarch, tuple):
+        # (frame emit table [HW, cap], this chunk's frame ray ids [R])
+        # — the row gather runs inside the jitted program instead of
+        # as a separate eager dispatch per chunk
+        _tbl, _ids = premarch
+        premarch = _tbl[_ids]
+    if premarch is not None and q.span_tiers:
+        raise ValueError("premarch + span_tiers not supported")
     R = raydirs.shape[0]
     D = q.z_depth_dim
     SR, K = q.SR, q.K
