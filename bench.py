@@ -827,6 +827,14 @@ def main() -> None:
             print(f"bench: suspect measurement ({why}); "
                   f"{'retrying' if a + 1 < max_attempts else 'giving up'}",
                   file=sys.stderr)
+            if a + 1 < max_attempts:
+                # back-to-back retries land in the same window (the
+                # r5a queue's warm sentinels read clean while values
+                # sat 27% under anchor — small probes do not feel the
+                # throttling large transfers do); give the window a
+                # chance to move before re-timing
+                time.sleep(float(os.environ.get(
+                    "BENCH_CLEAN_WAIT_S", "60")))
         # never got a clean in-band read: record the fastest pass,
         # flagged, with the anchor alongside (congestion only ever
         # inflates end-to-end time, so max-over-attempts is the least
