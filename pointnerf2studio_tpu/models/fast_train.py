@@ -765,11 +765,42 @@ def make_geo_scene(cfg: PointNerfConfig, cloud: NeuralPointCloud,
     from pointnerf2studio_tpu.models.fast_render import fit_cand_cap
     cc = fit_cand_cap(max_q, cfg.query.cand_cap, row_words=GEOW,
                       what="train geo cache")
-    geo = build_geo_cache(grid, cloud.xyz, cfg.query.kernel_size, max_q,
-                          cc,
-                          cand_prune=cfg.query.cand_prune,
-                          radius2=float(cfg.query.radius_limit) ** 2,
-                          knn_k=cfg.query.K)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        print(f"geo rebuild: max_q={max_q} cand_cap={cc} "
+              f"hbm_in_use={stats.get('bytes_in_use', 0) / 2**30:.2f} "
+              f"GiB", flush=True)
+    except Exception:
+        pass
+
+    def _build(cc_):
+        return build_geo_cache(
+            grid, cloud.xyz, cfg.query.kernel_size, max_q, cc_,
+            cand_prune=cfg.query.cand_prune,
+            radius2=float(cfg.query.radius_limit) ** 2,
+            knn_k=cfg.query.K)
+
+    # The capacity fence above cannot see bytes already in use (a
+    # mid-training rebuild shares HBM with the train state, compiled
+    # programs and whatever the previous eval left resident — the r4
+    # AND r5 hole-wedge runs both RESOURCE_EXHAUSTED here at a scene
+    # size the fence considers trivially feasible). Retry the build at
+    # halved candidate widths on the ACTUAL OOM before giving up: a
+    # degraded-width geo cache trains on (truncation semantics =
+    # fit_cand_cap's), while a crash loses the whole run.
+    geo = None
+    while True:
+        try:
+            geo = _build(cc)
+            break
+        except Exception as e:  # jaxlib error types vary per backend
+            if "RESOURCE_EXHAUSTED" not in str(e) or cc <= 8:
+                raise
+            cc //= 2
+            print(f"geo rebuild OOM'd on device; retrying at "
+                  f"cand_cap={cc} (degraded exactness: dense "
+                  f"neighborhoods truncate to the {cc} nearest-to-"
+                  f"center per shell)", flush=True)
     if cfg.query.cand_prune:
         C = geo.cand
         counts = jnp.sum((jax.lax.bitcast_convert_type(
