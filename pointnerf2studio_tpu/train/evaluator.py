@@ -21,8 +21,19 @@ from pointnerf2studio_tpu.models.render import render_rays
 from pointnerf2studio_tpu.utils import metrics as M
 
 
+_render_chunk_fns = {}
+
+
 def make_render_chunk_fn(cfg: PointNerfConfig):
-    """One jitted chunk renderer reused across frames (fixed chunk size)."""
+    """One jitted chunk renderer reused across frames (fixed chunk
+    size) AND across evaluate_dataset calls: a fresh jit wrapper per
+    eval re-traces + re-compiles the legacy renderer every eval
+    cadence (minutes each on the remote compiler) and churns retired
+    executables through HBM — the r5 hole-wedge run OOM'd in the geo
+    rebuild right after two such evals."""
+    fn = _render_chunk_fns.get(cfg)
+    if fn is not None:
+        return fn
 
     @jax.jit
     def fn(params, points, grid, campos, camrotc2w, raydirs, near, far,
@@ -32,6 +43,7 @@ def make_render_chunk_fn(cfg: PointNerfConfig):
                           bg_ray_colors=bg_rgb)
         return out.coarse_raycolor, out.ray_mask, out.depth, out.acc
 
+    _render_chunk_fns[cfg] = fn
     return fn
 
 
