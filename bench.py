@@ -597,16 +597,12 @@ def main() -> None:
                     f"camera plane — raster needs the camera outside "
                     f"the grid box")
 
-            def _cls(pw, ph, pnd):
-                return (int(np.percentile(fw, pw)),
-                        int(np.percentile(fh, ph)),
-                        int(np.percentile(fnd, pnd)))
+            def _cls(p):
+                return (int(np.percentile(fw, p)),
+                        int(np.percentile(fh, p)),
+                        int(np.percentile(fnd, p)))
 
-            classes = [_cls(60, 60, 90)]
-            classes.append((max(int(fw.max() + 1) // 2, classes[0][0] + 1),
-                            max(int(fh.max() + 1) // 2, classes[0][1] + 1),
-                            max(int(fnd.max() + 1) // 2,
-                                classes[0][2] + 1)))
+            classes = [_cls(p) for p in (55, 80, 95)]
             classes.append((int(fw.max()), int(fh.max()),
                             int(fnd.max())))
             classes = tuple(dict.fromkeys(
@@ -616,7 +612,7 @@ def main() -> None:
             rows_static = 0
             for (px, py, ndc) in classes:
                 fits = rem & (fw <= px) & (fh <= py) & (fnd <= ndc)
-                nb = int(fits.sum() * 1.25) + 4096
+                nb = int(fits.sum() * 1.2) + 2048
                 budgets.append(nb)
                 rows_static += nb * px * py * ndc
                 rem &= ~fits

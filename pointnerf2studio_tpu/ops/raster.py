@@ -329,8 +329,13 @@ def raster_emit_table(
     packed = ((vals_p + 1) << 9) | d_p
     dest = jnp.where(accept & (rank < cap), ray_p * cap + rank,
                      jnp.int32(HW * cap))
+    # NOTE: no unique_indices — accepted destinations ARE unique, but
+    # every dropped row shares the single out-of-range sentinel, and
+    # the TPU scatter lowering exploits the uniqueness promise before
+    # bounds handling (chip run r5b: 49k corrupted output elements
+    # with the hint; bit-exact without it — CPU never showed it)
     emit = jnp.zeros((HW * cap,), jnp.int32).at[dest].set(
-        packed, mode="drop", unique_indices=True)
+        packed, mode="drop")
 
     counters = jnp.stack([class_overflow, list_overflow,
                           live_overflow, certain_flip])

@@ -42,6 +42,84 @@ def bench_cfg():
     )
 
 
+def parity_main():
+    """Chip parity: raster emit table vs march_rays emit, directly."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from pointnerf2studio_tpu.models.fast_render import make_fast_scene
+    from pointnerf2studio_tpu.ops.march import (
+        build_march_table, march_rays, plan_march)
+    from pointnerf2studio_tpu.ops.raster import (
+        build_qvox, make_raster_program)
+
+    cfg = bench_cfg()
+    scene = make_chair_scene(n_points=558_000, cfg=cfg)
+    H = W = 800
+    focal = 1111.1
+    q = cfg.query
+    D = q.z_depth_dim
+    rays = camera_rays(scene.campos, scene.camrotc2w, H, W, focal)
+    tbl = np.asarray(jax.device_get(build_march_table(
+        jnp.where(jnp.asarray(scene.grid.coor_occ).astype(bool), 0, -1))))
+    cap = min(q.SR, q.ray_slot_budget, D)
+    steps, buckets = plan_march(
+        tbl, scene.grid.ranges_min, q.scaled_vsize, scene.campos,
+        np.asarray(jax.device_get(rays)), float(scene.near),
+        float(scene.far), D, cap, slack=1.35, chunk=H * W,
+        fuel_margin=10)
+    print(f"march steps {steps} buckets {buckets}", flush=True)
+    cfg = _dc.replace(cfg, query=_dc.replace(
+        q, march_steps=steps, march_buckets=buckets))
+    cache, rmin, svs = make_fast_scene(
+        cfg, scene.cloud, scene.grid, near=scene.near, far=scene.far,
+        params=scene.params)
+    step_t = jnp.float32((scene.far - scene.near) / D)
+    dims = cache.coor_2_qslot.shape
+    print(f"grid dims {dims} max_q {cache.rows.shape[0]} "
+          f"n_q {int(cache.n_q)}", flush=True)
+    m_emit, m_cnt, m_of = march_rays(
+        cache.march_table.reshape(-1), jnp.array(dims, jnp.int32),
+        dims[1], dims[2], rmin, svs, scene.campos, rays,
+        jnp.float32(scene.near), jnp.float32(scene.far), step_t, D,
+        cap, steps, buckets)
+    m_cnt = np.asarray(jax.device_get(m_cnt))
+    me = np.asarray(jax.device_get(m_emit))
+    print(f"march: mc_overflow={int(m_of)} total={m_cnt.sum()}",
+          flush=True)
+
+    qvox = build_qvox(cache.coor_2_qslot, cache.rows.shape[0])
+    t0 = time.time()
+    prog = make_raster_program(
+        H, W, focal, D, cap,
+        classes=((4, 4, 2), (5, 5, 3), (8, 9, 2)),
+        class_budgets=(424412, 104679, 123681),
+        live_budget=3_670_016)
+    emit, counters = prog(qvox, rmin, svs, scene.campos,
+                          scene.camrotc2w, rays,
+                          jnp.float32(scene.near), step_t,
+                          jnp.float32(0.125))
+    re = np.asarray(jax.device_get(emit))
+    ctr = np.asarray(jax.device_get(counters))
+    print(f"raster: counters={ctr.tolist()} (+{time.time()-t0:.0f}s)",
+          flush=True)
+    r_cnt = (re != 0).sum(-1)
+    bad_cnt = np.nonzero(r_cnt != m_cnt)[0]
+    print(f"cnt mismatches: {bad_cnt.size} rays", flush=True)
+    if bad_cnt.size:
+        for r in bad_cnt[:8]:
+            print(f"  ray {r}: march cnt {m_cnt[r]} rows "
+                  f"{[hex(v) for v in me[r][:m_cnt[r]]]} | raster cnt "
+                  f"{r_cnt[r]} rows "
+                  f"{[hex(v) for v in re[r][:r_cnt[r]]]}", flush=True)
+    lanes = np.arange(cap)[None, :] < np.minimum(m_cnt, r_cnt)[:, None]
+    vals_bad = int((me[lanes] != re[lanes]).sum())
+    print(f"value mismatches on common lanes: {vals_bad}", flush=True)
+    print("PARITY " + ("OK" if bad_cnt.size == 0 and vals_bad == 0
+                       else "FAIL"), flush=True)
+
+
 def main():
     cfg = bench_cfg()
     scene = make_chair_scene(n_points=558_000, cfg=cfg)
@@ -97,4 +175,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--stats" in sys.argv:
+        main()
+    else:
+        parity_main()

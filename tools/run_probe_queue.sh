@@ -34,6 +34,7 @@ for it in $items $extra; do
     pyc:*)   a="${it#pyc:}"; timeout 2400 python ${a//,/ } >> "$log" 2>&1 ;;
     train:*) a="${it#train:}"; timeout 1800 python tools/bench_train_fast.py ${a//,/ } >> "$log" 2>&1 ;;
     bench)   timeout 2400 python bench.py >> "$log" 2>&1 ;;
+    benchenv:*) a="${it#benchenv:}"; env ${a//,/ } timeout 2400 python bench.py >> "$log" 2>&1 ;;
     validate:*) a="${it#validate:}"; timeout 9000 python tools/validate_chair.py /tmp/proc_chair2 ${a%%,*} --steps ${a##*,} >> "$log" 2>&1 ;;
     validatev2:*) a="${it#validatev2:}"; timeout 14000 python tools/validate_chair.py ${a//,/ } >> "$log" 2>&1 ;;
     stress:*) a="${it#stress:}"; timeout 4800 python tools/stress_scannet_scale.py ${a//,/ } >> "$log" 2>&1 ;;
