@@ -139,7 +139,14 @@ def _voxel_footprint(qvox, ranges_min, scaled_vsize, campos, camrotc2w,
                      for c in range(8)], jnp.float32)
     corners = lo[:, None, :] * (1 - sel) + hi[:, None, :] * sel
     rel = corners - campos                                # world
-    cam = jnp.einsum("qcw,wk->qck", rel, camrotc2w)       # x_cam = R^T rel
+    # x_cam = R^T rel — spelled elementwise: an einsum here lowers to
+    # the MXU whose default f32 path truncates inputs to bf16 (chip
+    # r5b: corners off by 1-3 voxels => 8% of samples never emitted
+    # and footprints twice their true size; the VPU form is exact f32)
+    r = camrotc2w
+    cam = jnp.stack(
+        [rel[..., 0] * r[0, k] + rel[..., 1] * r[1, k]
+         + rel[..., 2] * r[2, k] for k in range(3)], axis=-1)
     z = cam[..., 2]
     zmin = jnp.min(z, -1)
     behind = zmin < np.float32(1e-3)

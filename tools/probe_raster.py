@@ -93,8 +93,8 @@ def parity_main():
     t0 = time.time()
     prog = make_raster_program(
         H, W, focal, D, cap,
-        classes=((4, 4, 2), (5, 5, 3), (8, 9, 2)),
-        class_budgets=(424412, 104679, 123681),
+        classes=((3, 3, 2), (4, 4, 2), (4, 5, 2)),
+        class_budgets=(400000, 262144, 32768),
         live_budget=3_670_016)
     emit, counters = prog(qvox, rmin, svs, scene.campos,
                           scene.camrotc2w, rays,
