@@ -226,10 +226,18 @@ def raster_emit_table(
     cls = jnp.where(ok, cls, n_cls + 1)      # ray-free voxels: emit no rows
     class_overflow = jnp.sum((cls == n_cls).astype(jnp.int32))
 
-    # class-sorted voxel ids: classes become contiguous runs
+    # class-sorted voxel ids: classes become contiguous runs. Padded
+    # by the largest class budget so the per-class dynamic_slice can
+    # never clamp its start: a clamped slice silently re-enumerates
+    # the previous class's voxels (duplicate emissions) and drops the
+    # real tail (chip r5b: 27k rays with duplicated rows when class-2's
+    # window ran past max_q). Padding rows are masked by row_ok.
     order_key = cls * jnp.int32(max_q + 1) + jnp.arange(max_q, dtype=jnp.int32)
     _, ids_sorted = jax.lax.sort_key_val(
         order_key, jnp.arange(max_q, dtype=jnp.int32))
+    pad_n = max(min(int(b) or max_q, max_q) for b in class_budgets)
+    ids_sorted = jnp.concatenate(
+        [ids_sorted, jnp.zeros((pad_n,), jnp.int32)])
     counts = jnp.stack([jnp.sum((cls == c).astype(jnp.int32))
                         for c in range(n_cls)])
     starts = jnp.concatenate(
