@@ -2070,6 +2070,7 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
                  budget_tier: int = 0,
                  program_cache: Optional[dict] = None,
                  host_rays: Optional[np.ndarray] = None,
+                 raster: Optional[tuple] = None,
                  verbose: bool = False):
     """Full-frame render with frame-level ray packing + span-tiered
     depth windows. EXACT (same outputs as rendering the raw ray order
@@ -2127,6 +2128,88 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
     order = np.lexsort((span, ~hit))
     n_hit = int(hit.sum())
 
+    # ---- raster frame front-end (ops/raster.py): with a pinhole
+    # pixel-grid frame (`raster` = (H, W, focal-or-(fx,fy,cx,cy))) and
+    # a march config, ONE sort-based binning program produces every
+    # chunk's packed emit rows up front — the per-chunk walk is
+    # skipped. Exact while the raster counters read zero (checked per
+    # frame; any violation falls back to the walk for this frame).
+    # Emit programs are keyed by their auto-measured footprint ladder
+    # in `program_cache`, so orbit/video frames reuse compilations.
+    emit_tbl = None
+    if (raster is not None and render_maker is None
+            and march_active(q) and cache.coor_2_qslot is not None
+            and not q.span_tiers):
+        try:
+            from pointnerf2studio_tpu.ops.raster import (
+                _voxel_footprint, build_qvox, make_raster_program)
+            Hr, Wr, foc = raster
+            if Hr * Wr != Rtot:
+                raise ValueError(f"raster frame {Hr}x{Wr} != {Rtot}")
+            pcache = program_cache if program_cache is not None else {}
+            qv = pcache.get(("raster_qvox", id(cache)))
+            if qv is None:
+                qv = build_qvox(cache.coor_2_qslot, cache.rows.shape[0])
+                pcache[("raster_qvox", id(cache))] = qv
+            near_j = jnp.float32(float(near))
+            step_j = jnp.float32((float(far) - float(near)) / D)
+            fw, fh, fnd, fok = jax.jit(lambda qq: (
+                lambda r: (r[3], r[4], r[5], r[6]))(_voxel_footprint(
+                    qq, ranges_min, scaled_vsize, campos, camrotc2w,
+                    Hr, Wr, foc, near_j, jnp.float32(float(far)), D,
+                    step_j)))(qv)
+            fok = np.asarray(jax.device_get(fok))
+            fw = np.asarray(jax.device_get(fw))[fok]
+            fh = np.asarray(jax.device_get(fh))[fok]
+            fnd = np.asarray(jax.device_get(fnd))[fok]
+            if fw.size == 0 or fw.max() >= (1 << 30):
+                raise RuntimeError("camera inside/behind the grid box")
+            cls_l = [tuple(int(np.percentile(a, p))
+                           for a in (fw, fh, fnd))
+                     for p in (55, 80, 95)]
+            cls_l.append((int(fw.max()), int(fh.max()), int(fnd.max())))
+            cls_l = tuple(dict.fromkeys(cls_l))
+            rem = np.ones(fw.shape[0], bool)
+            buds, rows_s = [], 0
+            for (px, py, ndc) in cls_l:
+                fits = rem & (fw <= px) & (fh <= py) & (fnd <= ndc)
+                # quantized budgets => nearby frames reuse programs
+                nb = -(-(int(fits.sum() * 1.2) + 2048) // 65536) * 65536
+                buds.append(nb)
+                rows_s += nb * px * py * ndc
+                rem &= ~fits
+            if rows_s > 40_000_000:
+                raise RuntimeError(
+                    f"emit ladder needs {rows_s:,} static rows")
+            capr = min(SRq := q.SR, q.ray_slot_budget or min(q.SR, 32),
+                       D)
+            live_b = 4_194_304
+            pkey = ("raster_prog", Hr, Wr, cls_l, tuple(buds), capr)
+            prog = pcache.get(pkey)
+            if prog is None:
+                prog = make_raster_program(
+                    Hr, Wr, foc, D, capr, classes=cls_l,
+                    class_budgets=tuple(buds), live_budget=live_b)
+                pcache[pkey] = prog
+            emit_tbl, ctrs = prog(
+                qv, ranges_min, scaled_vsize, campos, camrotc2w,
+                jnp.asarray(raydirs), near_j, step_j,
+                jnp.float32(np.random.default_rng().uniform()))
+            ctrs = np.asarray(jax.device_get(ctrs))
+            if ctrs.sum() != 0:
+                if verbose:
+                    import sys as _sys
+                    print(f"render_frame: raster counters "
+                          f"{ctrs.tolist()}; walking this frame",
+                          file=_sys.stderr)
+                emit_tbl = None
+        except Exception as e:
+            if verbose:
+                import sys as _sys
+                print(f"render_frame: raster disabled ({e})",
+                      file=_sys.stderr)
+            emit_tbl = None
+
     bg = (bg_ray_colors if bg_ray_colors is not None
           else jnp.broadcast_to(
               jnp.asarray(cfg.bg_color, jnp.float32), (Rtot, 3)))
@@ -2152,11 +2235,20 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
 
         if render_maker is None:
             def render_maker(c):
-                def fn(rays, bgc):
+                def fn(rays, bgc, pm=None):
                     return fast_render_rays_jit(
                         params, Rw2c, cache, campos, camrotc2w, rays,
                         near, far, c, ranges_min, scaled_vsize,
-                        bg_ray_colors=bgc)
+                        bg_ray_colors=bgc, premarch=pm)
+                return fn
+        else:
+            _rm0 = render_maker
+
+            def render_maker(c):          # adapt 2-arg custom makers
+                _fn0 = _rm0(c)
+
+                def fn(rays, bgc, pm=None):
+                    return _fn0(rays, bgc)
                 return fn
 
         programs = program_cache if program_cache is not None else {}
@@ -2188,7 +2280,8 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
             dws.append(dw)
             sl = slice(i * chunk, (i + 1) * chunk)
             results.append(get_program(dw, b_lo)(
-                rays_p[sl], None if bg_p is None else bg_p[sl]))
+                rays_p[sl], None if bg_p is None else bg_p[sl],
+                None if emit_tbl is None else (emit_tbl, perm[sl])))
         # Budget escalation: re-render any chunk whose cb_overflow
         # counter tripped at a doubled budget, up to the per-ray
         # column cap (where M cannot overflow). One deferred device
@@ -2210,7 +2303,8 @@ def render_frame(params, Rw2c, cache, campos, camrotc2w, raydirs,
             for i in trip:
                 sl = slice(i * chunk, (i + 1) * chunk)
                 results[i] = get_program(dws[i], b_now)(
-                    rays_p[sl], None if bg_p is None else bg_p[sl])
+                    rays_p[sl], None if bg_p is None else bg_p[sl],
+                    None if emit_tbl is None else (emit_tbl, perm[sl]))
         for i, res in enumerate(results):
             ids = perm[i * chunk:(i + 1) * chunk]
             color = color.at[ids].set(res.coarse_raycolor)

@@ -121,7 +121,7 @@ def make_fast_chunk_fn(cfg: PointNerfConfig, points, grid,
 def make_fast_frame_renderer(cfg: PointNerfConfig, points, grid,
                              near: float, far: float,
                              chunk: int = 65536, tier_quant: int = 32,
-                             params=None):
+                             params=None, raster=None):
     """Full-frame fast renderer: frame-level ray packing + span-tiered
     depth windows (fast_render.render_frame — miss rays never enter
     the pipeline; each chunk compiles at the smallest sufficient
@@ -155,7 +155,8 @@ def make_fast_frame_renderer(cfg: PointNerfConfig, points, grid,
             params, Rw2c, cache, jnp.asarray(campos),
             jnp.asarray(camrotc2w), jnp.asarray(raydirs), near, far,
             cfg, rmin, svs, chunk=chunk, bg_ray_colors=bg,
-            program_cache=programs, tier_quant=tier_quant)
+            program_cache=programs, tier_quant=tier_quant,
+            raster=raster)
         if out.dw_overflow is not None and not warned:
             warned.append(1)
             n_of = int(jax.device_get(out.dw_overflow))
@@ -232,9 +233,20 @@ def evaluate_dataset(
         fast = True        # the legacy chunk renderer is dense-only
     frame_render = None
     if fast and frame:
+        raster = None
+        if cfg.query.march_steps and not isinstance(grid, HashGrid):
+            # frames are full pinhole pixel grids here, so the raster
+            # front-end (ops/raster.py) can bin the whole frame's
+            # samples in one program instead of walking per chunk;
+            # render_frame verifies its counters per frame and falls
+            # back to the walk on any violation
+            k = np.asarray(dataset.intrinsics)
+            h, w = dataset.hw
+            raster = (h, w, (float(k[0, 0]), float(k[1, 1]),
+                             float(k[0, 2]), float(k[1, 2])))
         frame_render = make_fast_frame_renderer(
             cfg, points, grid, dataset.near, dataset.far, chunk=chunk,
-            params=params)
+            params=params, raster=raster)
     elif fast:
         render_chunk = make_fast_chunk_fn(cfg, points, grid,
                                           dataset.near, dataset.far,

@@ -107,6 +107,36 @@ def test_emit_matches_march(setup):
     np.testing.assert_array_equal(me[lanes], re[lanes])
 
 
+def test_render_frame_raster_parity(setup, capsys):
+    """render_frame(raster=...) == render_frame walk, bit-for-bit —
+    with dataset-style pinhole intrinsics (fx != fy, off-center
+    principal point) and pixel_raydirs' +1e-5-norm rays (the band
+    phase must absorb the ~1e-5 relative direction shift)."""
+    scene, cfg, cache, rmin, svs, rays_unused, cap = setup
+    from pointnerf2studio_tpu.data.blender import pixel_raydirs
+    from pointnerf2studio_tpu.models.fast_render import render_frame
+    K = np.array([[210.0, 0.0, 30.0],
+                  [0.0, 222.0, 34.5],
+                  [0.0, 0.0, 1.0]], np.float32)
+    i, j = np.meshgrid(np.arange(W), np.arange(H))
+    xy = np.stack([i, j], -1).reshape(-1, 2)
+    rays = jnp.asarray(pixel_raydirs(
+        xy, K, np.asarray(scene.camrotc2w)))
+    kw = dict(chunk=1024, tier_quant=1_000_000)
+    outs = []
+    for raster in (None, (H, W, (210.0, 222.0, 30.0, 34.5))):
+        outs.append(render_frame(
+            scene.params, scene.cloud.Rw2c, cache, scene.campos,
+            scene.camrotc2w, rays, scene.near, scene.far, cfg,
+            rmin, svs, raster=raster, verbose=True, **kw))
+    err = capsys.readouterr().err
+    assert "raster disabled" not in err and "walking" not in err, err
+    for f in ("coarse_raycolor", "ray_mask", "acc", "depth"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outs[0], f)),
+            np.asarray(getattr(outs[1], f)), err_msg=f)
+
+
 @pytest.mark.parametrize("rb", [0, 3072])
 def test_render_parity(setup, rb):
     scene, cfg, cache, rmin, svs, rays, cap = setup
