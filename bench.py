@@ -968,8 +968,13 @@ def main() -> None:
                     n_cmp += ct.shape[0]
             diffs = np.concatenate(diffs)
             magree = np.concatenate(masks_agree)
-            res_t = measure(cfg_t, cache_t, None, "tier",
-                            max_attempts=2)
+            # anchor the tier at the exact pass's value (a tier can
+            # only be faster than exact; if the same-process exact
+            # read congested, the tier's window is the same) so a
+            # degraded-window tier number can never record unflagged
+            res_t = measure(cfg_t, cache_t, rays_per_sec / 0.88,
+                            "tier", max_attempts=2)
+            res_t["congested"] = res_t["congested"] or res["congested"]
             rps_t = res_t["rays_per_sec"]
             fpr_t, fsrc_t = flops_per_ray_of(cfg_t, cache_t, nv_t)
             tfs_t = fpr_t * n_chunks * chunk / 1e12 * rps_t / (

@@ -119,6 +119,74 @@ def parity_main():
     print("PARITY " + ("OK" if bad_cnt.size == 0 and vals_bad == 0
                        else "FAIL"), flush=True)
 
+    if "--ab" not in sys.argv:
+        return
+    # ---- A/B: march-walk vs raster-premarch e2e frame renders,
+    # alternating in ONE process on content-distinct permutations —
+    # the only same-window comparison of the two front-ends
+    from pointnerf2studio_tpu.models.fast_render import (
+        fast_render_rays_jit)
+    from tools.timing import congestion_sentinel
+
+    chunk = 65536
+    n_chunks = (H * W) // chunk
+    rd0 = np.asarray(jax.device_get(rays), np.float32)
+    # rb packing like the bench ('rb auto'): box-hitting rays only
+    import dataclasses as _dc2
+    from pointnerf2studio_tpu.models.fast_render import slab_hit_mask
+    hits = slab_hit_mask(scene.campos, rays, scene.near, scene.far,
+                         D, scene.grid.ranges_min, dims,
+                         q.scaled_vsize)
+    per_chunk = np.asarray(hits[:n_chunks * chunk]).reshape(
+        n_chunks, chunk).sum(-1).max()
+    rb = min(chunk, (int(per_chunk) + W + 1023) // 1024 * 1024)
+    cfg_rb = _dc2.replace(cfg, query=_dc2.replace(
+        cfg.query, ray_budget=rb))
+    print(f"ab: ray_budget {rb}", flush=True)
+
+    def one_pass(seed, use_raster):
+        p = np.random.default_rng(seed).permutation(H * W)
+        rays_t = jnp.asarray(rd0[p])
+        ids_t = jnp.asarray(p.astype(np.int32))
+        t0 = time.time()
+        sums = []
+        if use_raster:
+            emit_t, ctr_t = prog(qvox, rmin, svs, scene.campos,
+                                 scene.camrotc2w, rays,
+                                 jnp.float32(scene.near), step_t,
+                                 jnp.float32(seed + 0.5))
+            sums.append(ctr_t.sum().astype(jnp.float32))
+        for i in range(n_chunks):
+            r_c = jax.lax.dynamic_slice_in_dim(rays_t, i * chunk, chunk)
+            pm = None
+            if use_raster:
+                ids = jax.lax.dynamic_slice_in_dim(ids_t, i * chunk,
+                                                   chunk)
+                pm = (emit_t, ids)
+            out = fast_render_rays_jit(
+                scene.params, scene.cloud.Rw2c, cache, scene.campos,
+                scene.camrotc2w, r_c, jnp.float32(scene.near),
+                jnp.float32(scene.far), cfg_rb, rmin, svs,
+                premarch=pm)
+            sums.append(out.coarse_raycolor.astype(jnp.float32).sum())
+        tot = float(jax.device_get(jnp.stack(sums).sum()))
+        dt = time.time() - t0
+        return dt, tot
+
+    # compile both variants untimed
+    one_pass(100, False)
+    one_pass(101, True)
+    for k in range(3):
+        s0 = congestion_sentinel()
+        dm, _ = one_pass(2 * k + 10, False)
+        dr, _ = one_pass(2 * k + 11, True)
+        s1 = congestion_sentinel()
+        rays_n = n_chunks * chunk
+        print(f"ab round {k}: march {dm*1000:.1f} ms "
+              f"({rays_n/dm:,.0f} rays/s) | raster {dr*1000:.1f} ms "
+              f"({rays_n/dr:,.0f} rays/s) | sentinels "
+              f"{s0:.1f}/{s1:.1f}", flush=True)
+
 
 def main():
     cfg = bench_cfg()
