@@ -192,13 +192,36 @@ def fit(
             print(f"train march auto-plan failed ({e}); dense lookup")
     geo_state = {}
 
+    def _oom_retry(fn, what, tries=4, wait_s=90.0):
+        """Run a (functional, idempotent) rebuild with bounded retries
+        on device RESOURCE_EXHAUSTED. The chip is a shared pool:
+        transient co-tenant HBM pressure has killed mid-training
+        structure rebuilds at scene sizes that pass trivially minutes
+        later (r4 + r5 hole-wedge runs, identical config to surviving
+        runs). A long training run must ride out a bad minute, not
+        die in it. Only OOM is retried; other errors propagate."""
+        import time as _time
+        for a in range(tries):
+            try:
+                return fn()
+            except Exception as e:
+                if ("RESOURCE_EXHAUSTED" not in str(e)
+                        or a + 1 == tries):
+                    raise
+                print(f"{what}: device OOM (transient pool "
+                      f"pressure); retry {a + 1}/{tries - 1} in "
+                      f"{wait_s:.0f}s", flush=True)
+                _time.sleep(wait_s)
+
     def _make_geo(points, g):
         if isinstance(g, HashGrid):
             from pointnerf2studio_tpu.models.fast_train import (
                 make_hash_geo_scene)
-            return make_hash_geo_scene(cfg, points, g)
+            return _oom_retry(lambda: make_hash_geo_scene(cfg, points, g),
+                              "hash geo rebuild")
         from pointnerf2studio_tpu.models.fast_train import make_geo_scene
-        return make_geo_scene(cfg, points, g)
+        return _oom_retry(lambda: make_geo_scene(cfg, points, g),
+                          "geo rebuild")
 
     if use_fast:
         geo_state["geo"] = _make_geo(state.points, grid)
@@ -410,9 +433,19 @@ def fit(
         # (reference: train_ft.py:834-842 -> NeuralPoints.prune).
         if (t.prune_iter > 0 and crossed(t.prune_iter)
                 and s0 <= t.prune_max_iter):
-            pruned = npts.prune(state.points, t.prune_thresh)
+            def _prune_rebuild():
+                pruned = npts.prune(state.points, t.prune_thresh)
+                g2 = build_query_grid(pruned.xyz, pruned.alive,
+                                      cfg.query)
+                # materialize inside the retry scope: an async OOM
+                # from these builds must surface HERE, not at some
+                # later unrelated fetch (r5 hole run: the crash
+                # surfaced inside make_geo_scene's first device_get)
+                int(jax.device_get(g2.n_occ))
+                return pruned, g2
+            pruned, grid = _oom_retry(_prune_rebuild,
+                                      "prune+grid rebuild")
             state = state.replace(points=pruned)
-            grid = build_query_grid(pruned.xyz, pruned.alive, cfg.query)
             if use_fast:
                 geo_state["geo"] = _make_geo(state.points, grid)
 
@@ -440,10 +473,12 @@ def fit(
                 rest = [v for v in np.random.default_rng(s_end).permutation(
                     dataset.num_views) if v not in probe_views]
                 probe_views += list(rest[:n_views - len(probe_views)])
-            state, grid, n_new = probe_and_grow(
-                cfg, state, grid, dataset, views=probe_views,
-                chunk=eval_chunk, opacity_thresh=t.prob_thresh,
-                prob_mul=t.prob_mul)
+            state, grid, n_new = _oom_retry(
+                lambda: probe_and_grow(
+                    cfg, state, grid, dataset, views=probe_views,
+                    chunk=eval_chunk, opacity_thresh=t.prob_thresh,
+                    prob_mul=t.prob_mul),
+                "growth probe")
             if use_fast and n_new:
                 geo_state["geo"] = _make_geo(state.points, grid)
             grow_history.append({
