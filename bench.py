@@ -838,7 +838,9 @@ def main() -> None:
         # artifact self-describing instead of silently regressed)
         return {**best, "congested": True, "attempts": attempts}
 
-    res = measure(cfg, cache, CLEAN_ANCHOR, "exact")
+    res = measure(cfg, cache, CLEAN_ANCHOR, "exact",
+                  max_attempts=int(os.environ.get("BENCH_ATTEMPTS",
+                                                  "4")))
     rays_per_sec = res["rays_per_sec"]
     dt = n_chunks * chunk / rays_per_sec
 
