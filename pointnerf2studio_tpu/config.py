@@ -245,6 +245,15 @@ class QueryConfig:
     # allocation failure on >=512k-row decode programs (observed on
     # v5e, tools/probe_knn_decode.py). 0 = unchunked.
     decode_chunk: int = 131_072
+    # Two-phase chunk pipeline (0 = off): phase A runs the candidate
+    # stages (gather/geometry/K-NN/extract) at `fast_chunk` rows —
+    # bounded by the [Mc, CAND] intermediates — and materializes the
+    # compact [M, K] selection; phase B then decodes in chunks of
+    # THIS many rows, so the MLP tower's GEMMs batch 8-64x wider than
+    # the front half's VMEM limit allows. Same math, different
+    # batching (tests assert bit-parity); priced by
+    # tools/probe_decode_scaling.py before adoption.
+    decode_chunk2: int = 0
     # Decode-tail layout (fast eval path, chunk_mode/knn_mode "xla"):
     #   "lanes" — the per-neighbor MLP tower runs on all [Mc, K]
     #             padded lanes (decode_radiance); simple, but at chair

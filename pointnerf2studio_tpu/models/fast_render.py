@@ -1774,6 +1774,124 @@ def chunk_pipeline(params, Rw2c, cache, raydirs, campos, camrotc2w,
         go = args[3][0] if skip_policy == "prefix" else jnp.any(args[3])
         return jax.lax.cond(go, chunk_body, skip, args)
 
+    use_two_phase = (q.decode_chunk2 > 0 and debug_ablate is None
+                     and not (use_fused_chunk or use_fused_sel
+                              or use_pair or use_fused2)
+                     and q.extract_mode != "krows"
+                     and not want_attrs and cache.base_h is None
+                     and M > CH)
+    if use_two_phase:
+        # ---- two-phase: candidate stages at CH rows (VMEM-bounded by
+        # the [Mc, CAND] intermediates), then ONE wide decode pass at
+        # decode_chunk2 rows so the tower's GEMMs batch far wider.
+        # Identical math to the single-phase body — only the batching
+        # differs (tests/test_raster.py::test_two_phase_parity).
+        def front_body(args):
+            qslot_cc, sel_ray_c, sel_d_c, mask_cc = args
+            Mc = qslot_cc.shape[0]
+            rows3 = cache.rows[qslot_cc].reshape(Mc, CAND, ROWW)
+            meta = jax.lax.bitcast_convert_type(rows3[..., 0], jnp.int32)
+            shell = (meta & 3).astype(jnp.int32)
+            payload = jax.lax.bitcast_convert_type(
+                rows3[..., 1:], jnp.bfloat16).reshape(Mc, CAND, PAYW)
+            rd_sel = raydirs[sel_ray_c]
+            t_sel = near + (sel_d_c.astype(jnp.float32) + 0.5) * step_t
+            locs = campos + rd_sel * t_sel[:, None]
+            vox = jnp.floor((locs - ranges_min) / scaled_vsize)
+            center = ranges_min + (vox + 0.5) * scaled_vsize
+            cdelta = (payload[..., :3].astype(jnp.float32)
+                      + (center - locs)[:, None, :])
+            d2 = jnp.sum(cdelta ** 2, -1)
+            ok = (meta >= 0) & mask_cc[:, None]
+            if radius2 > 0:
+                ok = ok & (d2 <= radius2)
+            if q.layered_search and num_shells > 1:
+                eligible = shell == 0
+                before = jnp.zeros((Mc, 1), jnp.int32)
+                for s in range(1, num_shells):
+                    before = before + jnp.sum(
+                        (ok & (shell == s - 1)).astype(jnp.int32), -1,
+                        keepdims=True)
+                    eligible = eligible | ((shell == s) & (before < K))
+                ok = ok & eligible
+            key = jnp.where(ok, d2, jnp.inf)
+            neg_top, top_idx = jax.lax.top_k(-key, K)
+            pnt_mask = neg_top > -jnp.inf
+            if q.extract_mode == "gather":
+                nsel = jnp.take_along_axis(payload, top_idx[..., None],
+                                           1)
+                nsel = nsel * pnt_mask[..., None].astype(nsel.dtype)
+            else:
+                oh8 = ((top_idx[..., None] == jnp.arange(CAND))
+                       & pnt_mask[..., None])
+                nsel = jnp.einsum("mkc,mca->mka",
+                                  oh8.astype(jnp.bfloat16), payload)
+            return nsel, pnt_mask, locs, center, rd_sel
+
+        def front_or_skip(args):
+            CHc = args[0].shape[0]
+
+            def skipf(_):
+                return (jnp.zeros((CHc, K, PAYW), jnp.bfloat16),
+                        jnp.zeros((CHc, K), jnp.bool_),
+                        jnp.zeros((CHc, 3), jnp.float32),
+                        jnp.zeros((CHc, 3), jnp.float32),
+                        jnp.zeros((CHc, 3), jnp.float32))
+
+            go = (args[3][0] if skip_policy == "prefix"
+                  else jnp.any(args[3]))
+            return jax.lax.cond(go, front_body, skipf, args)
+
+        n = (M + CH - 1) // CH
+        pad = n * CH - M
+
+        def cpad(x):
+            return jnp.pad(x, ((0, pad),)).reshape((n, CH))
+
+        fr = jax.lax.map(
+            front_or_skip, (cpad(qslot_c), cpad(sel_ray), cpad(sel_d),
+                            cpad(mask_c)))
+        nsel_m = fr[0].reshape(n * CH, K, PAYW)
+        pm_m = fr[1].reshape(n * CH, K)
+        locs_m = fr[2].reshape(n * CH, 3)
+        cen_m = fr[3].reshape(n * CH, 3)
+        rd_m = fr[4].reshape(n * CH, 3)
+        mk_m = jnp.pad(mask_c, ((0, pad),))
+
+        DC2 = max(min(q.decode_chunk2, n * CH), 1)
+        n2 = (n * CH + DC2 - 1) // DC2
+        pad2 = n2 * DC2 - n * CH
+
+        def dec_body(args):
+            nsel_c, pm_c, locs_c, cen_c, rd_c = args
+            return _decode_tail(nsel_c, pm_c, locs_c, cen_c, rd_c)
+
+        def dec_or_skip(args4):
+            args, mk_c = args4
+            CHc = args[0].shape[0]
+
+            def skipd(_):
+                return (jnp.zeros((CHc,), jnp.float32),
+                        jnp.zeros((CHc, 3), jnp.float32),
+                        jnp.zeros((CHc,), jnp.bool_))
+
+            go = mk_c[0] if skip_policy == "prefix" else jnp.any(mk_c)
+            return jax.lax.cond(go, dec_body, skipd, args)
+
+        def dpad2(x):
+            flat = jnp.pad(
+                x, ((0, pad2),) + ((0, 0),) * (x.ndim - 1))
+            return flat.reshape((n2, DC2) + x.shape[1:])
+
+        res2 = jax.lax.map(
+            dec_or_skip,
+            ((dpad2(nsel_m), dpad2(pm_m), dpad2(locs_m), dpad2(cen_m),
+              dpad2(rd_m)), dpad2(mk_m)))
+        sig = res2[0].reshape(n2 * DC2)[:M]
+        rgb = res2[1].reshape(n2 * DC2, 3)[:M]
+        found = res2[2].reshape(n2 * DC2)[:M]
+        return sig, rgb, found, jnp.zeros((), jnp.int32)
+
     if M > CH:
         n = (M + CH - 1) // CH
         pad = n * CH - M

@@ -27,7 +27,22 @@ import pytest
 
 # Persistent compile cache: the suite re-jits the same query/render
 # programs every run; caching cuts wall time dramatically on re-runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/pn2s_jax_cache")
+# Keyed by the host CPU's feature set: /tmp persists across rounds on
+# DIFFERENT machines, and XLA:CPU loads a stale AOT entry compiled for
+# another CPU generation with a warning and SUBTLY DIFFERENT NUMERICS
+# (r5: a bit-parity test failed only under pytest — the cache-loaded
+# single-phase program disagreed with the freshly compiled two-phase
+# one in the last ulp; "+prefer-no-gather ... not supported on the
+# host machine").
+import hashlib as _hl
+
+try:
+    _cpu = [ln for ln in open("/proc/cpuinfo") if ln.startswith("flags")][0]
+except Exception:
+    _cpu = "unknown"
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/pn2s_jax_cache_{_hl.md5(_cpu.encode()).hexdigest()[:10]}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

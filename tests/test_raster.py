@@ -137,6 +137,34 @@ def test_render_frame_raster_parity(setup, capsys):
             np.asarray(getattr(outs[1], f)), err_msg=f)
 
 
+def test_two_phase_parity(setup):
+    """decode_chunk2 (two-phase chunk pipeline) vs single-phase.
+
+    Same math, but a different decode batch shape retiles the tower
+    GEMMs, so f32 accumulation order (and the bf16 rounds derived
+    from it) can differ in the LAST ULP on isolated elements
+    (measured: 2 of 12288 color components at ~2.8e-4 = one bf16
+    step). decode_chunk2 therefore powers the quality-measured
+    approximate tier, NOT the bitwise-exact official config; this
+    test pins the contract: identical masks, colors within one bf16
+    ulp on a vanishing fraction of elements."""
+    scene, cfg, cache, rmin, svs, rays, cap = setup
+    cfg2 = dataclasses.replace(cfg, query=dataclasses.replace(
+        cfg.query, decode_chunk2=8192))
+    out1 = fast_render_rays_jit(
+        scene.params, scene.cloud.Rw2c, cache, scene.campos,
+        scene.camrotc2w, rays, scene.near, scene.far, cfg, rmin, svs)
+    out2 = fast_render_rays_jit(
+        scene.params, scene.cloud.Rw2c, cache, scene.campos,
+        scene.camrotc2w, rays, scene.near, scene.far, cfg2, rmin, svs)
+    np.testing.assert_array_equal(np.asarray(out1.ray_mask),
+                                  np.asarray(out2.ray_mask))
+    a = np.asarray(out1.coarse_raycolor)
+    b = np.asarray(out2.coarse_raycolor)
+    np.testing.assert_allclose(a, b, atol=1e-3, rtol=0)
+    assert (a != b).mean() < 1e-3, (a != b).mean()
+
+
 @pytest.mark.parametrize("rb", [0, 3072])
 def test_render_parity(setup, rb):
     scene, cfg, cache, rmin, svs, rays, cap = setup
