@@ -934,6 +934,13 @@ def main() -> None:
             qkw = {"cand_cap": tier_cap}
             if tier_k:
                 qkw["K"] = tier_k
+            dc2 = int(os.environ.get("BENCH_DC2", "0"))
+            if dc2:
+                # two-phase wide decode (QueryConfig.decode_chunk2):
+                # tier-only — retiled GEMMs differ from single-phase
+                # by one bf16 ulp on isolated elements, and the tier
+                # measures its quality against the exact pass anyway
+                qkw["decode_chunk2"] = dc2
             cfg_t = dataclasses.replace(
                 cfg, query=dataclasses.replace(cfg.query, **qkw))
             cache_t, rmin_t, svs_t = make_fast_scene(
