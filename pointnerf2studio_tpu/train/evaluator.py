@@ -382,9 +382,15 @@ def render_video(
         fast = True        # the legacy chunk renderer is dense-only
     frame_render = None
     if fast and frame:
+        raster = None
+        if cfg.query.march_steps and not isinstance(grid, HashGrid):
+            k = np.asarray(intrinsics)
+            raster = (hw[0], hw[1], (float(k[0, 0]), float(k[1, 1]),
+                                     float(k[0, 2]), float(k[1, 2])))
         frame_render = make_fast_frame_renderer(cfg, points, grid,
                                                 near, far, chunk=chunk,
-                                                params=params)
+                                                params=params,
+                                                raster=raster)
     else:
         render_chunk = (make_fast_chunk_fn(cfg, points, grid, near, far,
                                            params=params)
