@@ -126,6 +126,11 @@ def build_qvox(coor_2_qslot: jnp.ndarray, max_q: int) -> jnp.ndarray:
     Unused qslots (>= n_q) keep (-1, -1, -1) and never emit.
     """
     dims = coor_2_qslot.shape
+    if max(dims) > 1024:
+        raise ValueError(
+            f"raster voxel-coord packing needs grid dims <= 1024 "
+            f"(got {dims}); huge-extent scenes use the hash front-end "
+            f"which the raster does not serve")
     qs = coor_2_qslot.reshape(-1)
     gi = jnp.arange(qs.shape[0], dtype=jnp.int32)
     ix = gi // (dims[1] * dims[2])
@@ -227,6 +232,12 @@ def raster_emit_table(
     near = jnp.asarray(near, jnp.float32)
     step_t = jnp.asarray(step_t, jnp.float32)
     HW = height * width
+    if D > 512:
+        raise ValueError("raster key packing needs z_depth_dim <= 512 "
+                         "(same bound as the march's packed emit)")
+    if HW > (1 << 22):
+        raise ValueError("raster key packing needs <= 2^22 pixels "
+                         f"per frame (got {HW})")
 
     i0, j0, d0, w, h, nd, ok = _voxel_footprint(
         qvox, ranges_min, scaled_vsize, campos, camrotc2w,
