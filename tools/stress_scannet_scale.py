@@ -29,7 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if "--cpu-smoke" in sys.argv:
+if "--cpu-smoke" in sys.argv or "--build-npz" in sys.argv:
+    # --build-npz: the 2M-point hash-cache BUILD programs crash the
+    # remote TPU compiler helper at EVERY candidate width and EVERY
+    # vsize rung (r5d: HTTP 500 even at n_q=157k — point-count-linked,
+    # not n_q-linked). Local XLA:CPU compiles them fine: build on CPU,
+    # save the cache arrays, and let a TPU process load + render.
     jax.config.update("jax_platforms", "cpu")
 
 import dataclasses
@@ -116,9 +121,19 @@ def hbm_stats(tag):
         return None
 
 
+def _flag_val(name, default=None):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
+
+
 def main():
     smoke = "--cpu-smoke" in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    build_npz = _flag_val("--build-npz")
+    from_npz = _flag_val("--from-npz")
+    args = [a for a in sys.argv[1:]
+            if not a.startswith("--")
+            and a not in (build_npz, from_npz)]
     n_points = int(args[0]) if args else (2_000_000 if not smoke
                                           else 80_000)
     cand_cap = 32
@@ -144,19 +159,92 @@ def main():
 
     from pointnerf2studio_tpu.data.synthetic import camera_rays
     from pointnerf2studio_tpu.models.fast_render import (
-        make_hash_fast_scene, measured_depth_window)
+        FatCache, make_hash_fast_scene, measured_depth_window)
     from pointnerf2studio_tpu.ops.hash_grid import (
         build_hash_grid_from_points)
 
-    hg = build_hash_grid_from_points(cloud.xyz, cloud.alive, cfg.query)
-    dims = [int(x) for x in np.asarray(jax.device_get(hg.dims))]
-    n_q = int(jax.device_get(hg.n_q))
-    print(f"hash grid: logical dims {dims} "
-          f"({dims[0]*dims[1]*dims[2]/1e9:.2f}G logical voxels), "
-          f"n_q={n_q} (+{time.time()-t0:.0f}s)", flush=True)
-    est_gb = n_q * cand_cap * 23 * 4 / 2**30
-    print(f"fat cache estimate: {est_gb:.1f} GiB "
-          f"(cand_cap={cand_cap})", flush=True)
+    params = None
+    if build_npz or from_npz:
+        # CPU-build / TPU-load split: the 2M-point hash-cache build
+        # programs crash the REMOTE TPU compiler at every candidate
+        # width and vsize rung (r5d queue: HTTP 500 even at n_q=157k),
+        # but local XLA:CPU compiles and runs them fine. The build is
+        # one-time per scene, so building on host and shipping the
+        # arrays is the legitimate production path for scenes whose
+        # builds the backend compiler cannot take.
+        vs_mul = int(_flag_val("--vs-mul", "2"))
+        cc = int(_flag_val("--cc", "32"))
+        cfg = dataclasses.replace(cfg, query=dataclasses.replace(
+            cfg.query, cand_cap=cc,
+            vsize=tuple(v * vs_mul for v in cfg.query.vsize)))
+        if build_npz:
+            hg = build_hash_grid_from_points(cloud.xyz, cloud.alive,
+                                             cfg.query)
+            n_q = int(jax.device_get(hg.n_q))
+            print(f"hash grid (cpu): n_q={n_q} "
+                  f"(+{time.time()-t0:.0f}s)", flush=True)
+            params = init_aggregator_params(jax.random.PRNGKey(0),
+                                            cfg.agg)
+            params["density_head"][0]["bias"] = (
+                params["density_head"][0]["bias"] + 5.0)
+            cache, rmin, svs = make_hash_fast_scene(cfg, cloud, hg,
+                                                    params=params)
+            print(f"fat cache built on cpu "
+                  f"(+{time.time()-t0:.0f}s)", flush=True)
+            from pointnerf2studio_tpu.models.fast_train import (
+                make_hash_geo_scene)
+            geo, _, _ = make_hash_geo_scene(cfg, cloud, hg)
+            np.savez(
+                build_npz,
+                rows=np.asarray(cache.rows),
+                n_q=np.asarray(cache.n_q),
+                hash_table=np.asarray(cache.hash_table),
+                logical_dims=np.asarray(cache.logical_dims),
+                rmin=np.asarray(rmin), svs=np.asarray(svs),
+                hg_ranges_min=np.asarray(hg.ranges_min),
+                hg_dims=np.asarray(jax.device_get(hg.dims)),
+                geo_rows=np.asarray(geo.rows),
+                geo_n_q=np.asarray(geo.n_q),
+                geo_hash=np.asarray(geo.hash_table),
+                geo_dims=np.asarray(geo.logical_dims),
+                vs_mul=vs_mul, cand_cap=cc)
+            print(f"saved {build_npz} (+{time.time()-t0:.0f}s)",
+                  flush=True)
+            return
+        z = np.load(from_npz)
+        assert int(z["vs_mul"]) == vs_mul and int(z["cand_cap"]) == cc
+        cache = FatCache(
+            coor_2_qslot=None, rows=jnp.asarray(z["rows"]),
+            n_q=jnp.asarray(z["n_q"]),
+            hash_table=jnp.asarray(z["hash_table"]),
+            logical_dims=jnp.asarray(z["logical_dims"]))
+        rmin = jnp.asarray(z["rmin"])
+        svs = jnp.asarray(z["svs"])
+        hg_ranges_min = np.asarray(z["hg_ranges_min"])
+        dims = [int(x) for x in z["hg_dims"]]
+        n_q = int(z["n_q"])
+        from pointnerf2studio_tpu.models.fast_train import GeoCache
+        geo_loaded = GeoCache(
+            coor_2_qslot=None, rows=jnp.asarray(z["geo_rows"]),
+            n_q=jnp.asarray(z["geo_n_q"]),
+            hash_table=jnp.asarray(z["geo_hash"]),
+            logical_dims=jnp.asarray(z["geo_dims"]))
+        print(f"cache loaded from {from_npz}: n_q={n_q} "
+              f"cand_cap={cc} vsize x{vs_mul} "
+              f"(+{time.time()-t0:.0f}s)", flush=True)
+        cand_cap = cc
+
+    if not from_npz:
+        hg = build_hash_grid_from_points(cloud.xyz, cloud.alive,
+                                         cfg.query)
+        dims = [int(x) for x in np.asarray(jax.device_get(hg.dims))]
+        n_q = int(jax.device_get(hg.n_q))
+        print(f"hash grid: logical dims {dims} "
+              f"({dims[0]*dims[1]*dims[2]/1e9:.2f}G logical voxels), "
+              f"n_q={n_q} (+{time.time()-t0:.0f}s)", flush=True)
+        est_gb = n_q * cand_cap * 23 * 4 / 2**30
+        print(f"fat cache estimate: {est_gb:.1f} GiB "
+              f"(cand_cap={cand_cap})", flush=True)
 
     params = init_aggregator_params(jax.random.PRNGKey(0), cfg.agg)
     params["density_head"][0]["bias"] = (
@@ -167,8 +255,8 @@ def main():
     # intended path for this scale is the point-sharded slab cache
     # over a 'points' mesh axis (parallel/sharding.py). Single-chip,
     # degrade cand_cap until the build fits and SAY SO.
-    cache = None
-    for vs_mul in (1, 2, 4):
+    cache = None if not from_npz else cache
+    for vs_mul in (() if from_npz else (1, 2, 4)):
         if vs_mul > 1:
             # the TPU backend compiler crashes on hash-cache BUILD
             # programs past ~3M query voxels at EVERY candidate width
@@ -221,7 +309,8 @@ def main():
 
     dw = measured_depth_window(
         campos, np.asarray(jax.device_get(rays)), float(near),
-        float(far), cfg.query.z_depth_dim, jax.device_get(hg.ranges_min),
+        float(far), cfg.query.z_depth_dim,
+        (hg_ranges_min if from_npz else jax.device_get(hg.ranges_min)),
         dims, cfg.query.scaled_vsize)
     cfg_r = dataclasses.replace(cfg, query=dataclasses.replace(
         cfg.query, depth_window=min(dw, cfg.query.z_depth_dim - 1)))
@@ -261,7 +350,10 @@ def main():
 
     cfg_t = dataclasses.replace(cfg, train=dataclasses.replace(
         cfg.train, fast_path=True))
-    geo, g_rmin, g_svs = make_hash_geo_scene(cfg_t, cloud, hg)
+    if from_npz:
+        geo, g_rmin, g_svs = geo_loaded, rmin, svs
+    else:
+        geo, g_rmin, g_svs = make_hash_geo_scene(cfg_t, cloud, hg)
     state = create_train_state(params, cloud, cfg_t)
     step = make_fast_train_step(cfg_t)
     B = 4096 if not smoke else 512
