@@ -367,7 +367,8 @@ def fast_train_render(
 
         u_full = None
         if jit_amount > 0.0 and key is not None and jitter_u is None:
-            u_full = jax.random.uniform(key, (R, D), dtype=jnp.float32)
+            from pointnerf2studio_tpu.ops.raygen import jitter_uniform
+            u_full = jitter_uniform(key, (R, D))
         elif jitter_u is not None:
             u_full = jitter_u
         if debug_prefix == "draw":

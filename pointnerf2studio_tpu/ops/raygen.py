@@ -17,6 +17,24 @@ import jax
 import jax.numpy as jnp
 
 
+def jitter_uniform(key: jax.Array, shape) -> jnp.ndarray:
+    """Uniform [0, 1) draws for sample jitter, via the rbg PRNG.
+
+    The default threefry generator costs real wall time on TPU for the
+    per-step [R, D] jitter table: the r5 train `draw` prefix measured
+    5.8 ms of the ~17.5 ms forward for a [4096, 400] draw. rbg is the
+    TPU-friendly counter generator; the stream differs from threefry
+    (any iid uniform jitter is semantically equivalent) but is still
+    fully determined by `key`, and BOTH the legacy and fast train
+    paths draw through this function, so their loss trajectories stay
+    bit-matched to each other.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    kd4 = jnp.tile(kd, 2)[:4]
+    rbg = jax.random.wrap_key_data(kd4, impl="rbg")
+    return jax.random.uniform(rbg, shape, dtype=jnp.float32)
+
+
 def near_far_linear_ray_generation(
     campos: jnp.ndarray,   # [3] or [B, 3]
     raydir: jnp.ndarray,   # [R, 3] or [B, R, 3], normalized
@@ -53,7 +71,7 @@ def near_far_linear_ray_generation(
     if jitter > 0.0 and (key is not None or jitter_u is not None):
         u = (jitter_u.reshape(B, R, D).astype(dtype)
              if jitter_u is not None
-             else jax.random.uniform(key, (B, R, D), dtype=dtype))
+             else jitter_uniform(key, (B, R, D)).astype(dtype))
         seg = base_seg * (1.0 + jitter * (u - 0.5))
         end_ts = near + jnp.cumsum(seg, axis=-1)                   # [B, R, D]
         end_ts = jnp.concatenate(
@@ -112,8 +130,7 @@ def near_far_disparity_linear_ray_generation(
     if jitter > 0.0 and (key is not None or jitter_u is not None):
         u = (jitter_u.reshape(B, R, num_samples).astype(dtype)
              if jitter_u is not None
-             else jax.random.uniform(key, (B, R, num_samples),
-                                     dtype=dtype))
+             else jitter_uniform(key, (B, R, num_samples)).astype(dtype))
         seg = base_seg * (1.0 + jitter * (u - 0.5))
         out = _march_from_segments(campos, raydir, seg, near, dtype)
     else:
