@@ -304,7 +304,10 @@ def main():
     camrot = jnp.asarray([[1.0, 0, 0], [0, 0.0, 1.0], [0, -1.0, 0.0]])
     H, W = (480, 640) if not smoke else (48, 64)
     rays = camera_rays(campos, camrot, H, W, 580.0 if not smoke else 58.0)
-    R = 65_536 if not smoke else 1_024
+    # r5e: at R=65536 x dw=216 the hash render program's buffer
+    # assignment reaches 15.4 GiB and the remote compiler 500s /
+    # OOMs; room-scale scenes render in smaller ray chunks
+    R = (16_384 if from_npz else 65_536) if not smoke else 1_024
     near, far = jnp.asarray(cfg.near_plane), jnp.asarray(cfg.far_plane)
 
     dw = measured_depth_window(
