@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--hole-wedge", type=float, default=0.0,
                     help="drop init points within this azimuth wedge "
                          "(degrees, centered on +x); 0 = off")
+    # isolation knob for the wedge-linked OOM (STATUS.md round 5):
+    # overrides the wedge's steps//4 probe cadence so the prune
+    # rebuild can fire with the prob machinery held out of the run
+    ap.add_argument("--prob-freq", type=int, default=0,
+                    help="override TrainConfig.prob_freq (0 = keep)")
     # procedural scene style (v2 = band-limited + specular + AA: the
     # variant whose reachable PSNR clears the 30 dB instrument)
     args = ap.parse_args()
@@ -163,6 +168,10 @@ def main():
             cfg.train, prob_freq=min(cfg.train.prob_freq,
                                      max(args.steps // 4, 500))))
         print(f"hole run: prob_freq -> {cfg.train.prob_freq}")
+    if args.prob_freq:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, prob_freq=args.prob_freq))
+        print(f"prob_freq override -> {args.prob_freq}")
         xyz_np = np.asarray(cloud.xyz)
         az = np.degrees(np.arctan2(xyz_np[:, 1], xyz_np[:, 0]))
         in_wedge = np.abs(az) < args.hole_wedge / 2
