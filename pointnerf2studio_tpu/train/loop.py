@@ -447,6 +447,11 @@ def fit(
                                       "prune+grid rebuild")
             state = state.replace(points=pruned)
             if use_fast:
+                # the outgoing geo cache is stale the moment the grid
+                # changed; dropping it BEFORE the rebuild frees its
+                # rows for the build's working set (the post-growth
+                # rebuild OOMs at razor-thin margins — r5 isolation)
+                geo_state.pop("geo", None)
                 geo_state["geo"] = _make_geo(state.points, grid)
 
         # Probe holes + grow points (reference: train_ft.py:844-923).
@@ -480,6 +485,7 @@ def fit(
                     prob_mul=t.prob_mul),
                 "growth probe")
             if use_fast and n_new:
+                geo_state.pop("geo", None)   # stale post-growth; free
                 geo_state["geo"] = _make_geo(state.points, grid)
             grow_history.append({
                 "step": s_end, "grown_points": int(n_new),
